@@ -1,0 +1,88 @@
+"""Formula / boilerplate / binary-sniff classification fixtures, plus a
+pure-Python vs Spark-column-expression consistency check."""
+
+from docling_translate_spark.classify import (
+    format_formula,
+    has_nul_byte,
+    is_boilerplate_line,
+    is_boilerplate_segment,
+    is_formula,
+)
+
+
+def test_is_formula():
+    # the reference's pattern battery (html_generator.py:29-41)
+    assert is_formula(r"\frac{a}{b}")
+    assert is_formula("x^{2} + y")
+    assert is_formula("a_{i}")
+    assert is_formula("E &= mc^2")
+    assert is_formula(r"\sum_i x_i")
+    assert not is_formula("plain prose sentence.")
+    assert not is_formula("")
+    assert not is_formula("price is $5 and 10_000")  # bare $ / _ don't trigger
+
+
+def test_format_formula():
+    assert format_formula(r"\frac{a}{b}") == r"\[\frac{a}{b}\]"
+    assert format_formula("a &= b") == r"\[\begin{aligned}a &= b\end{aligned}\]"
+    assert format_formula("$x$") == "$x$"
+    assert format_formula(r"\[x\]") == r"\[x\]"
+
+
+def test_boilerplate_lines():
+    assert is_boilerplate_line("Page 3 of 12")
+    assert is_boilerplate_line("page 7")
+    assert is_boilerplate_line("  42  ")
+    assert is_boilerplate_line("---")
+    assert is_boilerplate_line("© 2024 ExampleCorp")
+    assert is_boilerplate_line("Copyright 2020 Acme Inc.")
+    assert is_boilerplate_line("All rights reserved.")
+    assert not is_boilerplate_line("Page numbers are discussed here")
+    assert not is_boilerplate_line("A normal sentence.")
+
+
+def test_boilerplate_segment():
+    assert is_boilerplate_segment("Page 1 of 2\n---\n3")
+    assert not is_boilerplate_segment("Page 1 of 2\nreal content here")
+    assert not is_boilerplate_segment("")
+    assert not is_boilerplate_segment("   \n ")
+
+
+def test_nul_sniff():
+    assert has_nul_byte("abc\x00def")
+    assert not has_nul_byte("abcdef")
+    # only the first 8 KiB is sniffed, like the reference's 8192-byte read
+    assert not has_nul_byte("a" * 9000 + "\x00")
+
+
+def test_column_exprs_match_pure(spark):
+    """The JVM-side classifier must agree with the pure-Python rules."""
+    from pyspark.sql import functions as F
+
+    from docling_translate_spark.classify import formula_col
+    from docling_translate_spark.classify import BOILERPLATE_LINE_REGEX
+
+    samples = [
+        r"\frac{a}{b}",
+        "x^{2}",
+        "E &= mc^2",
+        "plain text",
+        "Page 3 of 12",
+        "Page 1 of 2\n---\n42",
+        "Page 1\nreal content",
+        "© 2024 Corp\nAll rights reserved.",
+        "multi\n\nparagraph",
+    ]
+    df = spark.createDataFrame([(s,) for s in samples], ["text"])
+    nonblank = F.filter(F.split("text", "\n"), lambda ln: F.trim(ln) != F.lit(""))
+    got = df.select(
+        "text",
+        formula_col(F.col("text")).alias("f"),
+        (
+            (F.size(nonblank) > 0)
+            & F.forall(nonblank, lambda ln: F.regexp_like(ln, F.lit(BOILERPLATE_LINE_REGEX)))
+        ).alias("b"),
+    ).collect()
+    for row in got:
+        assert row["f"] == is_formula(row["text"]), row["text"]
+        assert row["b"] == is_boilerplate_segment(row["text"]), row["text"]
