@@ -26,11 +26,14 @@ _FORMULA_SQL_RE = r"\\[a-zA-Z]+|\^\{|_\{|&="
 def entry(spark: SparkSession) -> DataFrame:
     """Flagship: segment → classify → dedup → map → join-back → reassemble
     per turn, over sf0.001-derived transcripts."""
-    from docling_translate_spark.operators.extract import ExtractConfig, extract_turns
+    from docling_translate_spark.operators.extract import (
+        ExtractConfig,
+        extract_turns_fused,
+    )
     from docling_translate_spark.sources.tables import transcripts_from_documents
 
     transcripts = transcripts_from_documents(spark, "/root/testdata/sf0.001")
-    return extract_turns(transcripts, ExtractConfig(ordered=True))
+    return extract_turns_fused(transcripts, ExtractConfig(ordered=True))
 
 
 # ---------------------------------------------------------------------------
@@ -214,13 +217,128 @@ def q_a6_extraction_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
 def q_extract_turns(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Flagship extraction at sf_dir (rows-only check: segmentation
     semantics are pinned by pytest golden fixtures instead of SQL)."""
-    from docling_translate_spark.operators.extract import ExtractConfig, extract_turns
+    from docling_translate_spark.operators.extract import (
+        ExtractConfig,
+        extract_turns_fused,
+    )
     from docling_translate_spark.sources.tables import transcripts_from_documents
 
-    out = extract_turns(
+    out = extract_turns_fused(
         transcripts_from_documents(spark, sf_dir), ExtractConfig(ordered=True)
     )
     return out.select("conv_id", "turn_idx", "extracted_text", "n_spans", "boilerplate_ratio")
+
+
+def q_dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact dedup at scale: hash-groupBy with min-id representative."""
+    from docling_translate_spark.operators.dedup import exact_dedup
+
+    return exact_dedup(_docs(spark, sf_dir))
+
+
+def q_dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MinHash+LSH near-dup pairs (rows-only: signature math not SQL)."""
+    from docling_translate_spark.operators.dedup import minhash_lsh_pairs
+
+    pairs = minhash_lsh_pairs(_docs(spark, sf_dir), threshold=0.5)
+    return pairs.select("id_a", "id_b")
+
+
+def q_dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SimHash fingerprints (rows-only)."""
+    from docling_translate_spark.operators.dedup import simhash_signatures
+
+    return simhash_signatures(_docs(spark, sf_dir)).select(
+        F.col("sid").alias("doc_id"), "simhash"
+    )
+
+
+def q_dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact n-gram Jaccard near-dup pairs (rows-only: inverted-index
+    join verified by pytest against hand fixtures)."""
+    from docling_translate_spark.operators.dedup import ngram_jaccard_pairs
+
+    return ngram_jaccard_pairs(_docs(spark, sf_dir), threshold=0.3).select(
+        "id_a", "id_b"
+    )
+
+
+def q_ann_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Brute-force cosine top-5 (ids+rank compared against DuckDB's
+    list_cosine_similarity; cosine omitted to dodge FP-hash noise)."""
+    from docling_translate_spark.operators.similarity import brute_force_topk
+
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    return brute_force_topk(emb, emb, k=5).select("query_id", "neighbor_id", "rank")
+
+
+def q_ann_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """LSH-bucketed approximate top-5 (rows-only; recall pinned by pytest)."""
+    from docling_translate_spark.operators.similarity import lsh_ann_topk
+
+    return lsh_ann_topk(
+        spark.read.parquet(f"{sf_dir}/embeddings.parquet"),
+        dim=64, k=5, n_planes=4, n_tables=24,
+    ).select("query_id", "neighbor_id", "rank")
+
+
+def q_lang_id(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Stopword-battery language ID."""
+    from docling_translate_spark.operators.text_analysis import lang_id
+
+    return lang_id(_docs(spark, sf_dir)).select("doc_id", "pred_lang")
+
+
+def q_quality_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Quality features + combined score."""
+    from docling_translate_spark.operators.text_analysis import quality_features
+
+    return quality_features(_docs(spark, sf_dir)).select(
+        "doc_id", "n_words", "punct_ratio", "stop_ratio", "quality_score"
+    )
+
+
+def q_token_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Whitespace + BPE-ish token counts."""
+    from docling_translate_spark.operators.text_analysis import token_counts
+
+    return token_counts(_docs(spark, sf_dir)).select(
+        "doc_id", "ws_tokens", "bpe_tokens"
+    )
+
+
+def q_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """md5 fingerprint over normalized text."""
+    from docling_translate_spark.operators.text_analysis import fingerprint
+
+    return fingerprint(_docs(spark, sf_dir)).select("doc_id", "fingerprint")
+
+
+def q_o2_truncate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """O2 tooltip truncation (ref text_html_generator.py:498)."""
+    d = _docs(spark, sf_dir)
+    return d.select(
+        "doc_id",
+        F.when(
+            F.length("text") > 200,
+            F.concat(F.substring("text", 1, 200), F.lit("...")),
+        )
+        .otherwise(F.col("text"))
+        .alias("tooltip"),
+    )
+
+
+def q_media_features(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Multimodal plumbing: binary payloads → Arrow-batched features
+    (rows-only; deterministic synthetic media)."""
+    from docling_translate_spark.operators.multimodal import (
+        extract_media_features,
+        synth_media_df,
+    )
+
+    return extract_media_features(synth_media_df(spark, n=128)).select(
+        "media_id", "kind", "n_bytes", "sha256"
+    )
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
@@ -237,6 +355,18 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "o1_longest_first": q_o1_longest_first,
         "a6_extraction_rollup": q_a6_extraction_rollup,
         "extract_turns": q_extract_turns,
+        "dedup_exact": q_dedup_exact,
+        "dedup_minhash_lsh": q_dedup_minhash_lsh,
+        "dedup_simhash": q_dedup_simhash,
+        "dedup_ngram_jaccard": q_dedup_ngram_jaccard,
+        "ann_topk": q_ann_topk,
+        "ann_lsh": q_ann_lsh,
+        "lang_id": q_lang_id,
+        "quality_scores": q_quality_scores,
+        "token_counts": q_token_counts,
+        "fingerprint": q_fingerprint,
+        "o2_truncate": q_o2_truncate,
+        "media_features": q_media_features,
     }
 
 
@@ -331,5 +461,101 @@ def oracle_sql() -> dict[str, str]:
             ORDER BY length(text) DESC, doc_id
             LIMIT 10
         """,
-        # a6_extraction_rollup, extract_turns: rows-only (non-SQL segmentation)
+        "dedup_exact": """
+            SELECT md5(text) AS text_hash,
+                   min(doc_id) AS rep_id,
+                   count(*) AS n_dups
+            FROM documents
+            GROUP BY md5(text)
+        """,
+        "ann_topk": """
+            SELECT a.vec_id AS query_id, b.vec_id AS neighbor_id,
+                   row_number() OVER (
+                       PARTITION BY a.vec_id
+                       ORDER BY list_cosine_similarity(a.embedding, b.embedding) DESC,
+                                b.vec_id
+                   ) AS rank
+            FROM embeddings a JOIN embeddings b ON a.vec_id <> b.vec_id
+            QUALIFY rank <= 5
+        """,
+        "lang_id": r"""
+            WITH s AS (
+                SELECT doc_id,
+                    len(regexp_extract_all(lower(text),
+                        '\b(der|die|das|und|ist|nicht|ein|eine|mit|von)\b')) AS h_de,
+                    len(regexp_extract_all(lower(text),
+                        '\b(the|and|of|to|is|in|that|it|for|was)\b')) AS h_en,
+                    len(regexp_extract_all(lower(text),
+                        '\b(el|la|los|las|de|que|y|en|un|una|es)\b')) AS h_es,
+                    len(regexp_extract_all(lower(text),
+                        '\b(le|la|les|des|une|est|et|que|dans|pour)\b')) AS h_fr,
+                    len(regexp_extract_all(lower(text), '[぀-ヿ]')) AS h_ja,
+                    len(regexp_extract_all(lower(text), '[가-힯]')) AS h_ko,
+                    len(regexp_extract_all(lower(text), '[一-鿿]')) AS h_zh
+                FROM documents
+            ), g AS (
+                SELECT *, greatest(h_de,h_en,h_es,h_fr,h_ja,h_ko,h_zh) AS m FROM s
+            )
+            SELECT doc_id,
+                   CASE WHEN m = 0 THEN 'unknown'
+                        WHEN h_de = m THEN 'de'
+                        WHEN h_en = m THEN 'en'
+                        WHEN h_es = m THEN 'es'
+                        WHEN h_fr = m THEN 'fr'
+                        WHEN h_ja = m THEN 'ja'
+                        WHEN h_ko = m THEN 'ko'
+                        ELSE 'zh' END AS pred_lang
+            FROM g
+        """,
+        "quality_scores": r"""
+            WITH q AS (
+                SELECT doc_id,
+                    length(text) AS n_chars,
+                    CASE WHEN trim(text) = '' THEN 0
+                         ELSE len(regexp_split_to_array(trim(text), '\s+')) END AS n_words,
+                    len(regexp_extract_all(text, '[^\w\s]')) AS n_punct,
+                    len(regexp_extract_all(lower(text),
+                        '\b(the|and|of|to|is|in|that|it|for|was)\b')) AS n_stop
+                FROM documents
+            ), r AS (
+                SELECT doc_id, n_words,
+                    CASE WHEN n_chars > 0
+                         THEN CAST(n_punct AS DOUBLE) / n_chars ELSE 0.0 END AS punct_ratio,
+                    CASE WHEN n_words > 0
+                         THEN CAST(n_stop AS DOUBLE) / n_words ELSE 0.0 END AS stop_ratio,
+                    CASE WHEN n_words > 0
+                         THEN CAST(n_chars AS DOUBLE) / n_words ELSE 0.0 END AS mean_wlen
+                FROM q
+            )
+            SELECT doc_id, n_words, punct_ratio, stop_ratio,
+                   (CASE WHEN mean_wlen >= 3.0 AND mean_wlen <= 12.0
+                         THEN 0.4 ELSE 0.0 END
+                    + CASE WHEN punct_ratio <= 0.2 THEN 0.3 ELSE 0.0 END
+                    + CASE WHEN stop_ratio >= 0.05 THEN 0.3 ELSE 0.0 END)
+                   AS quality_score
+            FROM r
+        """,
+        "token_counts": r"""
+            SELECT doc_id,
+                   CASE WHEN trim(text) = '' THEN 0
+                        ELSE len(regexp_split_to_array(trim(text), '\s+')) END AS ws_tokens,
+                   len(regexp_extract_all(text,
+                       '[A-Za-z]+|[0-9]+|[^A-Za-z0-9\s]')) AS bpe_tokens
+            FROM documents
+        """,
+        "fingerprint": r"""
+            SELECT doc_id,
+                   md5(lower(regexp_replace(trim(text), '\s+', ' ', 'g'))) AS fingerprint
+            FROM documents
+        """,
+        "o2_truncate": """
+            SELECT doc_id,
+                   CASE WHEN length(text) > 200
+                        THEN substr(text, 1, 200) || '...'
+                        ELSE text END AS tooltip
+            FROM documents
+        """,
+        # rows-only (non-SQL-expressible): a6_extraction_rollup,
+        # extract_turns, dedup_minhash_lsh, dedup_simhash,
+        # dedup_ngram_jaccard, ann_lsh, media_features
     }

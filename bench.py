@@ -1,0 +1,183 @@
+"""Benchmark harness — one JSON line on stdout.
+
+Runs the headline queries at ``$SPARK_GRAFT_SF_DIR`` (default
+/root/testdata/sf0.1) on ``local[$SPARK_GRAFT_CPUS]``, then evidences the
+north rule's N→4N scaling criterion by running the identical extraction
+job at two parallelism levels (cpus/4 and cpus), each in a FRESH process
+(fresh JVM — no JIT/page-cache bleed between levels), over the same
+pre-materialized parquet input. Each level does a full untimed warm-up run
+(python-worker spawn + JIT), then min-of-2 timed runs — throughput at
+both levels + scaling efficiency go to BENCH/BASELINE.md.
+
+Headline metric: turns-extracted/sec on a synthetic transcript table
+(~2.6×10^6 turns at sf0.1, deterministic, skewed conversation lengths) —
+the sandbox stand-in for the 10^12-turn Iceberg table.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import shutil
+import subprocess
+import sys
+import tempfile
+import time
+
+REPO = os.path.dirname(os.path.abspath(__file__))
+sys.path.insert(0, REPO)
+
+SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+CPUS = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
+_SF = 0.1 if "0.1" in SF_DIR else (0.01 if "0.01" in SF_DIR else 0.001)
+N_CONVS = max(int(800_000 * _SF), 200)  # ≈33 turns/conv incl. skewed hot keys
+
+
+def _build(cores: int):
+    from docling_translate_spark.plans.session import build_session
+
+    s = build_session(
+        app_name=f"bench-{cores}",
+        master=f"local[{cores}]",
+        shuffle_partitions=max(2 * cores, 16),
+    )
+    s.sparkContext.setLogLevel("ERROR")
+    return s
+
+
+def _extract(spark, path: str):
+    from docling_translate_spark.operators.extract import (
+        ExtractConfig,
+        extract_turns_fused,
+    )
+
+    # fused zero-shuffle plan — the production-scale physical plan
+    # (see extract.py scale notes; byte-equal to the relational plan).
+    return extract_turns_fused(spark.read.parquet(path), ExtractConfig())
+
+
+def _worker(cores: int, path: str) -> None:
+    """Child process: one full warm-up run (python-worker spawn + JIT),
+    then min-of-2 timed runs — JSON to stdout."""
+    spark = _build(cores)
+    _extract(spark, path).write.format("noop").mode("overwrite").save()
+    secs = []
+    for _ in range(2):
+        t0 = time.time()
+        _extract(spark, path).write.format("noop").mode("overwrite").save()
+        secs.append(time.time() - t0)
+    spark.stop()
+    print(json.dumps({"cores": cores, "sec": min(secs)}))
+
+
+def main() -> None:
+    import __spark_entry__ as entrymod
+
+    tmp = tempfile.mkdtemp(prefix="dts-bench-")
+    tpath = os.path.join(tmp, "transcripts.parquet")
+    queries_sec: dict[str, float] = {}
+
+    try:
+        # --- materialize input + run driver-contract queries (timed) ---
+        spark = _build(CPUS)
+        from docling_translate_spark.synth import transcripts_df
+
+        transcripts_df(spark, N_CONVS, base_turns=8).write.mode(
+            "overwrite"
+        ).parquet(tpath)
+        n_turns = spark.read.parquet(tpath).count()
+
+        for name, fn in entrymod.queries().items():
+            t0 = time.time()
+            fn(spark, SF_DIR).write.format("noop").mode("overwrite").save()
+            queries_sec[name] = round(time.time() - t0, 3)
+        spark.stop()
+
+        # --- scaling: identical job at cpus/4 and cpus, fresh JVM each ---
+        results = {}
+        for cores in (max(CPUS // 4, 2), CPUS):
+            out = subprocess.run(
+                [sys.executable, os.path.abspath(__file__), "--worker", str(cores), tpath],
+                capture_output=True,
+                text=True,
+                cwd=REPO,
+                timeout=1800,
+            )
+            line = [l for l in out.stdout.splitlines() if l.startswith("{")][-1]
+            results[cores] = json.loads(line)
+
+        lo, hi = sorted(results)
+        t_lo, t_hi = results[lo]["sec"], results[hi]["sec"]
+        thr_lo, thr_hi = n_turns / t_lo, n_turns / t_hi
+        eff = (thr_hi / thr_lo) / (hi / lo)
+
+        result = {
+            "metric": "turns_extracted_per_sec",
+            "value": round(thr_hi, 1),
+            "unit": "sec",
+            "queries": queries_sec,
+            "sf": _SF,
+            "n_turns": n_turns,
+            "scaling": {
+                "cores_low": lo,
+                "cores_high": hi,
+                "sec_low": round(t_lo, 3),
+                "sec_high": round(t_hi, 3),
+                "turns_per_sec_low": round(thr_lo, 1),
+                "turns_per_sec_high": round(thr_hi, 1),
+                "efficiency": round(eff, 3),
+            },
+            "total_queries_sec": round(sum(queries_sec.values()), 3),
+        }
+        _write_baseline_md(result)
+        print(json.dumps(result))
+    finally:
+        shutil.rmtree(tmp, ignore_errors=True)
+
+
+def _write_baseline_md(r: dict) -> None:
+    s = r["scaling"]
+    md = (
+        f"""# BENCH — measured throughput & scaling (this engine)
+
+Input: {r['n_turns']} synthetic transcript turns (deterministic, skewed
+conversation lengths), full extraction pipeline (segment → classify →
+in-batch dedup → map → per-turn reassembly), materialized via
+noop sink. sf={r['sf']}. Each parallelism level runs in a fresh JVM with
+an untimed warm-up, so the comparison isolates compute scaling.
+
+## Scaling (north rule: efficiency >= 0.8 from N to 4N parallelism)
+
+| parallelism | wall sec | turns/sec |
+|---|---|---|
+| local[{s['cores_low']}] | {s['sec_low']} | {s['turns_per_sec_low']} |
+| local[{s['cores_high']}] | {s['sec_high']} | {s['turns_per_sec_high']} |
+
+**Scaling efficiency {s['cores_low']}→{s['cores_high']} cores:
+{s['efficiency']}** (reference baseline to beat: 59 % thread efficiency
+at 8 workers, docs/PERFORMANCE_COMPARISON.md:57-60; reference end-to-end
+throughput: 731.7 chars/sec at 8 workers vs this engine's
+{s['turns_per_sec_high']} turns/sec ≈ """
+        + f"""{int(s['turns_per_sec_high'] * 300)} chars/sec equivalent).
+
+## Per-query seconds (local[{s['cores_high']}], sf dir)
+
+| query | sec |
+|---|---|
+"""
+        + "\n".join(f"| {k} | {v} |" for k, v in r["queries"].items())
+        + f"""
+
+Headline: **{r['value']} turns/sec** at local[{s['cores_high']}].
+"""
+    )
+    os.makedirs(os.path.join(REPO, "BENCH"), exist_ok=True)
+    with open(os.path.join(REPO, "BENCH", "BASELINE.md"), "w") as f:
+        f.write(md)
+
+
+if __name__ == "__main__":
+    if len(sys.argv) > 1 and sys.argv[1] == "--worker":
+        _worker(int(sys.argv[2]), sys.argv[3])
+    else:
+        main()

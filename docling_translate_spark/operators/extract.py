@@ -5,17 +5,21 @@ re-planned for Spark:
 
 1. segment turns into spans            (mapInPandas, narrow)
 2. classify formula / boilerplate      (column exprs, codegen)
-3. dedup unique content texts          (``distinct`` — the reference's
+3. dedup unique content texts          (the reference's
                                         ``list(set(all_sentences))``,
-                                        ``src/core.py:453-455``)
+                                        ``src/core.py:453-455`` — scoped
+                                        per Arrow batch by default, or
+                                        globally via ``distinct``)
 4. apply the deterministic map engine  (Arrow-batched pandas UDF — the
                                         "translate" stage,
                                         ``src/translation/base.py:38-97``)
-5. broadcast equi-join results back by exact text with identity fallback
-   (``src/core.py:486``, ``src/html_generator.py:565-567``, ``:692``)
-6. reassemble per turn in span order   (groupBy + array_sort, no window)
-7. restore every input turn (empty turns emit '' + zero spans) and the
-   stable ``(conv_id, turn_idx)`` ordering
+5. join results back by exact text with identity fallback
+   (``src/core.py:486``, ``src/html_generator.py:565-567``, ``:692``) —
+   an in-batch dict probe in 'batch' scope, a broadcast/shuffle equi-join
+   in 'global' scope
+6. reassemble per turn in span order   (groupBy + array_sort, no window);
+   sentinel spans keep empty/binary turns alive, preserving per-turn
+   parity with the input
 
 Scale notes (100 TB / 10^12 turns):
 
@@ -24,11 +28,15 @@ Scale notes (100 TB / 10^12 turns):
   range on the *pair* splits a million-turn conversation across tasks, so
   no salting is needed for the map side (``plans/session.py`` enables AQE
   + skew-join for the shuffles below).
-* Step 3 is the one unavoidable shuffle; partial (map-side) aggregation
-  makes it cheap because duplicate texts collapse before the exchange.
-* Step 5 broadcasts the deduped map when it fits (configurable); at sizes
-  beyond broadcast the same code degrades to a shuffle hash join that AQE
-  plans, with skew-join splitting hot texts.
+* In the default 'batch' dedup scope, steps 3-5 are shuffle-FREE: the
+  whole pipeline has exactly one exchange (the step-6 groupBy). Measured
+  locally this scales near-linearly with cores, while the 'global'
+  shuffle join-back anti-scaled — at cluster scale the batch plan also
+  avoids shuffling the full span table twice.
+* 'global' scope exists for expensive maps over high-duplicate corpora
+  (the reference's original motivation): distinct benefits from map-side
+  partial aggregation; the join-back broadcasts when the unique set fits,
+  else AQE plans a skew-split shuffle join.
 * Step 6 groups on ``(conv_id, turn_idx)`` — fine-grained keys, so a hot
   conversation is NOT a hot key here.
 """
@@ -36,6 +44,7 @@ Scale notes (100 TB / 10^12 turns):
 from __future__ import annotations
 
 from dataclasses import dataclass
+from typing import Iterator
 
 import pandas as pd
 
@@ -45,6 +54,7 @@ from pyspark.sql.types import StringType
 from docling_translate_spark.extract_map import create_engine
 from docling_translate_spark.operators.classify import classify_segments
 from docling_translate_spark.operators.segment import segment_turns
+from docling_translate_spark.schema import EXTRACTED_SCHEMA
 
 # Separator used when stitching per-turn content spans back together.
 CONTENT_JOINER = "\n\n"
@@ -53,8 +63,17 @@ CONTENT_JOINER = "\n\n"
 @dataclass(frozen=True)
 class ExtractConfig:
     engine: str = "identity"
-    dedup: bool = True          # dedupe unique texts before the map stage
-    broadcast_map: bool = True  # broadcast the deduped map for the join-back
+    # 'batch'  — dedup unique texts INSIDE each Arrow batch and apply the
+    #            map there (zero extra shuffles; matches the reference's
+    #            per-document dedup scope, core.py:453-455). The scale
+    #            default: measured to scale ~linearly with cores, while a
+    #            global shuffle join-back anti-scales on this pipeline.
+    # 'global' — distinct across the whole table + join-back (maximum
+    #            dedup; right when the map is very expensive and the
+    #            duplicate rate is high). broadcast_map picks the join
+    #            strategy for this mode.
+    dedup_scope: str = "batch"
+    broadcast_map: bool = True  # 'global' mode: broadcast the deduped map
     ordered: bool = False       # global (conv_id, turn_idx) sort of output
 
 
@@ -75,7 +94,7 @@ def extract_turns(transcripts: DataFrame, config: ExtractConfig | None = None) -
 
     segments = classify_segments(segment_turns(transcripts))
 
-    if cfg.dedup:
+    if cfg.dedup_scope == "global":
         unique = mapped_unique_texts(segments.filter("is_content"), cfg.engine)
         map_side = F.broadcast(unique) if cfg.broadcast_map else unique
         joined = segments.join(map_side, on="text", how="left")
@@ -84,7 +103,15 @@ def extract_turns(transcripts: DataFrame, config: ExtractConfig | None = None) -
 
         @F.pandas_udf(StringType())
         def _apply(texts: pd.Series) -> pd.Series:
-            return fn(texts).astype("string")
+            # in-batch dedup: map each distinct text once per Arrow batch,
+            # then fan results back out — the reference's per-document
+            # unique-sentence dedup (core.py:453-455), batch-scoped
+            uniq = pd.Series(texts.dropna().unique())
+            if len(uniq) == 0:
+                return texts.astype("string")
+            mapped = fn(uniq).astype("string")
+            lookup = dict(zip(uniq, mapped))
+            return texts.map(lookup).astype("string")
 
         joined = segments.withColumn(
             "mapped", F.when(F.col("is_content"), _apply("text"))
@@ -96,7 +123,11 @@ def extract_turns(transcripts: DataFrame, config: ExtractConfig | None = None) -
         F.col("is_content"), F.coalesce(F.col("mapped"), F.col("text"))
     )
 
-    per_turn = (
+    # Sentinel spans (span_idx = -1, emitted for empty/binary turns by the
+    # segmenter) keep those turns alive through this single groupBy — no
+    # second input scan or restore-join is needed.
+    real = F.filter(F.col("sorted_spans"), lambda s: s["span_idx"] >= 0)
+    out = (
         joined.groupBy("conv_id", "turn_idx")
         .agg(
             F.array_sort(
@@ -118,13 +149,13 @@ def extract_turns(transcripts: DataFrame, config: ExtractConfig | None = None) -
             "turn_idx",
             F.array_join(
                 F.filter(
-                    F.transform(F.col("sorted_spans"), lambda s: s["content_text"]),
+                    F.transform(real, lambda s: s["content_text"]),
                     lambda t: t.isNotNull(),
                 ),
                 CONTENT_JOINER,
             ).alias("extracted_text"),
             F.transform(
-                F.col("sorted_spans"),
+                real,
                 lambda s: F.struct(
                     s["start_pos"].alias("start_pos"),
                     s["end_pos"].alias("end_pos"),
@@ -133,36 +164,127 @@ def extract_turns(transcripts: DataFrame, config: ExtractConfig | None = None) -
                     s["line_number"].alias("line_number"),
                 ),
             ).alias("spans"),
-            F.size("sorted_spans").alias("n_spans"),
-            (
+            F.size(real).alias("n_spans"),
+            F.when(F.size(real) == 0, F.lit(0.0))
+            .otherwise(
                 F.size(
                     F.filter(
-                        F.col("sorted_spans"),
+                        real,
                         lambda s: s["segment_type"] == F.lit("boilerplate"),
                     )
                 ).cast("double")
-                / F.size("sorted_spans").cast("double")
-            ).alias("boilerplate_ratio"),
+                / F.size(real).cast("double")
+            )
+            .alias("boilerplate_ratio"),
         )
     )
 
-    # Restore turns that produced zero spans (empty / binary payloads):
-    # per-turn parity with the input is part of the output contract.
-    turn_keys = transcripts.select("conv_id", "turn_idx")
-    out = (
-        turn_keys.join(per_turn, on=["conv_id", "turn_idx"], how="left")
-        .withColumn("extracted_text", F.coalesce("extracted_text", F.lit("")))
-        .withColumn(
-            "spans",
-            F.coalesce("spans", F.expr(
-                "CAST(array() AS array<struct<start_pos:int,end_pos:int,"
-                "segment_type:string,translatable:boolean,line_number:int>>)"
-            )),
+    if cfg.ordered:
+        out = out.repartitionByRange("conv_id", "turn_idx").sortWithinPartitions(
+            "conv_id", "turn_idx"
         )
-        .withColumn("n_spans", F.coalesce("n_spans", F.lit(0)))
-        .withColumn("boilerplate_ratio", F.coalesce("boilerplate_ratio", F.lit(0.0)))
-    )
+    return out
 
+
+def extract_turns_fused(
+    transcripts: DataFrame, config: ExtractConfig | None = None
+) -> DataFrame:
+    """ZERO-shuffle extraction: the whole per-turn pipeline fused into one
+    ``mapInPandas`` pass.
+
+    Spans of a turn are born colocated inside the segmentation batch, so
+    the relational plan's reassembly groupBy shuffles data that never
+    needed to move. This fused operator segments, classifies, dedups
+    (batch scope, the reference's per-document scope, core.py:453-455),
+    maps, and reassembles each turn inside the Arrow batch — the physical
+    plan is a single narrow stage, which is also what makes it legal under
+    Structured Streaming (no stateful ops). Same output contract as
+    :func:`extract_turns`; byte-equality of both paths is pinned in tests.
+
+    Use this for throughput; use ``extract_turns`` when you want the
+    stages visible to Catalyst (e.g. to hang extra relational logic off
+    the exploded span table).
+    """
+    cfg = config or ExtractConfig()
+    fn = create_engine(cfg.engine)
+
+    # late imports keep the closure light for pickling to workers
+    from docling_translate_spark.classify import (
+        has_nul_byte,
+        is_boilerplate_segment,
+        is_formula,
+    )
+    from docling_translate_spark.segmenters import segment_text
+
+    def gen(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            conv_ids, turn_idxs, span_lists, content_lists = [], [], [], []
+            uniq: dict[str, None] = {}
+            tools = pdf["tool"] if "tool" in pdf else pd.Series([None] * len(pdf))
+            for cid, tix, text, tool in zip(
+                pdf["conv_id"], pdf["turn_idx"], pdf["text"], tools
+            ):
+                spans, contents = [], []
+                if text is not None and str(text).strip() and not has_nul_byte(str(text)):
+                    for seg_text, start, end, tr, st, line in segment_text(
+                        str(text), tool or None
+                    ):
+                        if tr and is_formula(seg_text):
+                            st, tr = "formula", False
+                        elif tr and is_boilerplate_segment(seg_text):
+                            st, tr = "boilerplate", False
+                        spans.append(
+                            {
+                                "start_pos": start,
+                                "end_pos": end,
+                                "segment_type": st,
+                                "translatable": tr,
+                                "line_number": line,
+                            }
+                        )
+                        if tr and seg_text.strip():
+                            contents.append(seg_text)
+                            uniq[seg_text] = None
+                conv_ids.append(cid)
+                turn_idxs.append(tix)
+                span_lists.append(spans)
+                content_lists.append(contents)
+
+            # batch-scoped dedup + one vectorized map call (the reference's
+            # unique-sentence translate pass, core.py:453-486)
+            keys = pd.Series(list(uniq.keys()), dtype="object")
+            mapped = fn(keys) if len(keys) else keys
+            lookup = dict(zip(keys, mapped))
+
+            n_spans = [len(s) for s in span_lists]
+            yield pd.DataFrame(
+                {
+                    "conv_id": conv_ids,
+                    "turn_idx": turn_idxs,
+                    "extracted_text": [
+                        CONTENT_JOINER.join(lookup.get(c, c) for c in cl)
+                        for cl in content_lists
+                    ],
+                    "spans": span_lists,
+                    "n_spans": n_spans,
+                    "boilerplate_ratio": [
+                        (
+                            sum(
+                                1
+                                for s in sl
+                                if s["segment_type"] == "boilerplate"
+                            )
+                            / ns
+                            if ns
+                            else 0.0
+                        )
+                        for sl, ns in zip(span_lists, n_spans)
+                    ],
+                }
+            )
+
+    slim = transcripts.select("conv_id", "turn_idx", "text", "tool")
+    out = slim.mapInPandas(gen, EXTRACTED_SCHEMA)
     if cfg.ordered:
         out = out.repartitionByRange("conv_id", "turn_idx").sortWithinPartitions(
             "conv_id", "turn_idx"

@@ -33,6 +33,18 @@ def _segment_batches(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         tools = pdf["tool"] if "tool" in pdf else pd.Series([None] * len(pdf))
         for cid, tix, text, tool in zip(pdf["conv_id"], pdf["turn_idx"], texts, tools):
             if text is None or not str(text).strip() or has_nul_byte(str(text)):
+                # sentinel row (span_idx = -1): keeps the turn alive through
+                # the groupBy reassembly without a second scan + join to
+                # restore empty/binary turns
+                cols["conv_id"].append(cid)
+                cols["turn_idx"].append(tix)
+                cols["span_idx"].append(-1)
+                cols["text"].append(None)
+                cols["start_pos"].append(0)
+                cols["end_pos"].append(0)
+                cols["translatable"].append(False)
+                cols["segment_type"].append("empty")
+                cols["line_number"].append(0)
                 continue
             for i, seg in enumerate(segment_text(str(text), tool or None)):
                 cols["conv_id"].append(cid)

@@ -1,0 +1,107 @@
+"""Text-analysis operators for a training-data pipeline.
+
+All pure column expressions (JVM-side, codegen-friendly, DuckDB-oracle
+expressible) unless noted:
+
+* language ID      — stopword-hit heuristic over a per-language marker
+                     battery (n-gram/stopword scoring)
+* quality scoring  — length / punctuation ratio / stopword ratio /
+                     mean word length, combined into a [0,1] score
+* token counting   — whitespace tokens + a BPE-ish regex token count
+* fingerprinting   — md5 over whitespace-normalized, lowercased text
+                     (deterministic doc identity for dedup joins)
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, functions as F
+
+# tiny per-language marker sets: enough signal for a heuristic router
+LANG_MARKERS = {
+    "en": r"\b(the|and|of|to|is|in|that|it|for|was)\b",
+    "es": r"\b(el|la|los|las|de|que|y|en|un|una|es)\b",
+    "fr": r"\b(le|la|les|des|une|est|et|que|dans|pour)\b",
+    "de": r"\b(der|die|das|und|ist|nicht|ein|eine|mit|von)\b",
+    "ko": r"[가-힯]",
+    "zh": r"[一-鿿]",
+    "ja": r"[぀-ヿ]",
+}
+
+# BPE-ish token: word pieces, numbers, or a single non-space symbol
+BPE_TOKEN_REGEX = r"[A-Za-z]+|[0-9]+|[^A-Za-z0-9\s]"
+
+
+def _count_matches(text: Column, pattern: str) -> Column:
+    return F.size(F.regexp_extract_all(F.lower(text), F.lit(pattern), F.lit(0)))
+
+
+def lang_id(df: DataFrame, text_col: str = "text") -> DataFrame:
+    """Predict language by max marker-hit count (ties → lexicographic
+    language code, deterministic)."""
+    txt = F.col(text_col)
+    scores = F.array(
+        *[
+            F.struct(
+                _count_matches(txt, pat).alias("hits"),
+                F.lit(code).alias("code"),
+            )
+            for code, pat in sorted(LANG_MARKERS.items())
+        ]
+    )
+    # sort by (-hits, code): most hits first, lexicographic code on ties
+    ordered = F.array_sort(
+        F.transform(
+            scores,
+            lambda s: F.struct((-s["hits"]).alias("neg_hits"), s["code"].alias("code")),
+        )
+    )
+    top = F.element_at(ordered, 1)
+    return df.withColumn(
+        "pred_lang",
+        F.when(top["neg_hits"] < 0, top["code"]).otherwise(F.lit("unknown")),
+    )
+
+
+def quality_features(df: DataFrame, text_col: str = "text") -> DataFrame:
+    """Length, punctuation ratio, stopword ratio, mean word length, and a
+    combined [0,1] quality score (heuristic battery)."""
+    txt = F.col(text_col)
+    n_chars = F.length(txt)
+    words = F.split(F.trim(txt), r"\s+")
+    n_words = F.when(F.trim(txt) == "", F.lit(0)).otherwise(F.size(words))
+    n_punct = F.size(F.regexp_extract_all(txt, F.lit(r"[^\w\s]"), F.lit(0)))
+    n_stop = _count_matches(txt, LANG_MARKERS["en"])
+    mean_wlen = F.when(n_words > 0, n_chars.cast("double") / n_words).otherwise(F.lit(0.0))
+    punct_ratio = F.when(n_chars > 0, n_punct.cast("double") / n_chars).otherwise(F.lit(0.0))
+    stop_ratio = F.when(n_words > 0, n_stop.cast("double") / n_words).otherwise(F.lit(0.0))
+
+    # score: in-range word length + modest punctuation + some stopwords
+    score = (
+        F.when((mean_wlen >= 3.0) & (mean_wlen <= 12.0), F.lit(0.4)).otherwise(F.lit(0.0))
+        + F.when(punct_ratio <= 0.2, F.lit(0.3)).otherwise(F.lit(0.0))
+        + F.when(stop_ratio >= 0.05, F.lit(0.3)).otherwise(F.lit(0.0))
+    )
+    return (
+        df.withColumn("n_chars_q", n_chars)
+        .withColumn("n_words", n_words)
+        .withColumn("punct_ratio", punct_ratio)
+        .withColumn("stop_ratio", stop_ratio)
+        .withColumn("mean_word_len", mean_wlen)
+        .withColumn("quality_score", score)
+    )
+
+
+def token_counts(df: DataFrame, text_col: str = "text") -> DataFrame:
+    """Whitespace token count + BPE-ish regex token count."""
+    txt = F.col(text_col)
+    ws = F.when(F.trim(txt) == "", F.lit(0)).otherwise(
+        F.size(F.split(F.trim(txt), r"\s+"))
+    )
+    bpe = F.size(F.regexp_extract_all(txt, F.lit(BPE_TOKEN_REGEX), F.lit(0)))
+    return df.withColumn("ws_tokens", ws).withColumn("bpe_tokens", bpe)
+
+
+def fingerprint(df: DataFrame, text_col: str = "text") -> DataFrame:
+    """Deterministic document fingerprint: md5 of normalized text."""
+    norm = F.lower(F.regexp_replace(F.trim(F.col(text_col)), r"\s+", " "))
+    return df.withColumn("fingerprint", F.md5(norm))

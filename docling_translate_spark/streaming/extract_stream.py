@@ -1,0 +1,61 @@
+"""Streaming extraction: the same fused per-turn pipeline over a
+Structured Streaming source.
+
+The reference is strictly batch (SURVEY §2.10); its only incremental
+surface is the progress callback (``src/core.py:72``,
+``src/translation/base.py:84-85``). The streaming analog here:
+
+* :func:`stream_extract` — the fused zero-shuffle extraction operator is
+  stateless per turn, so it runs unchanged on a ``readStream`` DataFrame
+  (file source over the transcript table's directory, or any source with
+  the transcript schema);
+* :func:`stream_metrics` — windowed per-minute extraction metrics with a
+  watermark for late turns, the streaming replacement for the progress
+  callback (counts instead of a 0..1 ratio).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, functions as F
+
+from docling_translate_spark.operators.extract import (
+    ExtractConfig,
+    extract_turns_fused,
+)
+from docling_translate_spark.schema import TRANSCRIPT_SCHEMA
+
+
+def read_transcript_stream(
+    spark: SparkSession, path: str, max_files_per_trigger: int = 4
+) -> DataFrame:
+    """File-source stream over a growing directory of transcript parquet."""
+    return (
+        spark.readStream.schema(TRANSCRIPT_SCHEMA)
+        .option("maxFilesPerTrigger", max_files_per_trigger)
+        .parquet(path)
+    )
+
+
+def stream_extract(stream: DataFrame, config: ExtractConfig | None = None) -> DataFrame:
+    """Per-turn extraction on a stream — stateless mapInPandas, so any
+    output mode works and no watermark is required."""
+    return extract_turns_fused(stream, config)
+
+
+def stream_metrics(stream: DataFrame) -> DataFrame:
+    """Watermarked per-minute ingest metrics (late turns ≤ 2 minutes) —
+    the streaming stand-in for the reference's progress callback."""
+    return (
+        stream.withWatermark("ts", "2 minutes")
+        .groupBy(F.window("ts", "1 minute").alias("win"))
+        .agg(
+            F.count("*").alias("turns"),
+            F.sum(F.length("text")).alias("chars"),
+        )
+        .select(
+            F.col("win.start").alias("window_start"),
+            F.col("win.end").alias("window_end"),
+            "turns",
+            "chars",
+        )
+    )

@@ -1,0 +1,104 @@
+"""Dedup operator fixtures: exact, n-gram Jaccard, MinHash LSH, SimHash."""
+
+import pytest
+
+from pyspark.sql import functions as F
+
+from docling_translate_spark.operators.dedup import (
+    exact_dedup,
+    minhash_lsh_pairs,
+    minhash_signatures,
+    ngram_jaccard_pairs,
+    simhash_pairs,
+    simhash_signatures,
+)
+
+BASE = (
+    "the quick brown fox jumps over the lazy dog and runs far away today"
+)
+NEAR = (
+    "the quick brown fox jumps over the lazy dog and runs far away tonight"
+)
+OTHER = "completely different content about spark shuffle partitions and arrow batches"
+
+
+@pytest.fixture(scope="module")
+def docs(spark):
+    rows = [
+        (0, BASE),
+        (1, BASE),          # exact dup of 0
+        (2, NEAR),          # near dup of 0 (one word differs)
+        (3, OTHER),
+        (4, "tiny"),
+    ]
+    return spark.createDataFrame(rows, ["doc_id", "text"]).cache()
+
+
+def test_exact_dedup(spark, docs):
+    out = {r["rep_id"]: r["n_dups"] for r in exact_dedup(docs).collect()}
+    assert out[0] == 2  # docs 0 and 1 collapse
+    assert out[2] == 1
+    assert out[3] == 1
+    assert sum(out.values()) == 5
+
+
+def test_ngram_jaccard(spark, docs):
+    pairs = {
+        (r["id_a"], r["id_b"]): r["jaccard"]
+        for r in ngram_jaccard_pairs(docs, threshold=0.5).collect()
+    }
+    assert pairs[(0, 1)] == 1.0  # identical
+    assert (0, 2) in pairs and 0.5 <= pairs[(0, 2)] < 1.0
+    assert not any({a, b} & {3, 4} for a, b in pairs)
+
+
+def test_minhash_estimates_jaccard(spark, docs):
+    sigs = {r["sid"]: r["signature"] for r in minhash_signatures(docs).collect()}
+    assert len(sigs[0]) == 128
+    assert sigs[0] == sigs[1]  # identical text → identical signature
+    est = sum(a == b for a, b in zip(sigs[0], sigs[2])) / 128
+    # true 3-gram jaccard of BASE vs NEAR is ~0.83; 128 hashes ⇒ ±~0.1
+    assert 0.6 < est <= 1.0
+    est_far = sum(a == b for a, b in zip(sigs[0], sigs[3])) / 128
+    assert est_far < 0.2
+
+
+def test_minhash_lsh_pairs(spark, docs):
+    pairs = {
+        (r["id_a"], r["id_b"])
+        for r in minhash_lsh_pairs(docs, threshold=0.5).collect()
+    }
+    assert (0, 1) in pairs
+    assert (0, 2) in pairs and (1, 2) in pairs
+    assert not any({a, b} & {3, 4} for a, b in pairs)
+
+
+def test_simhash(spark, docs):
+    sigs = {r["sid"]: r["simhash"] for r in simhash_signatures(docs).collect()}
+    assert sigs[0] == sigs[1]
+    ham = bin((sigs[0] ^ sigs[2]) & ((1 << 64) - 1)).count("1")
+    ham_far = bin((sigs[0] ^ sigs[3]) & ((1 << 64) - 1)).count("1")
+    assert ham < ham_far  # near-dup is closer in hamming space
+
+
+def test_simhash_banded_pairs(spark):
+    """hamming ≤ 3 pairs are guaranteed found by 4-band blocking
+    (pigeonhole). Long docs differing in one token land within range."""
+    base = [f"tok{i}" for i in range(400)]
+    near = list(base)
+    near[9] = "omega"  # deterministic: hamming(base, near) == 2
+    rows = [(0, " ".join(base)), (1, " ".join(near)), (2, " ".join(base))]
+    df = spark.createDataFrame(rows, ["doc_id", "text"])
+    pairs = {
+        (r["id_a"], r["id_b"]): r["hamming"]
+        for r in simhash_pairs(df, max_hamming=3).collect()
+    }
+    assert pairs[(0, 2)] == 0  # identical
+    assert (0, 1) in pairs and 0 < pairs[(0, 1)] <= 3
+    assert (1, 2) in pairs
+
+
+def test_simhash_empty_text(spark):
+    df = spark.createDataFrame([(0, ""), (1, None)], ["doc_id", "text"])
+    out = {r["sid"]: r["simhash"] for r in simhash_signatures(df).collect()}
+    assert out == {0: 0, 1: 0}

@@ -58,24 +58,51 @@ def test_extract_matches_golden_marker(spark, small_transcripts):
     _assert_matches(out, golden, "marker")
 
 
-def test_dedup_off_same_result(spark, small_transcripts):
-    """Disabling the dedup+join-back path must not change results."""
+def test_global_dedup_same_result(spark, small_transcripts):
+    """'global' dedup scope (distinct + broadcast join-back) must match."""
     rows = small_transcripts.collect()
     golden = _golden_map(rows)
     out = extract_turns(
-        small_transcripts, ExtractConfig(dedup=False, ordered=True)
+        small_transcripts, ExtractConfig(dedup_scope="global", ordered=True)
     ).collect()
-    _assert_matches(out, golden, "identity-nodedup")
+    _assert_matches(out, golden, "identity-global")
 
 
-def test_shuffle_join_same_result(spark, small_transcripts):
-    """broadcast_map=False (shuffle join-back) must not change results."""
+def test_global_shuffle_join_same_result(spark, small_transcripts):
+    """'global' scope with shuffle join-back must match too."""
     rows = small_transcripts.collect()
     golden = _golden_map(rows)
     out = extract_turns(
-        small_transcripts, ExtractConfig(broadcast_map=False, ordered=True)
+        small_transcripts,
+        ExtractConfig(dedup_scope="global", broadcast_map=False, ordered=True),
     ).collect()
-    _assert_matches(out, golden, "identity-shuffle")
+    _assert_matches(out, golden, "identity-global-shuffle")
+
+
+def test_fused_matches_relational(spark, small_transcripts):
+    """The zero-shuffle fused plan must be byte-identical to the
+    relational plan (and hence to the golden oracle)."""
+    from docling_translate_spark.operators.extract import extract_turns_fused
+
+    rows = small_transcripts.collect()
+    golden = _golden_map(rows)
+    out = extract_turns_fused(
+        small_transcripts, ExtractConfig(ordered=True)
+    ).collect()
+    keys = [(r["conv_id"], r["turn_idx"]) for r in out]
+    assert keys == sorted(keys)
+    _assert_matches(out, golden, "fused")
+
+
+def test_fused_marker_engine(spark, small_transcripts):
+    from docling_translate_spark.operators.extract import extract_turns_fused
+
+    rows = small_transcripts.collect()
+    golden = _golden_map(rows, engine="marker")
+    out = extract_turns_fused(
+        small_transcripts, ExtractConfig(engine="marker", ordered=True)
+    ).collect()
+    _assert_matches(out, golden, "fused-marker")
 
 
 def test_distributed_generator_matches_local(spark):

@@ -1,0 +1,56 @@
+"""Multimodal plumbing fixtures: schema, Arrow batch shape, stubbed decode."""
+
+import hashlib
+
+import pytest
+
+from docling_translate_spark.operators.multimodal import (
+    decode_image,
+    extract_media_features,
+    frame_sample_plan,
+    synth_media_df,
+)
+
+
+@pytest.fixture(scope="module")
+def media(spark):
+    return synth_media_df(spark, n=30).cache()
+
+
+def test_decode_stub_raises():
+    with pytest.raises(NotImplementedError):
+        decode_image(b"\x89PNG...")
+
+
+def test_decode_fake_deterministic():
+    a = decode_image(b"same bytes", fake=True)
+    b = decode_image(b"same bytes", fake=True)
+    assert (a == b).all()
+    assert a.shape == (8, 8)
+
+
+def test_media_schema(spark, media):
+    rows = media.collect()
+    assert len(rows) == 30
+    kinds = {r["kind"] for r in rows}
+    assert kinds == {"image", "audio", "video"}
+    assert all(isinstance(r["payload"], (bytes, bytearray)) for r in rows)
+
+
+def test_feature_extraction(spark, media):
+    feats = {r["media_id"]: r for r in extract_media_features(media).collect()}
+    assert len(feats) == 30
+    raw = {r["media_id"]: bytes(r["payload"]) for r in media.collect()}
+    for mid, r in feats.items():
+        assert r["n_bytes"] == len(raw[mid])
+        assert r["sha256"] == hashlib.sha256(raw[mid]).hexdigest()
+        assert len(r["features"]) == 4
+        assert all(v == v for v in r["features"])  # no NaNs
+
+
+def test_frame_sample_plan(spark, media):
+    plan = frame_sample_plan(media, every_ms=250).collect()
+    vids = {r["media_id"] for r in media.filter("kind = 'video'").collect()}
+    assert {r["media_id"] for r in plan} == vids
+    for r in plan:
+        assert r["sample_ms"] == r["frame_no"] * 250

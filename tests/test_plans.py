@@ -1,0 +1,88 @@
+"""Physical-plan regression tests: column pruning, filter pushdown, and
+shuffle counts — the plan properties the 100 TB design depends on."""
+
+import contextlib
+import io
+import tempfile
+
+import pytest
+
+from pyspark.sql import functions as F
+
+from docling_translate_spark.operators.extract import (
+    ExtractConfig,
+    extract_turns,
+    extract_turns_fused,
+)
+from docling_translate_spark.operators.segment import segment_turns
+from docling_translate_spark.schema import TRANSCRIPT_SCHEMA
+from docling_translate_spark.synth import gen_rows
+
+
+def _plan(df, mode="formatted") -> str:
+    buf = io.StringIO()
+    with contextlib.redirect_stdout(buf):
+        df.explain(mode)
+    return buf.getvalue()
+
+
+@pytest.fixture(scope="module")
+def transcript_path(spark):
+    tmp = tempfile.mkdtemp(prefix="dts-plan-")
+    spark.createDataFrame(gen_rows(10, 4), TRANSCRIPT_SCHEMA).write.mode(
+        "overwrite"
+    ).parquet(tmp + "/t")
+    return tmp + "/t"
+
+
+def test_segmentation_prunes_columns(spark, transcript_path):
+    """The scan under segmentation must read only the 4 needed columns —
+    role/ts never cross Arrow."""
+    df = spark.read.parquet(transcript_path)
+    plan = _plan(segment_turns(df))
+    read_schema = [l for l in plan.splitlines() if "ReadSchema" in l]
+    assert read_schema, plan
+    line = read_schema[0]
+    for col in ("conv_id", "turn_idx", "text", "tool"):
+        assert col in line
+    assert "role" not in line
+    assert "ts:" not in line
+
+
+def test_filter_pushdown_reaches_scan(spark, transcript_path):
+    """A conv_id predicate above the fused operator must push to parquet."""
+    df = spark.read.parquet(transcript_path).filter(
+        F.col("conv_id") == "conv-000003"
+    )
+    plan = _plan(extract_turns_fused(df))
+    pushed = [l for l in plan.splitlines() if "PushedFilters" in l]
+    assert pushed, plan
+    assert "conv_id" in pushed[0]
+
+
+def test_fused_plan_has_zero_shuffles(spark, transcript_path):
+    df = spark.read.parquet(transcript_path)
+    plan = _plan(extract_turns_fused(df))
+    assert "Exchange" not in plan, plan
+
+
+def test_relational_plan_has_single_shuffle(spark, transcript_path):
+    """Default (batch dedup scope): only the per-turn groupBy exchanges."""
+    df = spark.read.parquet(transcript_path)
+    plan = _plan(extract_turns(df), "simple")
+    # AQE may stage exchanges; count distinct Exchange operators
+    n_exchanges = plan.count("Exchange hashpartitioning")
+    assert n_exchanges == 1, plan
+
+
+def test_classifier_stays_jvm_side(spark, transcript_path):
+    """Classification must be JVM expressions (RLIKE in a Project), never
+    row-at-a-time Python eval."""
+    from docling_translate_spark.operators.classify import classify_segments
+
+    df = spark.read.parquet(transcript_path)
+    plan = _plan(classify_segments(segment_turns(df)), "simple")
+    assert "RLIKE" in plan  # regexes evaluate in the JVM
+    assert "BatchEvalPython" not in plan  # no row-at-a-time Python UDFs
+    # exactly one Python crossing: the segmentation mapInPandas
+    assert plan.count("MapInPandas") == 1

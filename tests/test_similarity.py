@@ -1,0 +1,77 @@
+"""Similarity-search fixtures: brute-force top-k, LSH ANN recall,
+cosine near-dup pairs — over the driver's embeddings table."""
+
+import math
+
+import numpy as np
+import pytest
+
+from docling_translate_spark.operators.similarity import (
+    brute_force_topk,
+    cosine_near_dup_pairs,
+    lsh_ann_topk,
+)
+
+SF_DIR = "/root/testdata/sf0.001"
+DIM = 64
+
+
+@pytest.fixture(scope="module")
+def emb(spark):
+    return spark.read.parquet(f"{SF_DIR}/embeddings.parquet").cache()
+
+
+def _numpy_topk(rows, k=5):
+    ids = np.array([r["vec_id"] for r in rows])
+    mat = np.stack([np.array(r["embedding"], dtype=np.float64) for r in rows])
+    mat = mat / np.linalg.norm(mat, axis=1, keepdims=True)
+    sims = mat @ mat.T
+    out = {}
+    for i, qid in enumerate(ids):
+        order = sorted(
+            ((sims[i, j], ids[j]) for j in range(len(ids)) if j != i),
+            key=lambda t: (-t[0], t[1]),
+        )
+        out[int(qid)] = [(int(nid), s) for s, nid in order[:k]]
+    return out
+
+
+def test_brute_force_matches_numpy(spark, emb):
+    sample = emb.limit(40).cache()
+    rows = sample.collect()
+    expected = _numpy_topk(rows, k=5)
+    got = brute_force_topk(sample, sample, k=5).collect()
+    by_q = {}
+    for r in got:
+        by_q.setdefault(r["query_id"], []).append((r["rank"], r["neighbor_id"], r["cosine"]))
+    assert len(by_q) == len(rows)
+    for qid, exp in expected.items():
+        mine = sorted(by_q[qid])
+        assert [m[1] for m in mine] == [e[0] for e in exp], qid
+        for (_, _, got_cos), (_, exp_cos) in zip(mine, exp):
+            assert math.isclose(got_cos, exp_cos, rel_tol=1e-9)
+
+
+def test_lsh_ann_recall(spark, emb):
+    """ANN with few planes must recover most of the exact top-1s."""
+    exact = {
+        r["query_id"]: r["neighbor_id"]
+        for r in brute_force_topk(emb, emb, k=1).collect()
+    }
+    ann = {}
+    for r in lsh_ann_topk(emb, dim=DIM, k=1, n_planes=4, n_tables=24).collect():
+        ann[r["query_id"]] = r["neighbor_id"]
+    hits = sum(1 for q, n in exact.items() if ann.get(q) == n)
+    recall = hits / len(exact)
+    assert recall > 0.8, f"top-1 recall too low: {recall}"
+
+
+def test_cosine_near_dup_consistency(spark, emb):
+    """Every pair LSH emits must truly clear the threshold (no false
+    positives by construction — rescoring is exact)."""
+    pairs = cosine_near_dup_pairs(
+        emb, dim=DIM, threshold=0.9, n_planes=6, n_tables=8
+    ).collect()
+    for r in pairs:
+        assert r["cosine"] >= 0.9
+        assert r["id_a"] < r["id_b"]

@@ -1,0 +1,67 @@
+"""Structured Streaming fixtures: the fused extraction runs on a stream
+and matches the batch result; windowed metrics aggregate with watermark."""
+
+import tempfile
+
+import pytest
+
+from docling_translate_spark.operators.extract import extract_turns_fused
+from docling_translate_spark.schema import TRANSCRIPT_SCHEMA
+from docling_translate_spark.streaming.extract_stream import (
+    read_transcript_stream,
+    stream_extract,
+    stream_metrics,
+)
+from docling_translate_spark.synth import gen_rows
+
+
+@pytest.fixture(scope="module")
+def transcript_dir(spark):
+    tmp = tempfile.mkdtemp(prefix="dts-stream-")
+    df = spark.createDataFrame(gen_rows(12, 5), TRANSCRIPT_SCHEMA)
+    df.coalesce(4).write.mode("overwrite").parquet(tmp + "/in")
+    return tmp
+
+
+def test_stream_extract_matches_batch(spark, transcript_dir):
+    src = transcript_dir + "/in"
+    stream = read_transcript_stream(spark, src, max_files_per_trigger=2)
+    assert stream.isStreaming
+    out = stream_extract(stream)
+    q = (
+        out.writeStream.format("memory")
+        .queryName("ext_stream")
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    got = {
+        (r["conv_id"], r["turn_idx"]): r["extracted_text"]
+        for r in spark.sql("select * from ext_stream").collect()
+    }
+    batch = {
+        (r["conv_id"], r["turn_idx"]): r["extracted_text"]
+        for r in extract_turns_fused(spark.read.parquet(src)).collect()
+    }
+    assert got == batch
+
+
+def test_stream_metrics_windows(spark, transcript_dir):
+    src = transcript_dir + "/in"
+    stream = read_transcript_stream(spark, src)
+    m = stream_metrics(stream)
+    q = (
+        m.writeStream.format("memory")
+        .queryName("metrics_stream")
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    rows = spark.sql("select * from metrics_stream").collect()
+    # append mode only emits closed windows; with availableNow the final
+    # watermark may hold some open — at minimum the shape is validated
+    for r in rows:
+        assert r["turns"] > 0
+        assert r["window_end"] > r["window_start"]
