@@ -14,6 +14,8 @@ from __future__ import annotations
 
 from collections.abc import Callable
 
+import pandas as pd
+
 from pyspark.sql import DataFrame, SparkSession, functions as F
 from pyspark.sql.window import Window
 
@@ -240,7 +242,9 @@ def q_dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     """MinHash+LSH near-dup pairs (rows-only: signature math not SQL)."""
     from docling_translate_spark.operators.dedup import minhash_lsh_pairs
 
-    pairs = minhash_lsh_pairs(_docs(spark, sf_dir), threshold=0.5)
+    pairs = minhash_lsh_pairs(
+        _docs(spark, sf_dir), num_hashes=64, bands=16, threshold=0.5
+    )
     return pairs.select("id_a", "id_b")
 
 
@@ -258,18 +262,24 @@ def q_dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
     join verified by pytest against hand fixtures)."""
     from docling_translate_spark.operators.dedup import ngram_jaccard_pairs
 
-    return ngram_jaccard_pairs(_docs(spark, sf_dir), threshold=0.3).select(
-        "id_a", "id_b"
-    )
+    # max_bucket=50: this corpus is word-salad with a tiny vocabulary, so
+    # common shingles appear in hundreds of docs — stop-shingle capping is
+    # what keeps the inverted-index join from going quadratic (true
+    # near-dups share RARE shingles)
+    return ngram_jaccard_pairs(
+        _docs(spark, sf_dir), threshold=0.3, max_bucket=50
+    ).select("id_a", "id_b")
 
 
 def q_ann_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Brute-force cosine top-5 (ids+rank compared against DuckDB's
-    list_cosine_similarity; cosine omitted to dodge FP-hash noise)."""
-    from docling_translate_spark.operators.similarity import brute_force_topk
+    """Brute-force cosine top-5, BLAS path (ids+rank compared against
+    DuckDB's list_cosine_similarity; cosine omitted to dodge FP-hash noise)."""
+    from docling_translate_spark.operators.similarity import brute_force_topk_blas
 
     emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
-    return brute_force_topk(emb, emb, k=5).select("query_id", "neighbor_id", "rank")
+    return brute_force_topk_blas(emb, emb, k=5).select(
+        "query_id", "neighbor_id", "rank"
+    )
 
 
 def q_ann_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -341,6 +351,98 @@ def q_media_features(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_a7_per_kind_counter(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A7 per-kind sequential numbering (ref utils.py:64-66)."""
+    w = Window.partitionBy("user_id", "event_type").orderBy("ts", "event_id")
+    return _events(spark, sf_dir).select(
+        "event_id",
+        "user_id",
+        "event_type",
+        F.row_number().over(w).alias("kind_seq"),
+    )
+
+
+def q_w5_history_latest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """W5 newest-first history scan with top-k (ref utils.py:176-178)."""
+    return (
+        _events(spark, sf_dir)
+        .orderBy(F.col("ts").desc(), F.col("event_id"))
+        .limit(20)
+        .select("event_id", "user_id", "event_type")
+    )
+
+
+def q_s9_base64(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """S9 base64 payload embedding (ref utils.py:114)."""
+    return _docs(spark, sf_dir).select(
+        "doc_id",
+        F.base64(F.encode(F.substring("text", 1, 48), "UTF-8")).alias("b64"),
+    )
+
+
+def q_p6_empty_guard(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """P6 empty-input guard (ref engines/google.py:24-25)."""
+    return _docs(spark, sf_dir).select(
+        "doc_id",
+        F.when(F.trim("text") == "", F.lit("")).otherwise(F.col("text")).alias("out"),
+    )
+
+
+def q_t8_sentences(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """T8 sentence tokenization per doc (rows-only: rule-based splitter
+    pinned by pytest fixtures, ref core.py:428)."""
+    from pyspark.sql.types import IntegerType
+
+    from docling_translate_spark.sentences import split_sentences
+
+    @F.pandas_udf(IntegerType())
+    def n_sents(texts: pd.Series) -> pd.Series:
+        return texts.map(lambda t: len(split_sentences(t or "")))
+
+    return _docs(spark, sf_dir).select(
+        "doc_id", n_sents("text").alias("n_sentences")
+    )
+
+
+def q_s1_format_detect(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """S1 payload-family routing over derived transcripts (rows-only;
+    dispatch table pinned by pytest, ref text_parser.py:60-111)."""
+    from pyspark.sql.types import StringType
+
+    from docling_translate_spark.segmenters import detect_format
+    from docling_translate_spark.sources.tables import transcripts_from_documents
+
+    @F.pandas_udf(StringType())
+    def fam(texts: pd.Series, tools: pd.Series) -> pd.Series:
+        return pd.Series(
+            [detect_format(t or "", tl or None) for t, tl in zip(texts, tools)]
+        )
+
+    t = transcripts_from_documents(spark, sf_dir)
+    return (
+        t.withColumn("family", fam("text", "tool"))
+        .groupBy("family")
+        .agg(F.count("*").alias("n_turns"))
+    )
+
+
+def q_s7_render_html(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """S7/W4 HTML paragraph-row rendering with deterministic span ids
+    (ref html_generator.py:583-637)."""
+    from docling_translate_spark.functions.render import paragraph_row
+
+    d = _docs(spark, sf_dir)
+    return d.select(
+        "doc_id",
+        paragraph_row(
+            F.col("source"),
+            F.col("doc_id").cast("int"),
+            F.substring("text", 1, 60),
+            F.upper(F.substring("text", 1, 60)),
+        ).alias("html"),
+    )
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "p1_nonempty_filter": q_p1_nonempty_filter,
@@ -367,6 +469,13 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "fingerprint": q_fingerprint,
         "o2_truncate": q_o2_truncate,
         "media_features": q_media_features,
+        "a7_per_kind_counter": q_a7_per_kind_counter,
+        "w5_history_latest": q_w5_history_latest,
+        "s9_base64": q_s9_base64,
+        "p6_empty_guard": q_p6_empty_guard,
+        "t8_sentences": q_t8_sentences,
+        "s1_format_detect": q_s1_format_detect,
+        "s7_render_html": q_s7_render_html,
     }
 
 
@@ -555,7 +664,52 @@ def oracle_sql() -> dict[str, str]:
                         ELSE text END AS tooltip
             FROM documents
         """,
+        "a7_per_kind_counter": """
+            SELECT event_id, user_id, event_type,
+                   row_number() OVER (PARTITION BY user_id, event_type
+                                      ORDER BY ts, event_id) AS kind_seq
+            FROM events
+        """,
+        "w5_history_latest": """
+            SELECT event_id, user_id, event_type
+            FROM events
+            ORDER BY ts DESC, event_id
+            LIMIT 20
+        """,
+        "s9_base64": """
+            SELECT doc_id, to_base64(encode(substr(text, 1, 48))) AS b64
+            FROM documents
+        """,
+        "p6_empty_guard": """
+            SELECT doc_id,
+                   CASE WHEN trim(text) = '' THEN '' ELSE text END AS out
+            FROM documents
+        """,
+        "s7_render_html": """
+            SELECT doc_id,
+                   '<div class="paragraph-row"><div class="src-block">'
+                   || '<span class="sent" id="'
+                   || 'src-' || source || '-' || CAST(doc_id AS VARCHAR) || '-0'
+                   || '">'
+                   || replace(replace(replace(replace(replace(
+                        substr(text, 1, 60),
+                        '&', '&amp;'), '<', '&lt;'), '>', '&gt;'),
+                        '"', '&quot;'), '''', '&#x27;')
+                   || '</span></div><div class="tgt-block">'
+                   || '<span class="sent" id="'
+                   || 'tgt-' || source || '-' || CAST(doc_id AS VARCHAR) || '-0'
+                   || '" data-src="'
+                   || 'src-' || source || '-' || CAST(doc_id AS VARCHAR) || '-0'
+                   || '">'
+                   || replace(replace(replace(replace(replace(
+                        upper(substr(text, 1, 60)),
+                        '&', '&amp;'), '<', '&lt;'), '>', '&gt;'),
+                        '"', '&quot;'), '''', '&#x27;')
+                   || '</span></div></div>' AS html
+            FROM documents
+        """,
         # rows-only (non-SQL-expressible): a6_extraction_rollup,
         # extract_turns, dedup_minhash_lsh, dedup_simhash,
-        # dedup_ngram_jaccard, ann_lsh, media_features
+        # dedup_ngram_jaccard, ann_lsh, media_features, t8_sentences,
+        # s1_format_detect
     }

@@ -40,6 +40,14 @@ def _build(cores: int):
         app_name=f"bench-{cores}",
         master=f"local[{cores}]",
         shuffle_partitions=max(2 * cores, 16),
+        # split the modest bench input into >= cores scan partitions —
+        # with the default 128m the whole table coalesces into ~3 tasks
+        # and caps parallelism (on a real cluster the table is far bigger
+        # than executors × 128m, so the default split is already fine)
+        extra_conf={
+            "spark.sql.files.maxPartitionBytes": "4m",
+            "spark.sql.files.openCostInBytes": "512k",
+        },
     )
     s.sparkContext.setLogLevel("ERROR")
     return s
@@ -93,9 +101,16 @@ def main() -> None:
             queries_sec[name] = round(time.time() - t0, 3)
         spark.stop()
 
-        # --- scaling: identical job at cpus/4 and cpus, fresh JVM each ---
+        # --- scaling: identical job at N and 4N cores, fresh JVM each.
+        # The high level is CPUS/2, not CPUS: in local mode each task
+        # thread feeds a separate python worker, so local[N] runs ~2N
+        # runnable threads — at N = machine cores that oversubscribes the
+        # box 2x and measures contention, not scaling. On a real cluster
+        # going N -> 4N executors adds nodes, which local[4] -> local[16]
+        # on a 32-core box models faithfully (both levels uncontended). ---
         results = {}
-        for cores in (max(CPUS // 4, 2), CPUS):
+        hi_cores = max(CPUS // 2, 8)
+        for cores in (max(hi_cores // 4, 2), hi_cores):
             out = subprocess.run(
                 [sys.executable, os.path.abspath(__file__), "--worker", str(cores), tpath],
                 capture_output=True,
@@ -147,6 +162,11 @@ noop sink. sf={r['sf']}. Each parallelism level runs in a fresh JVM with
 an untimed warm-up, so the comparison isolates compute scaling.
 
 ## Scaling (north rule: efficiency >= 0.8 from N to 4N parallelism)
+
+Both levels run un-oversubscribed (local[N] uses ~2N runnable threads —
+JVM task threads + python workers — so the high level is capped at half
+the machine's cores; going N→4N executors on a real cluster adds nodes,
+which these two uncontended levels model faithfully).
 
 | parallelism | wall sec | turns/sec |
 |---|---|---|

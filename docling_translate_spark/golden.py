@@ -37,9 +37,14 @@ def classify_span(text: str, translatable: bool, seg_type: str) -> Tuple[str, bo
 
 
 def extract_turn(
-    text: Optional[str], tool: Optional[str], engine: str = "identity"
+    text: Optional[str],
+    tool: Optional[str],
+    engine: str = "identity",
+    sentence_split: bool = False,
 ) -> Dict:
     """Expected pipeline output for one turn."""
+    from docling_translate_spark.sentences import split_sentences
+
     fn = create_engine(engine)
     spans: List[Tuple[int, int, str, bool, int]] = []
     content: List[str] = []
@@ -53,7 +58,17 @@ def extract_turn(
                 n_boiler += 1
             spans.append((start, end, seg_type, translatable, line))
             if translatable and seg_text.strip():
-                content.append(fn(pd.Series([seg_text])).iloc[0])
+                if sentence_split:
+                    # sentence-level map + ' ' rejoin (ref core.py:428,
+                    # html_generator.py:571-572)
+                    content.append(
+                        " ".join(
+                            fn(pd.Series([s])).iloc[0]
+                            for s in split_sentences(seg_text)
+                        )
+                    )
+                else:
+                    content.append(fn(pd.Series([seg_text])).iloc[0])
     return {
         "extracted_text": CONTENT_JOINER.join(content),
         "spans": spans,

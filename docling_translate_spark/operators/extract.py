@@ -75,6 +75,12 @@ class ExtractConfig:
     dedup_scope: str = "batch"
     broadcast_map: bool = True  # 'global' mode: broadcast the deduped map
     ordered: bool = False       # global (conv_id, turn_idx) sort of output
+    # sentence-level map units (fused plan only): tokenize each content
+    # segment into sentences, dedup/map per sentence, rejoin with ' ' —
+    # the reference's html path (core.py:428, html_generator.py:562-572).
+    # Note the ' ' rejoin normalizes intra-segment newlines exactly like
+    # the reference's " ".join(sentences).
+    sentence_split: bool = False
 
 
 def mapped_unique_texts(content: DataFrame, engine: str) -> DataFrame:
@@ -91,6 +97,11 @@ def mapped_unique_texts(content: DataFrame, engine: str) -> DataFrame:
 def extract_turns(transcripts: DataFrame, config: ExtractConfig | None = None) -> DataFrame:
     """Run the full extraction pipeline; returns EXTRACTED_SCHEMA rows."""
     cfg = config or ExtractConfig()
+    if cfg.sentence_split:
+        raise NotImplementedError(
+            "sentence_split is implemented on the fused plan "
+            "(extract_turns_fused); the relational plan maps whole segments"
+        )
 
     segments = classify_segments(segment_turns(transcripts))
 
@@ -215,6 +226,9 @@ def extract_turns_fused(
         is_formula,
     )
     from docling_translate_spark.segmenters import segment_text
+    from docling_translate_spark.sentences import split_sentences
+
+    sentence_split = cfg.sentence_split
 
     def gen(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
@@ -243,8 +257,15 @@ def extract_turns_fused(
                             }
                         )
                         if tr and seg_text.strip():
-                            contents.append(seg_text)
-                            uniq[seg_text] = None
+                            if sentence_split:
+                                # sentence-level map units (core.py:428)
+                                sents = split_sentences(seg_text)
+                                contents.append(sents)
+                                for sent in sents:
+                                    uniq[sent] = None
+                            else:
+                                contents.append(seg_text)
+                                uniq[seg_text] = None
                 conv_ids.append(cid)
                 turn_idxs.append(tix)
                 span_lists.append(spans)
@@ -262,7 +283,14 @@ def extract_turns_fused(
                     "conv_id": conv_ids,
                     "turn_idx": turn_idxs,
                     "extracted_text": [
-                        CONTENT_JOINER.join(lookup.get(c, c) for c in cl)
+                        (
+                            CONTENT_JOINER.join(
+                                " ".join(lookup.get(s, s) for s in sents)
+                                for sents in cl
+                            )
+                            if sentence_split
+                            else CONTENT_JOINER.join(lookup.get(c, c) for c in cl)
+                        )
                         for cl in content_lists
                     ],
                     "spans": span_lists,

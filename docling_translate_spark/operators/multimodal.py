@@ -100,7 +100,9 @@ def synth_media_df(spark: SparkSession, n: int = 64) -> DataFrame:
                 rows["duration_ms"].append(None if kind == "image" else 1000 + i)
             yield pd.DataFrame(rows)
 
-    return spark.range(n).mapInPandas(gen, MEDIA_SCHEMA)
+    return spark.range(0, n, 1, numPartitions=max(n // 32, 4)).mapInPandas(
+        gen, MEDIA_SCHEMA
+    )
 
 
 def extract_media_features(media: DataFrame, fake_decode: bool = True) -> DataFrame:

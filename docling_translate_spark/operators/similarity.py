@@ -23,7 +23,13 @@ import numpy as np
 import pandas as pd
 
 from pyspark.sql import DataFrame, functions as F
-from pyspark.sql.types import ArrayType, IntegerType, LongType, StructField, StructType
+from pyspark.sql.types import (
+    DoubleType,
+    IntegerType,
+    LongType,
+    StructField,
+    StructType,
+)
 from pyspark.sql.window import Window
 
 
@@ -68,6 +74,71 @@ def brute_force_topk(
         .filter(F.col("rank") <= k)
         .select("query_id", "neighbor_id", "cosine", "rank")
     )
+
+
+def brute_force_topk_blas(
+    corpus: DataFrame,
+    queries: DataFrame,
+    k: int = 5,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Exact cosine top-k, BLAS path: the corpus matrix is broadcast to
+    every worker and each Arrow batch of queries does ONE matmul + argsort.
+
+    Same results as :func:`brute_force_topk` (ties break on neighbor id)
+    but orders of magnitude faster — the per-pair JVM higher-order
+    functions become a single numpy GEMM per batch. Scale envelope: the
+    corpus must fit per-worker memory (e.g. 10^7 × 128-dim float32 ≈ 5 GB);
+    beyond that, block the corpus and merge per-block top-k, or switch to
+    :func:`lsh_ann_topk`.
+    """
+    rows = corpus.select(id_col, vec_col).collect()
+    ids = np.array([r[0] for r in rows], dtype=np.int64)
+    mat = np.stack([np.asarray(r[1], dtype=np.float64) for r in rows])
+    mat = mat / np.linalg.norm(mat, axis=1, keepdims=True)
+    sc = corpus.sparkSession.sparkContext
+    b_ids, b_mat = sc.broadcast(ids), sc.broadcast(mat)
+
+    out_schema = StructType(
+        [
+            StructField("query_id", LongType(), False),
+            StructField("neighbor_id", LongType(), False),
+            StructField("cosine", DoubleType(), False),
+            StructField("rank", IntegerType(), False),
+        ]
+    )
+
+    def gen(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        cids, cmat = b_ids.value, b_mat.value
+        # tie-break on neighbor id: stable argsort over (-cosine, id)
+        order_ids = np.argsort(cids, kind="stable")
+        for pdf in batches:
+            if not len(pdf):
+                continue
+            q = np.stack(pdf[vec_col].to_numpy()).astype(np.float64)
+            qn = q / np.linalg.norm(q, axis=1, keepdims=True)
+            sims = qn @ cmat.T  # (batch, corpus)
+            qids = pdf[id_col].astype("int64").to_numpy()
+            out = {"query_id": [], "neighbor_id": [], "cosine": [], "rank": []}
+            for i, qid in enumerate(qids):
+                row = sims[i]
+                # exclude self, order by (-cosine, neighbor_id)
+                cand = np.lexsort((cids, -row))
+                taken = 0
+                for j in cand:
+                    if cids[j] == qid:
+                        continue
+                    taken += 1
+                    out["query_id"].append(int(qid))
+                    out["neighbor_id"].append(int(cids[j]))
+                    out["cosine"].append(float(row[j]))
+                    out["rank"].append(taken)
+                    if taken >= k:
+                        break
+            yield pd.DataFrame(out)
+
+    return queries.select(id_col, vec_col).mapInPandas(gen, out_schema)
 
 
 def hyperplane_signatures(
@@ -135,37 +206,63 @@ def lsh_ann_topk(
     vec_col: str = "embedding",
     seed: int = 11,
 ) -> DataFrame:
-    """Approximate top-k neighbors: candidates share an LSH bucket in any
-    table, rescored exactly inside buckets. Recall rises with more tables
-    / fewer planes; cost rises with bucket size — tune to corpus density."""
-    sig = hyperplane_signatures(corpus, dim, n_planes, n_tables, id_col, vec_col, seed)
-    vecs = corpus.select(F.col(id_col).alias("sid"), F.col(vec_col).alias("vec"))
-    tagged = sig.join(vecs, "sid")
+    """Approximate top-k neighbors: candidate pairs share an LSH bucket in
+    any table; exact rescoring happens in ONE numpy pass per query against
+    a broadcast corpus matrix (no per-pair JVM cosine — with 10^7+
+    candidate pairs that higher-order-function path dominates runtime).
 
-    a = tagged.select(
-        F.col("sid").alias("query_id"), F.col("vec").alias("qvec"), "table", "bucket"
-    )
-    b = tagged.select(
-        F.col("sid").alias("neighbor_id"), F.col("vec").alias("cvec"), "table", "bucket"
-    )
-    scored = (
+    Recall rises with more tables / fewer planes; candidate volume rises
+    with bucket size — tune to corpus density. Candidate generation is a
+    bucket equi-join on small int keys (AQE-splittable); the rescoring
+    broadcast bounds corpus size like :func:`brute_force_topk_blas`.
+    """
+    sig = hyperplane_signatures(corpus, dim, n_planes, n_tables, id_col, vec_col, seed)
+    a = sig.select(F.col("sid").alias("query_id"), "table", "bucket")
+    b = sig.select(F.col("sid").alias("neighbor_id"), "table", "bucket")
+    cand = (
         a.join(b, ["table", "bucket"])
         .filter(F.col("query_id") != F.col("neighbor_id"))
-        .select(
-            "query_id",
-            "neighbor_id",
-            _cosine(F.col("qvec"), F.col("cvec")).alias("cosine"),
-        )
-        .dropDuplicates(["query_id", "neighbor_id"])
+        .select("query_id", "neighbor_id")
+        .dropDuplicates()
+        .groupBy("query_id")
+        .agg(F.collect_list("neighbor_id").alias("cand_ids"))
     )
-    w = Window.partitionBy("query_id").orderBy(
-        F.col("cosine").desc(), F.col("neighbor_id")
+
+    rows = corpus.select(id_col, vec_col).collect()
+    ids = np.array([r[0] for r in rows], dtype=np.int64)
+    mat = np.stack([np.asarray(r[1], dtype=np.float64) for r in rows])
+    mat = mat / np.linalg.norm(mat, axis=1, keepdims=True)
+    idx_of = {int(i): j for j, i in enumerate(ids)}
+    sc = corpus.sparkSession.sparkContext
+    b_mat, b_idx = sc.broadcast(mat), sc.broadcast(idx_of)
+
+    out_schema = StructType(
+        [
+            StructField("query_id", LongType(), False),
+            StructField("neighbor_id", LongType(), False),
+            StructField("cosine", DoubleType(), False),
+            StructField("rank", IntegerType(), False),
+        ]
     )
-    return (
-        scored.withColumn("rank", F.row_number().over(w))
-        .filter(F.col("rank") <= k)
-        .select("query_id", "neighbor_id", "cosine", "rank")
-    )
+
+    def rescore(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        cmat, cidx = b_mat.value, b_idx.value
+        for pdf in batches:
+            out = {"query_id": [], "neighbor_id": [], "cosine": [], "rank": []}
+            for qid, cand_ids in zip(pdf["query_id"], pdf["cand_ids"]):
+                qv = cmat[cidx[int(qid)]]
+                nid = np.fromiter((int(c) for c in cand_ids), dtype=np.int64)
+                nrows = np.fromiter((cidx[int(c)] for c in cand_ids), dtype=np.int64)
+                sims = cmat[nrows] @ qv
+                order = np.lexsort((nid, -sims))[:k]
+                for r, j in enumerate(order, start=1):
+                    out["query_id"].append(int(qid))
+                    out["neighbor_id"].append(int(nid[j]))
+                    out["cosine"].append(float(sims[j]))
+                    out["rank"].append(r)
+            yield pd.DataFrame(out)
+
+    return cand.mapInPandas(rescore, out_schema)
 
 
 def cosine_near_dup_pairs(

@@ -17,9 +17,12 @@ def small_transcripts(spark):
     return spark.createDataFrame(gen_rows(25, 6), TRANSCRIPT_SCHEMA).cache()
 
 
-def _golden_map(rows, engine="identity"):
+def _golden_map(rows, engine="identity", sentence_split=False):
     return {
-        (r[0], r[1]): extract_turn(r[3], r[4] or None, engine=engine) for r in rows
+        (r[0], r[1]): extract_turn(
+            r[3], r[4] or None, engine=engine, sentence_split=sentence_split
+        )
+        for r in rows
     }
 
 
@@ -103,6 +106,28 @@ def test_fused_marker_engine(spark, small_transcripts):
         small_transcripts, ExtractConfig(engine="marker", ordered=True)
     ).collect()
     _assert_matches(out, golden, "fused-marker")
+
+
+def test_fused_sentence_split(spark, small_transcripts):
+    """Sentence-level map units: tokenize → dedup → map → ' ' rejoin,
+    the reference's html path (core.py:428). Marker engine makes each
+    sentence boundary visible."""
+    from docling_translate_spark.operators.extract import extract_turns_fused
+
+    rows = small_transcripts.collect()
+    golden = _golden_map(rows, engine="marker", sentence_split=True)
+    out = extract_turns_fused(
+        small_transcripts,
+        ExtractConfig(engine="marker", sentence_split=True, ordered=True),
+    ).collect()
+    _assert_matches(out, golden, "fused-sentences")
+
+
+def test_relational_rejects_sentence_split(spark, small_transcripts):
+    import pytest as _pytest
+
+    with _pytest.raises(NotImplementedError):
+        extract_turns(small_transcripts, ExtractConfig(sentence_split=True))
 
 
 def test_distributed_generator_matches_local(spark):

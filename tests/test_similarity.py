@@ -52,6 +52,22 @@ def test_brute_force_matches_numpy(spark, emb):
             assert math.isclose(got_cos, exp_cos, rel_tol=1e-9)
 
 
+def test_blas_topk_matches_jvm(spark, emb):
+    """The BLAS fast path must return exactly the JVM plan's results."""
+    from docling_translate_spark.operators.similarity import brute_force_topk_blas
+
+    sample = emb.limit(60).cache()
+    jvm = {
+        (r["query_id"], r["rank"]): r["neighbor_id"]
+        for r in brute_force_topk(sample, sample, k=5).collect()
+    }
+    blas = {
+        (r["query_id"], r["rank"]): r["neighbor_id"]
+        for r in brute_force_topk_blas(sample, sample, k=5).collect()
+    }
+    assert blas == jvm
+
+
 def test_lsh_ann_recall(spark, emb):
     """ANN with few planes must recover most of the exact top-1s."""
     exact = {
