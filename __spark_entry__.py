@@ -443,6 +443,21 @@ def q_s7_render_html(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_lang_codes(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Language-code normalization battery (ref translation/utils.py:11-48)."""
+    from docling_translate_spark.functions.langcodes import (
+        deepl_lang_col,
+        language_name_col,
+    )
+
+    d = _docs(spark, sf_dir)
+    return d.select(
+        "doc_id",
+        language_name_col(F.col("lang")).alias("lang_name"),
+        deepl_lang_col(F.col("lang")).alias("deepl_code"),
+    )
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "p1_nonempty_filter": q_p1_nonempty_filter,
@@ -476,6 +491,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "t8_sentences": q_t8_sentences,
         "s1_format_detect": q_s1_format_detect,
         "s7_render_html": q_s7_render_html,
+        "lang_codes": q_lang_codes,
     }
 
 
@@ -706,6 +722,28 @@ def oracle_sql() -> dict[str, str]:
                         '&', '&amp;'), '<', '&lt;'), '>', '&gt;'),
                         '"', '&quot;'), '''', '&#x27;')
                    || '</span></div></div>' AS html
+            FROM documents
+        """,
+        "lang_codes": """
+            SELECT doc_id,
+                   CASE lower(lang)
+                        WHEN 'en' THEN 'English'   WHEN 'ko' THEN 'Korean'
+                        WHEN 'ja' THEN 'Japanese'  WHEN 'zh' THEN 'Chinese'
+                        WHEN 'fr' THEN 'French'    WHEN 'de' THEN 'German'
+                        WHEN 'es' THEN 'Spanish'   WHEN 'ru' THEN 'Russian'
+                        WHEN 'it' THEN 'Italian'   WHEN 'pt' THEN 'Portuguese'
+                        WHEN 'ar' THEN 'Arabic'    WHEN 'hi' THEN 'Hindi'
+                        WHEN 'auto' THEN 'the source language'
+                        ELSE lang END AS lang_name,
+                   CASE WHEN lang IS NULL OR lower(lang) = '' THEN NULL
+                        WHEN lower(lang) = 'en' THEN 'EN'
+                        WHEN lower(lang) = 'en-us' THEN 'EN-US'
+                        WHEN lower(lang) = 'en-gb' THEN 'EN-GB'
+                        WHEN lower(lang) = 'ko' THEN 'KO'
+                        WHEN lower(lang) = 'ja' THEN 'JA'
+                        WHEN lower(lang) = 'zh' THEN 'ZH'
+                        WHEN contains(lower(lang), '-') THEN upper(lang)
+                        ELSE upper(substr(lower(lang), 1, 2)) END AS deepl_code
             FROM documents
         """,
         # rows-only (non-SQL-expressible): a6_extraction_rollup,
