@@ -1,0 +1,87 @@
+"""Byte-for-byte parity against the ACTUAL reference implementation.
+
+The reference's ``src/text_parser.py`` is pure-stdlib, so we load it
+directly from the read-only snapshot and run it as a live oracle: for
+every payload family the synthetic generator produces, this engine's
+segmenters must emit exactly the reference's ``TextSegment`` records
+(text, offsets, translatable flag, segment type, line numbers).
+
+This is the strongest form of the north rule's "matching the reference's
+extracted text/spans per turn": not a reimplementation-vs-fixture check,
+but reimplementation-vs-reference-code on the same inputs.
+"""
+
+import importlib.util
+import sys
+
+import pytest
+
+from docling_translate_spark.segmenters import (
+    segment_c_style,
+    segment_config,
+    segment_markdown,
+    segment_plaintext,
+    segment_python,
+    segment_shell,
+)
+from docling_translate_spark.synth import gen_rows
+
+REF_PATH = "/root/reference/src/text_parser.py"
+
+
+@pytest.fixture(scope="module")
+def ref_parser():
+    spec = importlib.util.spec_from_file_location("ref_text_parser", REF_PATH)
+    mod = importlib.util.module_from_spec(spec)
+    sys.modules["ref_text_parser"] = mod
+    spec.loader.exec_module(mod)
+    return mod.TextFileParser()
+
+
+PAIRS = [
+    ("_parse_markdown", segment_markdown),
+    ("_parse_python", segment_python),
+    ("_parse_c_style", segment_c_style),
+    ("_parse_shell", segment_shell),
+    ("_parse_config", segment_config),
+    ("_parse_plaintext", segment_plaintext),
+]
+
+
+def _as_tuples(ref_segments):
+    return [
+        (s.text, s.start_pos, s.end_pos, s.translatable, s.segment_type, s.line_number)
+        for s in ref_segments
+    ]
+
+
+@pytest.mark.parametrize("ref_name,mine", PAIRS, ids=[p[0] for p in PAIRS])
+def test_family_matches_reference(ref_parser, ref_name, mine):
+    """Run both parsers over every synthetic payload (all content mixes,
+    1000+ turns) and compare the full segment records."""
+    ref_fn = getattr(ref_parser, ref_name)
+    payloads = [r[3] for r in gen_rows(40, 8) if r[3] and r[3].strip()]
+    assert len(payloads) > 300
+    for text in payloads:
+        assert _as_tuples(ref_fn(text)) == mine(text), (ref_name, text[:80])
+
+
+def test_edge_cases_match_reference(ref_parser):
+    """Hand-picked tricky inputs: offset drift separators, unclosed
+    fences/docstrings, CRLF-ish whitespace, shebang-only files."""
+    edge = [
+        "a\n\n\n\nb",                      # multi-blank separators (offset drift)
+        "para one\n \npara two",           # whitespace-bearing separator
+        "```\nunclosed fence",             # fence never closes
+        '"""unclosed docstring\nline2',    # docstring never closes
+        "#!/bin/sh",                        # shebang only
+        "/* unclosed block",               # unclosed c comment
+        "x=1 # trailing",                  # comment at EOF without newline
+        "\n\n\n",                           # only separators
+        "# only a comment",
+        "```py\ncode\n```\n```py\ncode2\n```",  # adjacent fences
+    ]
+    for text in edge:
+        for ref_name, mine in PAIRS:
+            ref_fn = getattr(ref_parser, ref_name)
+            assert _as_tuples(ref_fn(text)) == mine(text), (ref_name, text)
