@@ -75,11 +75,12 @@ class ExtractConfig:
     dedup_scope: str = "batch"
     broadcast_map: bool = True  # 'global' mode: broadcast the deduped map
     ordered: bool = False       # global (conv_id, turn_idx) sort of output
-    # sentence-level map units (fused plan only): tokenize each content
-    # segment into sentences, dedup/map per sentence, rejoin with ' ' —
-    # the reference's html path (core.py:428, html_generator.py:562-572).
-    # Note the ' ' rejoin normalizes intra-segment newlines exactly like
-    # the reference's " ".join(sentences).
+    # sentence-level map units: tokenize each content segment into
+    # sentences, dedup/map per sentence, rejoin with ' ' — the reference's
+    # html path (core.py:428, html_generator.py:562-572). On the fused
+    # plan this stays in-batch; on the relational plan it's a posexplode +
+    # two-level aggregation. The ' ' rejoin normalizes intra-segment
+    # newlines exactly like the reference's " ".join(sentences).
     sentence_split: bool = False
 
 
@@ -94,45 +95,133 @@ def mapped_unique_texts(content: DataFrame, engine: str) -> DataFrame:
     return content.select("text").distinct().withColumn("mapped", _apply("text"))
 
 
+def _batch_dedup_udf(engine: str):
+    """Series→Series map with in-batch dedup: each distinct text maps once
+    per Arrow batch, then fans back out — the reference's per-document
+    unique-sentence dedup (core.py:453-455), batch-scoped."""
+    fn = create_engine(engine)
+
+    @F.pandas_udf(StringType())
+    def _apply(texts: pd.Series) -> pd.Series:
+        uniq = pd.Series(texts.dropna().unique())
+        if len(uniq) == 0:
+            return texts.astype("string")
+        mapped = fn(uniq).astype("string")
+        lookup = dict(zip(uniq, mapped))
+        return texts.map(lookup).astype("string")
+
+    return _apply
+
+
+# span-invariant grouping columns (deterministic per (turn, span))
+_SPAN_KEY = [
+    "conv_id",
+    "turn_idx",
+    "span_idx",
+    "start_pos",
+    "end_pos",
+    "segment_type",
+    "translatable",
+    "line_number",
+    "is_content",
+]
+
+
+def _sentence_mapped_segments(segments: DataFrame, cfg: ExtractConfig) -> DataFrame:
+    """Sentence-level map path for the relational plan: posexplode content
+    spans into sentences, map each sentence, re-join per span with ' '
+    (the reference html path: core.py:428, html_generator.py:571-572)."""
+    from pyspark.sql.types import ArrayType
+
+    from docling_translate_spark.sentences import split_sentences
+
+    @F.pandas_udf(ArrayType(StringType()))
+    def _sents(texts: pd.Series) -> pd.Series:
+        return texts.map(lambda t: split_sentences(t) if t is not None else [])
+
+    seg = segments.withColumn("sents", F.when(F.col("is_content"), _sents("text")))
+    exploded = seg.select(
+        *_SPAN_KEY, F.posexplode_outer("sents").alias("sent_pos", "sentence")
+    )
+
+    if cfg.dedup_scope == "global":
+        fn_udf = _batch_dedup_udf(cfg.engine)
+        unique = (
+            exploded.filter(F.col("sentence").isNotNull())
+            .select(F.col("sentence").alias("_stext"))
+            .distinct()
+            .select(
+                F.sha2("_stext", 256).alias("_sk"),
+                fn_udf("_stext").alias("mapped"),
+            )
+        )
+        map_side = F.broadcast(unique) if cfg.broadcast_map else unique
+        mapped_rows = exploded.withColumn("_sk", F.sha2("sentence", 256)).join(
+            map_side, on="_sk", how="left"
+        )
+    else:
+        mapped_rows = exploded.withColumn(
+            "mapped",
+            F.when(F.col("sentence").isNotNull(), _batch_dedup_udf(cfg.engine)("sentence")),
+        )
+
+    sent_out = F.when(
+        F.col("sentence").isNotNull(), F.coalesce("mapped", "sentence")
+    )
+    return mapped_rows.groupBy(*_SPAN_KEY).agg(
+        F.when(
+            F.max(F.col("is_content").cast("int")) == 1,
+            F.array_join(
+                F.filter(
+                    F.transform(
+                        F.array_sort(
+                            F.collect_list(
+                                F.struct(F.col("sent_pos"), sent_out.alias("s"))
+                            )
+                        ),
+                        lambda x: x["s"],
+                    ),
+                    lambda s: s.isNotNull(),
+                ),
+                " ",
+            ),
+        ).alias("content_text")
+    )
+
+
 def extract_turns(transcripts: DataFrame, config: ExtractConfig | None = None) -> DataFrame:
     """Run the full extraction pipeline; returns EXTRACTED_SCHEMA rows."""
     cfg = config or ExtractConfig()
-    if cfg.sentence_split:
-        raise NotImplementedError(
-            "sentence_split is implemented on the fused plan "
-            "(extract_turns_fused); the relational plan maps whole segments"
-        )
 
     segments = classify_segments(segment_turns(transcripts))
 
-    if cfg.dedup_scope == "global":
+    if cfg.sentence_split:
+        joined = _sentence_mapped_segments(segments, cfg)
+        content_out = F.col("content_text")
+    elif cfg.dedup_scope == "global":
+        # join on sha2(text): the map side never shuffles full payloads
+        # and join-key hashing/compares work on fixed 64-char keys rather
+        # than arbitrary-length segment text
         unique = mapped_unique_texts(segments.filter("is_content"), cfg.engine)
-        map_side = F.broadcast(unique) if cfg.broadcast_map else unique
-        joined = segments.join(map_side, on="text", how="left")
+        map_side = unique.select(
+            F.sha2("text", 256).alias("_tk"), "mapped"
+        )
+        map_side = F.broadcast(map_side) if cfg.broadcast_map else map_side
+        joined = segments.withColumn("_tk", F.sha2("text", 256)).join(
+            map_side, on="_tk", how="left"
+        )
     else:
-        fn = create_engine(cfg.engine)
-
-        @F.pandas_udf(StringType())
-        def _apply(texts: pd.Series) -> pd.Series:
-            # in-batch dedup: map each distinct text once per Arrow batch,
-            # then fan results back out — the reference's per-document
-            # unique-sentence dedup (core.py:453-455), batch-scoped
-            uniq = pd.Series(texts.dropna().unique())
-            if len(uniq) == 0:
-                return texts.astype("string")
-            mapped = fn(uniq).astype("string")
-            lookup = dict(zip(uniq, mapped))
-            return texts.map(lookup).astype("string")
-
         joined = segments.withColumn(
-            "mapped", F.when(F.col("is_content"), _apply("text"))
+            "mapped",
+            F.when(F.col("is_content"), _batch_dedup_udf(cfg.engine)("text")),
         )
 
-    # Content spans contribute coalesce(mapped, text) — the reference's
-    # identity fallback (html_generator.py:692); others contribute null.
-    content_out = F.when(
-        F.col("is_content"), F.coalesce(F.col("mapped"), F.col("text"))
-    )
+    if not cfg.sentence_split:
+        # Content spans contribute coalesce(mapped, text) — the reference's
+        # identity fallback (html_generator.py:692); others contribute null.
+        content_out = F.when(
+            F.col("is_content"), F.coalesce(F.col("mapped"), F.col("text"))
+        )
 
     # Sentinel spans (span_idx = -1, emitted for empty/binary turns by the
     # segmenter) keep those turns alive through this single groupBy — no

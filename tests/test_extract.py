@@ -123,11 +123,26 @@ def test_fused_sentence_split(spark, small_transcripts):
     _assert_matches(out, golden, "fused-sentences")
 
 
-def test_relational_rejects_sentence_split(spark, small_transcripts):
-    import pytest as _pytest
+def test_relational_sentence_split(spark, small_transcripts):
+    """Relational plan's posexplode + two-level aggregation sentence path
+    must match the golden oracle (and hence the fused plan)."""
+    rows = small_transcripts.collect()
+    golden = _golden_map(rows, engine="marker", sentence_split=True)
+    out = extract_turns(
+        small_transcripts,
+        ExtractConfig(engine="marker", sentence_split=True, ordered=True),
+    ).collect()
+    _assert_matches(out, golden, "relational-sentences")
 
-    with _pytest.raises(NotImplementedError):
-        extract_turns(small_transcripts, ExtractConfig(sentence_split=True))
+
+def test_relational_sentence_split_global(spark, small_transcripts):
+    rows = small_transcripts.collect()
+    golden = _golden_map(rows, sentence_split=True)
+    out = extract_turns(
+        small_transcripts,
+        ExtractConfig(sentence_split=True, dedup_scope="global", ordered=True),
+    ).collect()
+    _assert_matches(out, golden, "relational-sentences-global")
 
 
 def test_distributed_generator_matches_local(spark):
