@@ -1,0 +1,79 @@
+"""Regenerate PLANS.md from live `.explain("formatted")` output."""
+
+from __future__ import annotations
+
+import contextlib
+import io
+import sys
+import tempfile
+
+sys.path.insert(0, "/root/repo")
+
+
+def main() -> None:
+    from docling_translate_spark.operators.extract import (
+        ExtractConfig,
+        extract_turns,
+        extract_turns_fused,
+    )
+    from docling_translate_spark.plans.session import build_session
+    from docling_translate_spark.schema import TRANSCRIPT_SCHEMA
+    from docling_translate_spark.synth import gen_rows
+
+    spark = build_session(master="local[4]")
+    spark.sparkContext.setLogLevel("ERROR")
+    tmp = tempfile.mkdtemp()
+    spark.createDataFrame(gen_rows(10, 4), TRANSCRIPT_SCHEMA).write.mode(
+        "overwrite"
+    ).parquet(tmp + "/t")
+    df = spark.read.parquet(tmp + "/t")
+
+    def plan(d) -> str:
+        buf = io.StringIO()
+        with contextlib.redirect_stdout(buf):
+            d.explain("formatted")
+        return buf.getvalue().strip()
+
+    fused = plan(extract_turns_fused(df))
+    rel = plan(extract_turns(df))
+    md = f"""# PLANS — physical plans of the two extraction pipelines
+
+Captured with `.explain("formatted")` over a parquet transcript table
+(regenerate with `python tools/gen_plans.py`). Properties are enforced by
+`tests/test_plans.py` (column pruning, pushdown, shuffle counts, no
+row-at-a-time Python).
+
+## Fused plan (`extract_turns_fused`) — the production plan
+
+One narrow stage: scan → project (4 columns only) → one `MapInPandas`.
+Zero exchanges; parallelism = scan partitions; runs unchanged under
+Structured Streaming.
+
+```
+{fused}
+```
+
+## Relational plan (`extract_turns`, batch dedup scope)
+
+Segmentation `MapInPandas` → JVM classification (RLIKE/forall in a
+Project) → Arrow-batched map UDF → ONE exchange (the per-turn groupBy)
+→ object-hash aggregate reassembly.
+
+```
+{rel}
+```
+
+Notes:
+- `ReadSchema` shows only conv_id/turn_idx/text/tool — role/ts pruned.
+- A filter above either plan pushes to `PushedFilters` in the scan.
+- With `dedup_scope='global'` the plan gains a distinct exchange and a
+  broadcast (or AQE shuffle) join keyed on sha2(text).
+"""
+    with open("/root/repo/PLANS.md", "w") as f:
+        f.write(md)
+    print("PLANS.md written")
+    spark.stop()
+
+
+if __name__ == "__main__":
+    main()
