@@ -70,7 +70,7 @@ def _worker(cores: int, path: str) -> None:
     spark = _build(cores)
     _extract(spark, path).write.format("noop").mode("overwrite").save()
     secs = []
-    for _ in range(2):
+    for _ in range(3):
         t0 = time.time()
         _extract(spark, path).write.format("noop").mode("overwrite").save()
         secs.append(time.time() - t0)
@@ -90,7 +90,11 @@ def main() -> None:
         spark = _build(CPUS)
         from docling_translate_spark.synth import transcripts_df
 
-        transcripts_df(spark, N_CONVS, base_turns=8).write.mode(
+        # row-level repartition before write: conversation lengths are
+        # skewed 100x, so without it file sizes (and hence scan-task
+        # durations) vary enough to create stragglers that add noise to
+        # the scaling measurement
+        transcripts_df(spark, N_CONVS, base_turns=8).repartition(128).write.mode(
             "overwrite"
         ).parquet(tpath)
         n_turns = spark.read.parquet(tpath).count()

@@ -1,0 +1,79 @@
+"""Property-based fuzzing with hypothesis: for ARBITRARY text, every
+segmenter family must agree byte-for-byte with the reference's own
+parser (the strongest invariant this engine claims), and structural
+invariants must hold."""
+
+import importlib.util
+import sys
+
+import pytest
+from hypothesis import given, settings, strategies as st
+
+from docling_translate_spark.segmenters import (
+    SEGMENTERS,
+    segment_c_style,
+    segment_markdown,
+    segment_plaintext,
+    segment_python,
+    segment_shell,
+)
+from docling_translate_spark.sentences import split_sentences
+
+REF_PATH = "/root/reference/src/text_parser.py"
+spec = importlib.util.spec_from_file_location("ref_text_parser_prop", REF_PATH)
+_ref = importlib.util.module_from_spec(spec)
+sys.modules["ref_text_parser_prop"] = _ref
+spec.loader.exec_module(_ref)
+_REF_PARSER = _ref.TextFileParser()
+
+_REF_FN = {
+    "markdown": _REF_PARSER._parse_markdown,
+    "python": _REF_PARSER._parse_python,
+    "c_style": _REF_PARSER._parse_c_style,
+    "shell": _REF_PARSER._parse_shell,
+    "config": _REF_PARSER._parse_config,
+    "plaintext": _REF_PARSER._parse_plaintext,
+}
+
+# text alphabet biased toward structure characters that trigger the
+# segmenter regexes
+_ALPHA = st.sampled_from(
+    list("ab .\n#\"'`~/*\\{}^&=!123-_()") + ["```", '"""', "'''", "//", "/*", "*/", "\n\n", "#!"]
+)
+_TEXT = st.lists(_ALPHA, max_size=60).map("".join)
+
+
+@pytest.mark.parametrize("family", sorted(SEGMENTERS))
+@settings(max_examples=150, deadline=None)
+@given(text=_TEXT)
+def test_segmenter_matches_reference_on_arbitrary_text(family, text):
+    mine = SEGMENTERS[family](text)
+    ref = [
+        (s.text, s.start_pos, s.end_pos, s.translatable, s.segment_type, s.line_number)
+        for s in _REF_FN[family](text)
+    ]
+    assert mine == ref
+
+
+@settings(max_examples=150, deadline=None)
+@given(text=_TEXT)
+def test_span_invariants(text):
+    """Offsets are ordered and bounded; segment text is non-degenerate."""
+    for fam in ("python", "c_style", "shell"):
+        for seg_text, start, end, _, _, _ in SEGMENTERS[fam](text):
+            assert 0 <= start <= end <= len(text)
+            # for code-family parsers the span slice IS the segment text
+            assert text[start:end] == seg_text
+
+
+@settings(max_examples=150, deadline=None)
+@given(text=st.text(max_size=120))
+def test_sentences_invariants(text):
+    sents = split_sentences(text)
+    # sentences are non-blank, verbatim substrings, in input order
+    assert all(s.strip() == s and s for s in sents)
+    cursor = 0
+    for s in sents:
+        idx = text.find(s, cursor)
+        assert idx >= 0, (s, text)
+        cursor = idx + len(s)
