@@ -458,6 +458,32 @@ def q_lang_codes(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_embed_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Embedding-cosine near-dup pairs via multi-table LSH (rows-only;
+    no-false-positives invariant pinned by pytest)."""
+    from docling_translate_spark.operators.similarity import cosine_near_dup_pairs
+
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    # these synthetic embeddings are near-uniform (max pairwise cosine
+    # ≈0.48), so the "near-dup" threshold sits at the top of that range
+    return cosine_near_dup_pairs(emb, dim=64, threshold=0.35, n_planes=6).select(
+        "id_a", "id_b"
+    )
+
+
+def q_curation_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Composed training-data curation flow: extraction → quality/lang
+    gates → exact + near dedup → token accounting (rows-only)."""
+    from docling_translate_spark.pipeline import CurationConfig, curate_turns
+    from docling_translate_spark.sources.tables import transcripts_from_documents
+
+    t = transcripts_from_documents(spark, sf_dir)
+    out = curate_turns(t, CurationConfig(min_quality=0.3, min_chars=10))
+    return out.select(
+        "conv_id", "turn_idx", "pred_lang", "quality_score", "ws_tokens"
+    )
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "p1_nonempty_filter": q_p1_nonempty_filter,
@@ -492,6 +518,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "s1_format_detect": q_s1_format_detect,
         "s7_render_html": q_s7_render_html,
         "lang_codes": q_lang_codes,
+        "embed_near_dup": q_embed_near_dup,
+        "curation_pipeline": q_curation_pipeline,
     }
 
 

@@ -1,0 +1,102 @@
+"""Training-data curation pipeline: the composed flow a 100 TB corpus
+job runs — extraction → quality/language gates → exact + near dedup →
+token accounting.
+
+Each stage is an operator from this package; the composition is pure
+DataFrame-to-DataFrame so Catalyst sees the whole plan (filters from the
+quality gate push below later joins where legal).
+
+Shape at scale:
+1. per-turn extraction              — fused, shuffle-free
+2. quality + language gates         — codegen column filters
+3. exact dedup on fingerprint       — one hash-shuffle, map-side combine
+4. near-dup removal (MinHash LSH)   — signature build (narrow) +
+                                      bucket joins on small keys
+5. token accounting                 — codegen, feeds sampling/budgeting
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass
+
+from pyspark.sql import DataFrame, functions as F
+from pyspark.sql.window import Window
+
+from docling_translate_spark.operators.dedup import minhash_lsh_pairs
+from docling_translate_spark.operators.extract import (
+    ExtractConfig,
+    extract_turns_fused,
+)
+from docling_translate_spark.operators.text_analysis import (
+    fingerprint,
+    lang_id,
+    quality_features,
+    token_counts,
+)
+
+
+@dataclass(frozen=True)
+class CurationConfig:
+    min_quality: float = 0.6
+    keep_langs: tuple = ()          # empty = keep all
+    min_chars: int = 20
+    near_dup_threshold: float = 0.85
+    near_dup: bool = True
+    extract: ExtractConfig = ExtractConfig()
+
+
+def curate_turns(transcripts: DataFrame, cfg: CurationConfig | None = None) -> DataFrame:
+    """Run the full curation flow; returns kept turns with quality/token
+    metadata. Deterministic: near-dup removal keeps the smallest
+    (conv_id, turn_idx) member of each duplicate pair."""
+    cfg = cfg or CurationConfig()
+
+    ext = extract_turns_fused(transcripts, cfg.extract)
+    docs = ext.filter(F.length("extracted_text") >= cfg.min_chars).withColumn(
+        "text", F.col("extracted_text")
+    )
+
+    docs = quality_features(docs)
+    docs = lang_id(docs)
+    docs = token_counts(docs)
+    docs = fingerprint(docs)
+
+    kept = docs.filter(F.col("quality_score") >= cfg.min_quality)
+    if cfg.keep_langs:
+        kept = kept.filter(F.col("pred_lang").isin(*cfg.keep_langs))
+
+    # exact dedup: first (conv_id, turn_idx) per fingerprint survives
+    w_rank = F.row_number().over(
+        Window.partitionBy("fingerprint").orderBy("conv_id", "turn_idx")
+    )
+    kept = kept.withColumn("_fp_rank", w_rank).filter(F.col("_fp_rank") == 1).drop(
+        "_fp_rank"
+    )
+
+    if cfg.near_dup:
+        # stable int id for pair generation
+        keyed = kept.withColumn(
+            "_nid", F.xxhash64("conv_id", "turn_idx")
+        )
+        pairs = minhash_lsh_pairs(
+            keyed,
+            text_col="text",
+            id_col="_nid",
+            threshold=cfg.near_dup_threshold,
+        )
+        # drop the larger id of each near-dup pair
+        losers = pairs.select(F.col("id_b").alias("_nid")).distinct()
+        kept = keyed.join(losers, on="_nid", how="left_anti").drop("_nid")
+
+    return kept.select(
+        "conv_id",
+        "turn_idx",
+        "extracted_text",
+        "pred_lang",
+        "quality_score",
+        "ws_tokens",
+        "bpe_tokens",
+        "fingerprint",
+        "n_spans",
+        "boilerplate_ratio",
+    )

@@ -1,0 +1,68 @@
+"""Curation pipeline composition: gates, exact dedup, near-dup removal."""
+
+import pytest
+
+from pyspark.sql import functions as F
+
+from docling_translate_spark.pipeline import CurationConfig, curate_turns
+from docling_translate_spark.schema import TRANSCRIPT_SCHEMA
+
+GOOD = (
+    "The quick brown fox jumps over the lazy dog and it was a good day "
+    "for the animals in the park because the sun was out."
+)
+NEAR = (
+    "The quick brown fox jumps over the lazy dog and it was a good day "
+    "for the animals in the park because the moon was out."
+)
+GOOD2 = (
+    "It is a truth universally acknowledged that the engine must scale "
+    "to the size of the corpus and it should do so in the cluster."
+)
+
+
+@pytest.fixture(scope="module")
+def transcripts(spark):
+    rows = [
+        ("c1", 0, "user", GOOD, "", None),
+        ("c1", 1, "user", GOOD, "", None),            # exact dup → dropped
+        ("c2", 0, "user", NEAR, "", None),            # near dup → dropped
+        ("c3", 0, "user", "tiny", "", None),          # min_chars gate
+        ("c4", 0, "user", "zzz qqq xxx " * 20, "", None),  # no stopwords → 0.7
+        ("c5", 0, "user",
+         "Page 3 of 9\n\n" + GOOD2 + "\n\n---\n7", "", None),  # chrome stripped
+    ]
+    return spark.createDataFrame(rows, TRANSCRIPT_SCHEMA).cache()
+
+
+def test_curation_end_to_end(spark, transcripts):
+    out = curate_turns(
+        transcripts, CurationConfig(min_quality=0.8, near_dup_threshold=0.7)
+    ).collect()
+    keys = sorted((r["conv_id"], r["turn_idx"]) for r in out)
+    assert keys == [("c1", 0), ("c5", 0)]
+    by_key = {(r["conv_id"], r["turn_idx"]): r for r in out}
+    assert by_key[("c1", 0)]["extracted_text"] == GOOD
+    # page chrome stripped from c5, content preserved
+    assert by_key[("c5", 0)]["extracted_text"] == GOOD2
+    assert by_key[("c5", 0)]["boilerplate_ratio"] > 0
+    for r in out:
+        assert r["pred_lang"] == "en"
+        assert r["quality_score"] >= 0.6
+        assert r["ws_tokens"] > 0 and r["bpe_tokens"] >= r["ws_tokens"]
+
+
+def test_curation_no_near_dup(spark, transcripts):
+    out = curate_turns(
+        transcripts, CurationConfig(min_quality=0.8, near_dup=False)
+    ).collect()
+    keys = sorted((r["conv_id"], r["turn_idx"]) for r in out)
+    # NEAR survives without the near-dup stage
+    assert keys == [("c1", 0), ("c2", 0), ("c5", 0)]
+
+
+def test_curation_lang_gate(spark, transcripts):
+    out = curate_turns(
+        transcripts, CurationConfig(keep_langs=("fr",), near_dup=False)
+    ).collect()
+    assert out == []
