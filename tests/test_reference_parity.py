@@ -66,6 +66,57 @@ def test_family_matches_reference(ref_parser, ref_name, mine):
         assert _as_tuples(ref_fn(text)) == mine(text), (ref_name, text[:80])
 
 
+@pytest.fixture(scope="module")
+def ref_formula_fns():
+    """The reference's formula functions live in html_generator.py, whose
+    module imports docling_core (absent here) — extract just the two
+    stdlib-only function defs via AST and exec them in isolation."""
+    import ast
+
+    src = open("/root/reference/src/html_generator.py").read()
+    tree = ast.parse(src)
+    wanted = {
+        n.name: n
+        for n in tree.body
+        if isinstance(n, ast.FunctionDef)
+        and n.name in ("is_formula_text", "format_formula_for_mathjax")
+    }
+    assert set(wanted) == {"is_formula_text", "format_formula_for_mathjax"}
+    ns = {}
+    exec(  # noqa: S102 — executing two pure-stdlib reference fns as oracle
+        compile(ast.Module(body=list(wanted.values()), type_ignores=[]), "<ref>", "exec"),
+        {"re": __import__("re")},
+        ns,
+    )
+    return ns["is_formula_text"], ns["format_formula_for_mathjax"]
+
+
+def test_formula_rules_match_reference(ref_formula_fns):
+    from docling_translate_spark.classify import format_formula, is_formula
+
+    ref_is, ref_fmt = ref_formula_fns
+    samples = [
+        r"\frac{a}{b}",
+        "x^{2} + y",
+        "a_{i}",
+        "E &= mc^2",
+        r"\sum_i x_i",
+        r"\left( x \right)",
+        "plain prose sentence.",
+        "",
+        "price is $5 and 10_000",
+        "$x^2$",
+        r"\[y\]",
+        r"\(z\)",
+        "a & b",  # bare & — format wraps in aligned, detection says no
+        "already $wrapped$ text",
+    ]
+    for s in samples:
+        assert is_formula(s) == ref_is(s), s
+        if ref_is(s):
+            assert format_formula(s) == ref_fmt(s), s
+
+
 def test_edge_cases_match_reference(ref_parser):
     """Hand-picked tricky inputs: offset drift separators, unclosed
     fences/docstrings, CRLF-ish whitespace, shebang-only files."""
