@@ -484,6 +484,36 @@ def q_curation_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_s10_history_parse(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """S10 history-folder parse + newest-first (ref utils.py:126-178).
+    Folder names synthesized deterministically from documents; every 5th
+    name is malformed and must be dropped."""
+    from docling_translate_spark.functions.history import parse_history_names
+
+    d = _docs(spark, sf_dir)
+    names = d.select(
+        F.when(
+            F.col("doc_id") % 5 == 0,
+            F.concat(F.lit("badname_"), F.col("doc_id").cast("string")),
+        )
+        .otherwise(
+            F.concat(
+                F.lit("paper_v"),
+                F.col("doc_id").cast("string"),
+                F.lit("_en_to_ko_2024"),
+                F.lpad(((F.col("doc_id") % 12) + 1).cast("string"), 2, "0"),
+                F.lpad(((F.col("doc_id") % 28) + 1).cast("string"), 2, "0"),
+                F.lit("_"),
+                F.lpad((F.col("doc_id") % 24).cast("string"), 2, "0"),
+                F.lpad((F.col("doc_id") % 60).cast("string"), 2, "0"),
+                F.lpad((F.col("doc_id") % 60).cast("string"), 2, "0"),
+            )
+        )
+        .alias("folder_name")
+    )
+    return parse_history_names(names)
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "p1_nonempty_filter": q_p1_nonempty_filter,
@@ -520,6 +550,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "lang_codes": q_lang_codes,
         "embed_near_dup": q_embed_near_dup,
         "curation_pipeline": q_curation_pipeline,
+        "s10_history_parse": q_s10_history_parse,
     }
 
 
@@ -773,6 +804,36 @@ def oracle_sql() -> dict[str, str]:
                         WHEN contains(lower(lang), '-') THEN upper(lang)
                         ELSE upper(substr(lower(lang), 1, 2)) END AS deepl_code
             FROM documents
+        """,
+        "s10_history_parse": r"""
+            WITH names AS (
+                SELECT CASE WHEN doc_id % 5 = 0
+                            THEN 'badname_' || CAST(doc_id AS VARCHAR)
+                            ELSE 'paper_v' || CAST(doc_id AS VARCHAR)
+                                 || '_en_to_ko_2024'
+                                 || lpad(CAST(doc_id % 12 + 1 AS VARCHAR), 2, '0')
+                                 || lpad(CAST(doc_id % 28 + 1 AS VARCHAR), 2, '0')
+                                 || '_'
+                                 || lpad(CAST(doc_id % 24 AS VARCHAR), 2, '0')
+                                 || lpad(CAST(doc_id % 60 AS VARCHAR), 2, '0')
+                                 || lpad(CAST(doc_id % 60 AS VARCHAR), 2, '0')
+                       END AS folder_name
+                FROM documents
+            ), parsed AS (
+                SELECT regexp_extract(folder_name,
+                           '^(.*)_([a-z]{2})_to_([a-z]{2})_(\d{8}_\d{6})$', 1) AS filename,
+                       regexp_extract(folder_name,
+                           '^(.*)_([a-z]{2})_to_([a-z]{2})_(\d{8}_\d{6})$', 2) AS src,
+                       regexp_extract(folder_name,
+                           '^(.*)_([a-z]{2})_to_([a-z]{2})_(\d{8}_\d{6})$', 3) AS dest,
+                       regexp_extract(folder_name,
+                           '^(.*)_([a-z]{2})_to_([a-z]{2})_(\d{8}_\d{6})$', 4) AS ts_raw
+                FROM names
+            )
+            SELECT filename, src, dest,
+                   strftime(strptime(ts_raw, '%Y%m%d_%H%M%S'),
+                            '%Y-%m-%d %H:%M:%S') AS ts_display
+            FROM parsed WHERE ts_raw <> ''
         """,
         # rows-only (non-SQL-expressible): a6_extraction_rollup,
         # extract_turns, dedup_minhash_lsh, dedup_simhash,
