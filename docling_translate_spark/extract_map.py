@@ -47,10 +47,18 @@ def marker_map(texts: pd.Series) -> pd.Series:
     return "<<" + texts.fillna("") + ">>"
 
 
+def truncate512_map(texts: pd.Series) -> pd.Series:
+    """Length-capped map — the reference's tokenizer truncation analog
+    (``truncation=True, max_length=512``, engines/nllb.py:139), applied
+    at the character level since this engine is model-free."""
+    return texts.fillna("").str.slice(0, 512)
+
+
 ENGINES: Dict[str, MapEngine] = {
     "identity": identity_map,
     "normalize": normalize_map,
     "marker": marker_map,
+    "truncate512": truncate512_map,
 }
 
 
