@@ -262,12 +262,12 @@ def q_dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
     join verified by pytest against hand fixtures)."""
     from docling_translate_spark.operators.dedup import ngram_jaccard_pairs
 
-    # max_bucket=50: this corpus is word-salad with a tiny vocabulary, so
-    # common shingles appear in hundreds of docs — stop-shingle capping is
-    # what keeps the inverted-index join from going quadratic (true
-    # near-dups share RARE shingles)
+    # 4-gram shingles + max_bucket=20: this corpus is word-salad with a
+    # tiny vocabulary, so short shingles appear in hundreds of docs —
+    # longer shingles + stop-shingle capping keep the inverted-index join
+    # from going quadratic (true near-dups share RARE shingles)
     return ngram_jaccard_pairs(
-        _docs(spark, sf_dir), threshold=0.3, max_bucket=50
+        _docs(spark, sf_dir), n=4, threshold=0.3, max_bucket=20
     ).select("id_a", "id_b")
 
 
