@@ -514,6 +514,24 @@ def q_s10_history_parse(spark: SparkSession, sf_dir: str) -> DataFrame:
     return parse_history_names(names)
 
 
+def q_w_window_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Tumbling event-time window aggregation (batch form of the
+    streaming metrics windows, streaming/extract_stream.py)."""
+    e = _events(spark, sf_dir)
+    return (
+        e.groupBy(F.window("ts", "1 hour").alias("win"))
+        .agg(
+            F.count("*").alias("n_events"),
+            F.sum(F.col("value").cast("decimal(18,2)")).alias("total_value"),
+        )
+        .select(
+            F.col("win.start").alias("window_start"),
+            "n_events",
+            "total_value",
+        )
+    )
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "p1_nonempty_filter": q_p1_nonempty_filter,
@@ -551,6 +569,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "embed_near_dup": q_embed_near_dup,
         "curation_pipeline": q_curation_pipeline,
         "s10_history_parse": q_s10_history_parse,
+        "w_window_agg": q_w_window_agg,
     }
 
 
@@ -804,6 +823,13 @@ def oracle_sql() -> dict[str, str]:
                         WHEN contains(lower(lang), '-') THEN upper(lang)
                         ELSE upper(substr(lower(lang), 1, 2)) END AS deepl_code
             FROM documents
+        """,
+        "w_window_agg": """
+            SELECT date_trunc('hour', ts) AS window_start,
+                   count(*) AS n_events,
+                   sum(CAST(value AS DECIMAL(18,2))) AS total_value
+            FROM events
+            GROUP BY date_trunc('hour', ts)
         """,
         "s10_history_parse": r"""
             WITH names AS (
