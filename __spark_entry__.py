@@ -292,6 +292,17 @@ def q_ann_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).select("query_id", "neighbor_id", "rank")
 
 
+def q_ann_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF approximate top-5 (k-means coarse quantizer + cell probe;
+    rows-only — recall pinned by pytest)."""
+    from docling_translate_spark.operators.similarity import ivf_topk
+
+    return ivf_topk(
+        spark.read.parquet(f"{sf_dir}/embeddings.parquet"),
+        dim=64, k=5, n_cells=16, nprobe=6,
+    ).select("query_id", "neighbor_id", "rank")
+
+
 def q_lang_id(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Stopword-battery language ID."""
     from docling_translate_spark.operators.text_analysis import lang_id
@@ -552,6 +563,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dedup_ngram_jaccard": q_dedup_ngram_jaccard,
         "ann_topk": q_ann_topk,
         "ann_lsh": q_ann_lsh,
+        "ann_ivf": q_ann_ivf,
         "lang_id": q_lang_id,
         "quality_scores": q_quality_scores,
         "token_counts": q_token_counts,

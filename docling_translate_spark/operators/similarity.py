@@ -265,6 +265,139 @@ def lsh_ann_topk(
     return cand.mapInPandas(rescore, out_schema)
 
 
+def _kmeans(mat: np.ndarray, n_cells: int, iters: int = 10, seed: int = 17) -> np.ndarray:
+    """Deterministic spherical k-means (numpy): seeded init, fixed
+    iterations. Rows of ``mat`` must be L2-normalized."""
+    rng = np.random.RandomState(seed)
+    centroids = mat[rng.choice(len(mat), size=n_cells, replace=False)].copy()
+    for _ in range(iters):
+        assign = (mat @ centroids.T).argmax(axis=1)
+        for c in range(n_cells):
+            members = mat[assign == c]
+            if len(members):
+                v = members.sum(axis=0)
+                n = np.linalg.norm(v)
+                if n > 0:
+                    centroids[c] = v / n
+    return centroids
+
+
+def ivf_topk(
+    corpus: DataFrame,
+    dim: int,
+    k: int = 5,
+    n_cells: int = 16,
+    nprobe: int = 4,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    seed: int = 17,
+) -> DataFrame:
+    """IVF approximate top-k: k-means coarse quantizer → inverted cell
+    lists → probe the ``nprobe`` nearest cells per query → exact rescore.
+
+    The quantizer trains on a driver-side sample (deterministic seeded
+    k-means — at production scale train on a bounded sample, which is the
+    standard IVF recipe); cell assignment is one narrow numpy pass;
+    query↔candidate pairing is an equi-join on small int cell ids (AQE-
+    splittable — hot cells are the skew case, nprobe spreads the probe
+    side). Rescoring reuses the broadcast-matrix GEMM pattern.
+    """
+    rows = corpus.select(id_col, vec_col).collect()
+    ids = np.array([r[0] for r in rows], dtype=np.int64)
+    mat = np.stack([np.asarray(r[1], dtype=np.float64) for r in rows])
+    mat = mat / np.linalg.norm(mat, axis=1, keepdims=True)
+    centroids = _kmeans(mat, n_cells, seed=seed)
+    idx_of = {int(i): j for j, i in enumerate(ids)}
+
+    sc = corpus.sparkSession.sparkContext
+    b_mat, b_idx, b_cent = (
+        sc.broadcast(mat),
+        sc.broadcast(idx_of),
+        sc.broadcast(centroids),
+    )
+
+    cell_schema = StructType(
+        [
+            StructField("sid", LongType(), False),
+            StructField("cell", IntegerType(), False),
+        ]
+    )
+
+    def assign_cells(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        cent = b_cent.value
+        for pdf in batches:
+            if not len(pdf):
+                continue
+            m = np.stack(pdf[vec_col].to_numpy()).astype(np.float64)
+            m = m / np.linalg.norm(m, axis=1, keepdims=True)
+            cells = (m @ cent.T).argmax(axis=1).astype(np.int32)
+            yield pd.DataFrame(
+                {"sid": pdf[id_col].astype("int64"), "cell": cells}
+            )
+
+    inv = corpus.select(id_col, vec_col).mapInPandas(assign_cells, cell_schema)
+
+    probe_schema = StructType(
+        [
+            StructField("qid", LongType(), False),
+            StructField("cell", IntegerType(), False),
+        ]
+    )
+
+    def probe_cells(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        cent = b_cent.value
+        for pdf in batches:
+            if not len(pdf):
+                continue
+            m = np.stack(pdf[vec_col].to_numpy()).astype(np.float64)
+            m = m / np.linalg.norm(m, axis=1, keepdims=True)
+            order = np.argsort(-(m @ cent.T), axis=1)[:, :nprobe].astype(np.int32)
+            qids = pdf[id_col].astype("int64").to_numpy()
+            yield pd.DataFrame(
+                {
+                    "qid": np.repeat(qids, nprobe),
+                    "cell": order.reshape(-1),
+                }
+            )
+
+    probes = corpus.select(id_col, vec_col).mapInPandas(probe_cells, probe_schema)
+
+    cand = (
+        probes.join(inv, on="cell")
+        .filter(F.col("qid") != F.col("sid"))
+        .groupBy("qid")
+        .agg(F.collect_set("sid").alias("cand_ids"))
+    )
+
+    out_schema = StructType(
+        [
+            StructField("query_id", LongType(), False),
+            StructField("neighbor_id", LongType(), False),
+            StructField("cosine", DoubleType(), False),
+            StructField("rank", IntegerType(), False),
+        ]
+    )
+
+    def rescore(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        cmat, cidx = b_mat.value, b_idx.value
+        for pdf in batches:
+            out = {"query_id": [], "neighbor_id": [], "cosine": [], "rank": []}
+            for qid, cand_ids in zip(pdf["qid"], pdf["cand_ids"]):
+                qv = cmat[cidx[int(qid)]]
+                nid = np.fromiter((int(c) for c in cand_ids), dtype=np.int64)
+                nrows = np.fromiter((cidx[int(c)] for c in cand_ids), dtype=np.int64)
+                sims = cmat[nrows] @ qv
+                order = np.lexsort((nid, -sims))[:k]
+                for r, j in enumerate(order, start=1):
+                    out["query_id"].append(int(qid))
+                    out["neighbor_id"].append(int(nid[j]))
+                    out["cosine"].append(float(sims[j]))
+                    out["rank"].append(r)
+            yield pd.DataFrame(out)
+
+    return cand.mapInPandas(rescore, out_schema)
+
+
 def cosine_near_dup_pairs(
     corpus: DataFrame,
     dim: int,

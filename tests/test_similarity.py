@@ -82,6 +82,23 @@ def test_lsh_ann_recall(spark, emb):
     assert recall > 0.8, f"top-1 recall too low: {recall}"
 
 
+def test_ivf_recall(spark, emb):
+    """IVF with nprobe=6 of 16 cells must recover most exact top-1s."""
+    from docling_translate_spark.operators.similarity import ivf_topk
+
+    exact = {
+        r["query_id"]: r["neighbor_id"]
+        for r in brute_force_topk(emb, emb, k=1).collect()
+    }
+    ivf = {
+        r["query_id"]: r["neighbor_id"]
+        for r in ivf_topk(emb, dim=DIM, k=1, n_cells=16, nprobe=6).collect()
+    }
+    hits = sum(1 for q, n in exact.items() if ivf.get(q) == n)
+    recall = hits / len(exact)
+    assert recall > 0.7, f"IVF top-1 recall too low: {recall}"
+
+
 def test_cosine_near_dup_consistency(spark, emb):
     """Every pair LSH emits must truly clear the threshold (no false
     positives by construction — rescoring is exact)."""
