@@ -78,6 +78,12 @@ def curate_turns(transcripts: DataFrame, cfg: CurationConfig | None = None) -> D
         keyed = kept.withColumn(
             "_nid", F.xxhash64("conv_id", "turn_idx")
         )
+        # `keyed` feeds TWO consumers (LSH pair generation and the
+        # anti-join probe side); without a persist the whole upstream
+        # extraction + gate lineage executes twice. At cluster scale this
+        # is where you'd materialize the gated set to a staging table;
+        # in-memory/disk persist is the single-job equivalent.
+        keyed = keyed.persist()
         pairs = minhash_lsh_pairs(
             keyed,
             text_col="text",
