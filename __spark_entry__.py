@@ -282,6 +282,31 @@ def q_ann_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_ann_topk_blocked(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Blocked exact cosine top-5: corpus packed into executor-side matrix
+    blocks (no broadcast / driver collect — the exact-kNN plan that holds
+    when the corpus outgrows worker memory). Same DuckDB oracle as
+    ann_topk: blocking must not change a single neighbor."""
+    from docling_translate_spark.operators.similarity import brute_force_topk_blocked
+
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    return brute_force_topk_blocked(emb, emb, k=5, n_blocks=8).select(
+        "query_id", "neighbor_id", "rank"
+    )
+
+
+def q_embed_near_dup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """EXACT embedding-cosine near-dup pairs via the blocked all-pairs
+    GEMM (float64 on both sides so the threshold compare is stable
+    against the float64 DuckDB oracle)."""
+    from docling_translate_spark.operators.similarity import cosine_pairs_exact
+
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    return cosine_pairs_exact(emb, threshold=0.35, n_blocks=8).select(
+        "id_a", "id_b"
+    )
+
+
 def q_ann_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     """LSH-bucketed approximate top-5 (rows-only; recall pinned by pytest)."""
     from docling_translate_spark.operators.similarity import lsh_ann_topk
@@ -562,6 +587,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dedup_simhash": q_dedup_simhash,
         "dedup_ngram_jaccard": q_dedup_ngram_jaccard,
         "ann_topk": q_ann_topk,
+        "ann_topk_blocked": q_ann_topk_blocked,
+        "embed_near_dup_exact": q_embed_near_dup_exact,
         "ann_lsh": q_ann_lsh,
         "ann_ivf": q_ann_ivf,
         "lang_id": q_lang_id,
@@ -692,6 +719,135 @@ def oracle_sql() -> dict[str, str]:
                    ) AS rank
             FROM embeddings a JOIN embeddings b ON a.vec_id <> b.vec_id
             QUALIFY rank <= 5
+        """,
+        "ann_topk_blocked": """
+            SELECT a.vec_id AS query_id, b.vec_id AS neighbor_id,
+                   row_number() OVER (
+                       PARTITION BY a.vec_id
+                       ORDER BY list_cosine_similarity(a.embedding, b.embedding) DESC,
+                                b.vec_id
+                   ) AS rank
+            FROM embeddings a JOIN embeddings b ON a.vec_id <> b.vec_id
+            QUALIFY rank <= 5
+        """,
+        "embed_near_dup_exact": """
+            WITH e AS (
+                SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings
+            )
+            SELECT a.vec_id AS id_a, b.vec_id AS id_b
+            FROM e a JOIN e b ON a.vec_id < b.vec_id
+            WHERE list_inner_product(a.v, b.v)
+                  / (sqrt(list_inner_product(a.v, a.v))
+                     * sqrt(list_inner_product(b.v, b.v))) >= 0.35
+        """,
+        "media_features": """
+            WITH m AS (
+                SELECT i AS media_id,
+                       ['image','audio','video'][(i % 3 + 1)::INT] AS kind,
+                       repeat(unhex(sha256('media-' || i)),
+                              (i % 4 + 1)::INT) AS payload
+                FROM range(0, 128) t(i)
+            )
+            SELECT media_id, kind,
+                   octet_length(payload)::INT AS n_bytes,
+                   sha256(upper(hex(payload))) AS sha256
+            FROM m
+        """,
+        "s1_format_detect": r'''
+            WITH deco AS (
+                SELECT doc_id,
+                    CASE (doc_id % 6)::INT
+                      WHEN 0 THEN 'Page ' || ((doc_id % 40) + 1)::VARCHAR
+                           || ' of 40' || chr(10) || text || chr(10)
+                           || '---' || chr(10) || '© 2024 ExampleCorp'
+                      WHEN 1 THEN '# Doc ' || doc_id::VARCHAR || chr(10)
+                           || chr(10) || text || chr(10) || chr(10)
+                           || '```python' || chr(10) || 'x = '
+                           || doc_id::VARCHAR || chr(10) || 'print(x)'
+                           || chr(10) || '```'
+                      WHEN 2 THEN '"""Doc ' || doc_id::VARCHAR || '.'
+                           || chr(10) || substr(text, 1, 80) || chr(10)
+                           || '"""' || chr(10) || '# note '
+                           || doc_id::VARCHAR || chr(10) || 'def f():'
+                           || chr(10) || '    return '
+                           || (doc_id % 13)::VARCHAR
+                      WHEN 3 THEN '// note ' || doc_id::VARCHAR || chr(10)
+                           || 'int main() {' || chr(10) || '  /* '
+                           || substr(text, 1, 80) || ' */' || chr(10)
+                           || '  return 0;' || chr(10) || '}'
+                      WHEN 4 THEN '#!/bin/bash' || chr(10) || '# '
+                           || substr(text, 1, 80) || chr(10) || 'echo '
+                           || doc_id::VARCHAR
+                      ELSE text END AS d0,
+                    CASE (doc_id % 6)::INT
+                      WHEN 2 THEN 'python' WHEN 3 THEN 'cpp'
+                      WHEN 4 THEN 'bash' ELSE '' END AS tool
+                FROM documents
+            ),
+            deco2 AS (
+                SELECT tool,
+                       CASE WHEN doc_id % 7 = 0
+                            THEN d0 || chr(10) || chr(10)
+                                 || 'x^{2} + y_{i} &= \frac{a}{b}'
+                            ELSE d0 END AS d
+                FROM deco
+            ),
+            fam AS (
+                SELECT CASE
+                    WHEN tool = 'python' THEN 'python'
+                    WHEN tool = 'cpp' THEN 'c_style'
+                    WHEN tool = 'bash' THEN 'shell'
+                    WHEN regexp_matches(d, '^#!') THEN 'shell'
+                    WHEN contains(d, '```') OR contains(d, '~~~')
+                         THEN 'markdown'
+                    WHEN regexp_matches(d,
+                        '(?m)^\s*(def |class |import |from \S+ import |""")')
+                         THEN 'python'
+                    WHEN regexp_matches(d, '(^|\n)\s*(//|/\*)')
+                         THEN 'c_style'
+                    WHEN regexp_matches(d, '^\s*[\[{]')
+                         AND right(rtrim(d, ' ' || chr(9) || chr(10)
+                                            || chr(11) || chr(12)
+                                            || chr(13)), 1) IN ('}', ']')
+                         THEN 'config'
+                    ELSE 'plaintext' END AS family
+                FROM deco2
+            )
+            SELECT family, count(*) AS n_turns FROM fam GROUP BY family
+        ''',
+        "dedup_ngram_jaccard": r"""
+            WITH toks AS (
+                SELECT doc_id,
+                       string_split_regex(lower(trim(text)), '\s+') AS tk
+                FROM documents WHERE text IS NOT NULL
+            ),
+            sh AS (
+                SELECT doc_id,
+                       unnest(CASE WHEN len(tk) >= 4
+                           THEN list_distinct(list_transform(
+                               generate_series(1, len(tk) - 3),
+                               i -> array_to_string(tk[i:i+3], ' ')))
+                           ELSE [array_to_string(tk, ' ')] END) AS shingle
+                FROM toks
+            ),
+            sizes AS (SELECT doc_id, count(*) AS sz FROM sh GROUP BY doc_id),
+            freq AS (SELECT shingle, count(*) AS df FROM sh GROUP BY shingle),
+            rare AS (
+                SELECT s.doc_id, s.shingle
+                FROM sh s JOIN freq f USING (shingle) WHERE f.df <= 20
+            ),
+            common AS (
+                SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+                       count(*) AS nc
+                FROM rare a JOIN rare b USING (shingle)
+                WHERE a.doc_id < b.doc_id
+                GROUP BY 1, 2
+            )
+            SELECT id_a, id_b
+            FROM common
+            JOIN sizes sa ON sa.doc_id = id_a
+            JOIN sizes sb ON sb.doc_id = id_b
+            WHERE nc / (sa.sz + sb.sz - nc) >= 0.3
         """,
         "lang_id": r"""
             WITH s AS (

@@ -120,7 +120,14 @@ def extract_media_features(media: DataFrame, fake_decode: bool = True) -> DataFr
                 out["media_id"].append(int(mid))
                 out["kind"].append(kind)
                 out["n_bytes"].append(len(data))
-                out["sha256"].append(hashlib.sha256(data).hexdigest())
+                # content fingerprint over the canonical UPPERCASE-HEX text
+                # of the payload (not the raw bytes): SQL engines whose
+                # sha256 is VARCHAR-only (DuckDB) can reproduce it as
+                # sha256(upper(hex(payload))), which makes the whole
+                # binary-plumbing path oracle-checkable end to end
+                out["sha256"].append(
+                    hashlib.sha256(data.hex().upper().encode()).hexdigest()
+                )
                 if kind == "image":
                     px = decode_image(data, fake=fake_decode).astype(np.float64)
                     feats = [px.mean(), px.std(), float(px.min()), float(px.max())]

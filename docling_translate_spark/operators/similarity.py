@@ -141,6 +141,180 @@ def brute_force_topk_blas(
     return queries.select(id_col, vec_col).mapInPandas(gen, out_schema)
 
 
+def _pack_corpus_blocks(
+    corpus: DataFrame,
+    n_blocks: int,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Pack the corpus into ``n_blocks`` matrix rows: one row per block
+    carrying (ids, vectors) arrays. The corpus never touches the driver —
+    this is what removes :func:`brute_force_topk_blas`'s broadcast bound.
+    One hash-shuffle; block size = |corpus|/n_blocks rows, sized so a
+    block's matrix fits a task's memory (e.g. 10^6 × 128-dim float64
+    ≈ 1 GB per block at any corpus size, just raise n_blocks)."""
+    return (
+        corpus.select(
+            F.pmod(F.xxhash64(F.col(id_col)), F.lit(n_blocks))
+            .cast("int")
+            .alias("block"),
+            F.col(id_col).alias("bid"),
+            F.col(vec_col).alias("bvec"),
+        )
+        .groupBy("block")
+        .agg(
+            F.collect_list("bid").alias("bids"),
+            F.collect_list("bvec").alias("bvecs"),
+        )
+    )
+
+
+def brute_force_topk_blocked(
+    corpus: DataFrame,
+    queries: DataFrame,
+    k: int = 5,
+    n_blocks: int = 8,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Exact cosine top-k for corpora too big to broadcast: block-pack the
+    corpus (executor-side), cross-join queries × blocks, one GEMM per
+    (query-batch, block), then a window merge of per-block top-k.
+
+    Same results as :func:`brute_force_topk_blas` (ties break on neighbor
+    id) with no driver collect / broadcast: shuffle volume is
+    |queries| × n_blocks input rows and |queries| × n_blocks × k candidate
+    rows into the merge — independent of corpus size. This is the exact-kNN
+    recipe that survives a 10^9-vector corpus on a 1000-executor cluster.
+    """
+    packed = _pack_corpus_blocks(corpus, n_blocks, id_col, vec_col)
+    q = queries.select(
+        F.col(id_col).alias("query_id"), F.col(vec_col).alias("qvec")
+    )
+    joined = q.crossJoin(packed)
+
+    out_schema = StructType(
+        [
+            StructField("query_id", LongType(), False),
+            StructField("neighbor_id", LongType(), False),
+            StructField("cosine", DoubleType(), False),
+        ]
+    )
+
+    def block_topk(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            if not len(pdf):
+                continue
+            out = {"query_id": [], "neighbor_id": [], "cosine": []}
+            # all rows of one block share the identical packed matrix —
+            # build it once per (batch, block), GEMM all its queries at once
+            for _, grp in pdf.groupby("block", sort=False):
+                first = grp.iloc[0]
+                cids = np.asarray(first["bids"], dtype=np.int64)
+                cmat = np.stack(
+                    [np.asarray(v, dtype=np.float64) for v in first["bvecs"]]
+                )
+                cmat = cmat / np.linalg.norm(cmat, axis=1, keepdims=True)
+                qmat = np.stack(
+                    [np.asarray(v, dtype=np.float64) for v in grp["qvec"]]
+                )
+                qmat = qmat / np.linalg.norm(qmat, axis=1, keepdims=True)
+                sims = qmat @ cmat.T  # (batch-queries, block-rows)
+                qids = grp["query_id"].astype("int64").to_numpy()
+                for i, qid in enumerate(qids):
+                    row = sims[i]
+                    cand = np.lexsort((cids, -row))
+                    taken = 0
+                    for j in cand:
+                        if cids[j] == qid:
+                            continue
+                        taken += 1
+                        out["query_id"].append(int(qid))
+                        out["neighbor_id"].append(int(cids[j]))
+                        out["cosine"].append(float(row[j]))
+                        if taken >= k:
+                            break
+            yield pd.DataFrame(out)
+
+    scored = joined.mapInPandas(block_topk, out_schema)
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("cosine").desc(), F.col("neighbor_id")
+    )
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select("query_id", "neighbor_id", "cosine", "rank")
+    )
+
+
+def cosine_pairs_exact(
+    corpus: DataFrame,
+    threshold: float,
+    n_blocks: int = 8,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """EXACT embedding-cosine near-duplicate pairs (id_a < id_b, cosine ≥
+    threshold) via the same block-pack pattern — the exactness oracle for
+    :func:`cosine_near_dup_pairs`'s LSH approximation, and the correct
+    tool when a missed near-dup is unacceptable (eval-set decontamination).
+
+    All-pairs work is |corpus|² dot products but distributed: each
+    (probe-batch, block) task does one GEMM; only pairs over threshold
+    leave the task. No broadcast, no driver collect.
+    """
+    packed = _pack_corpus_blocks(corpus, n_blocks, id_col, vec_col)
+    probes = corpus.select(
+        F.col(id_col).alias("id_a"), F.col(vec_col).alias("avec")
+    )
+    joined = probes.crossJoin(packed)
+
+    out_schema = StructType(
+        [
+            StructField("id_a", LongType(), False),
+            StructField("id_b", LongType(), False),
+            StructField("cosine", DoubleType(), False),
+        ]
+    )
+
+    def block_pairs(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            if not len(pdf):
+                continue
+            out = {"id_a": [], "id_b": [], "cosine": []}
+            for _, grp in pdf.groupby("block", sort=False):
+                first = grp.iloc[0]
+                cids = np.asarray(first["bids"], dtype=np.int64)
+                cmat = np.stack(
+                    [np.asarray(v, dtype=np.float64) for v in first["bvecs"]]
+                )
+                cmat = cmat / np.linalg.norm(cmat, axis=1, keepdims=True)
+                amat = np.stack(
+                    [np.asarray(v, dtype=np.float64) for v in grp["avec"]]
+                )
+                amat = amat / np.linalg.norm(amat, axis=1, keepdims=True)
+                sims = amat @ cmat.T
+                aids = grp["id_a"].astype("int64").to_numpy()
+                # keep one orientation (id_a < id_b) over threshold
+                ai, bj = np.where(
+                    (sims >= threshold) & (aids[:, None] < cids[None, :])
+                )
+                out["id_a"].extend(int(x) for x in aids[ai])
+                out["id_b"].extend(int(x) for x in cids[bj])
+                out["cosine"].extend(float(x) for x in sims[ai, bj])
+            yield pd.DataFrame(
+                out
+                if out["id_a"]
+                else {
+                    "id_a": pd.array([], dtype="int64"),
+                    "id_b": pd.array([], dtype="int64"),
+                    "cosine": pd.array([], dtype="float64"),
+                }
+            )
+
+    return joined.mapInPandas(block_pairs, out_schema)
+
+
 def hyperplane_signatures(
     df: DataFrame,
     dim: int,

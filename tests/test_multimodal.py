@@ -43,7 +43,12 @@ def test_feature_extraction(spark, media):
     raw = {r["media_id"]: bytes(r["payload"]) for r in media.collect()}
     for mid, r in feats.items():
         assert r["n_bytes"] == len(raw[mid])
-        assert r["sha256"] == hashlib.sha256(raw[mid]).hexdigest()
+        # fingerprint is over the canonical uppercase-hex text (see
+        # extract_media_features: keeps the value SQL-oracle-reproducible)
+        assert (
+            r["sha256"]
+            == hashlib.sha256(raw[mid].hex().upper().encode()).hexdigest()
+        )
         assert len(r["features"]) == 4
         assert all(v == v for v in r["features"])  # no NaNs
 

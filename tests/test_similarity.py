@@ -68,6 +68,47 @@ def test_blas_topk_matches_jvm(spark, emb):
     assert blas == jvm
 
 
+def test_blocked_topk_matches_blas(spark, emb):
+    """Block-packing the corpus (no broadcast) must not change a single
+    neighbor or rank vs the broadcast BLAS plan — at any block count,
+    including blocks smaller than k."""
+    from docling_translate_spark.operators.similarity import (
+        brute_force_topk_blas,
+        brute_force_topk_blocked,
+    )
+
+    blas = {
+        (r["query_id"], r["rank"]): r["neighbor_id"]
+        for r in brute_force_topk_blas(emb, emb, k=5).collect()
+    }
+    for n_blocks in (1, 4, 64):
+        blocked = {
+            (r["query_id"], r["rank"]): r["neighbor_id"]
+            for r in brute_force_topk_blocked(emb, emb, k=5, n_blocks=n_blocks).collect()
+        }
+        assert blocked == blas, f"n_blocks={n_blocks}"
+
+
+def test_exact_pairs_superset_of_lsh(spark, emb):
+    """cosine_pairs_exact is ground truth: the LSH near-dup pairs must be
+    a subset, and every exact pair must clear the threshold."""
+    from docling_translate_spark.operators.similarity import cosine_pairs_exact
+
+    exact = {
+        (r["id_a"], r["id_b"]): r["cosine"]
+        for r in cosine_pairs_exact(emb, threshold=0.35, n_blocks=4).collect()
+    }
+    for (a, b), c in exact.items():
+        assert a < b and c >= 0.35
+    lsh = {
+        (r["id_a"], r["id_b"])
+        for r in cosine_near_dup_pairs(
+            emb, dim=DIM, threshold=0.35, n_planes=6, n_tables=8
+        ).collect()
+    }
+    assert lsh <= set(exact), "LSH emitted a pair the exact scan rejects"
+
+
 def test_lsh_ann_recall(spark, emb):
     """ANN with few planes must recover most of the exact top-1s."""
     exact = {
