@@ -360,6 +360,41 @@ def q_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
     return fingerprint(_docs(spark, sf_dir)).select("doc_id", "fingerprint")
 
 
+def q_repetition(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gopher/C4-style repetition gates: duplicate-line ratio +
+    most-frequent-bigram mass (pure column exprs, oracle-checked)."""
+    from docling_translate_spark.operators.text_analysis import repetition_features
+
+    return repetition_features(_docs(spark, sf_dir)).select(
+        "doc_id", "n_lines", "dup_line_ratio", "top_bigram_ratio"
+    )
+
+
+def q_hash_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic Bernoulli-style sampling by md5 cutoff — shuffle-
+    free, reproducible across engines / cluster sizes / reruns."""
+    from docling_translate_spark.operators.sampling import hash_sample
+
+    return hash_sample(_docs(spark, sf_dir), 0.25).select("doc_id", "source")
+
+
+def q_stratified_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact per-source quota sampling (hash-ordered row_number)."""
+    from docling_translate_spark.operators.sampling import stratified_sample
+
+    return stratified_sample(_docs(spark, sf_dir), 7).select("source", "doc_id")
+
+
+def q_pack_sequences(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Concat-and-chunk sequence packing: seq_bin = starting token
+    offset div budget, per source in stable id order."""
+    from docling_translate_spark.operators.sampling import pack_sequences
+
+    return pack_sequences(_docs(spark, sf_dir), 512).select(
+        "doc_id", "ws_tokens", "seq_bin"
+    )
+
+
 def q_o2_truncate(spark: SparkSession, sf_dir: str) -> DataFrame:
     """O2 tooltip truncation (ref text_html_generator.py:498)."""
     d = _docs(spark, sf_dir)
@@ -595,6 +630,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "quality_scores": q_quality_scores,
         "token_counts": q_token_counts,
         "fingerprint": q_fingerprint,
+        "repetition": q_repetition,
+        "hash_sample": q_hash_sample,
+        "stratified_sample": q_stratified_sample,
+        "pack_sequences": q_pack_sequences,
         "o2_truncate": q_o2_truncate,
         "media_features": q_media_features,
         "a7_per_kind_counter": q_a7_per_kind_counter,
@@ -918,6 +957,68 @@ def oracle_sql() -> dict[str, str]:
             SELECT doc_id,
                    md5(lower(regexp_replace(trim(text), '\s+', ' ', 'g'))) AS fingerprint
             FROM documents
+        """,
+        "repetition": r"""
+            WITH base AS (
+                SELECT doc_id,
+                       list_filter(string_split(text, chr(10)),
+                                   ln -> trim(ln) <> '') AS lines,
+                       string_split_regex(lower(trim(text)), '\s+') AS tk
+                FROM documents
+            ),
+            bg AS (
+                SELECT doc_id, lines,
+                       CASE WHEN len(tk) >= 2
+                            THEN list_transform(
+                                generate_series(1, len(tk) - 1),
+                                i -> tk[i] || ' ' || tk[i+1])
+                            ELSE [] END AS bigrams,
+                       len(tk) - 1 AS n_big
+                FROM base
+            )
+            SELECT doc_id,
+                   CASE WHEN len(lines) > 0 THEN len(lines) ELSE 0 END
+                       AS n_lines,
+                   CASE WHEN len(lines) > 0
+                        THEN (len(lines) - len(list_distinct(lines)))::DOUBLE
+                             / len(lines)::DOUBLE
+                        ELSE 0.0 END AS dup_line_ratio,
+                   CASE WHEN n_big > 0
+                        THEN list_max(list_transform(
+                                 list_distinct(bigrams),
+                                 b -> len(list_filter(bigrams, x -> x = b))
+                             ))::DOUBLE / n_big::DOUBLE
+                        ELSE 0.0 END AS top_bigram_ratio
+            FROM bg
+        """,
+        "hash_sample": """
+            SELECT doc_id, source
+            FROM documents
+            WHERE md5(doc_id::VARCHAR) < '4000000000000000'
+        """,
+        "stratified_sample": """
+            SELECT source, doc_id
+            FROM documents
+            QUALIFY row_number() OVER (
+                PARTITION BY source
+                ORDER BY md5(doc_id::VARCHAR), doc_id
+            ) <= 7
+        """,
+        "pack_sequences": r"""
+            WITH toks AS (
+                SELECT doc_id, source,
+                       CASE WHEN trim(text) = '' THEN 0
+                            ELSE len(string_split_regex(trim(text), '\s+'))
+                       END AS ws_tokens
+                FROM documents
+            )
+            SELECT doc_id, ws_tokens,
+                   CAST(floor(
+                       (sum(ws_tokens) OVER (
+                            PARTITION BY source ORDER BY doc_id
+                        ) - ws_tokens) / 512.0
+                   ) AS BIGINT) AS seq_bin
+            FROM toks
         """,
         "o2_truncate": """
             SELECT doc_id,

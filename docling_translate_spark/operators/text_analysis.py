@@ -101,6 +101,54 @@ def token_counts(df: DataFrame, text_col: str = "text") -> DataFrame:
     return df.withColumn("ws_tokens", ws).withColumn("bpe_tokens", bpe)
 
 
+def repetition_features(df: DataFrame, text_col: str = "text") -> DataFrame:
+    """Repetition signals (Gopher/C4-style quality gates): duplicate-line
+    ratio and most-frequent-bigram mass. High values mark boilerplate-y,
+    template-generated, or looping text that a pretraining corpus drops.
+
+    Pure column expressions end to end (codegen, no shuffle, DuckDB-
+    oracle expressible). The per-doc bigram mode is computed with a
+    quadratic-in-distinct-bigrams array expression — fine for document
+    payloads (10^2-10^4 tokens); for book-length payloads move the mode
+    into the tokenizing pandas UDF.
+    """
+    txt = F.col(text_col)
+    lines = F.filter(
+        F.split(txt, "\n"), lambda ln: F.trim(ln) != F.lit("")
+    )
+    n_lines = F.size(lines)
+    n_uniq_lines = F.size(F.array_distinct(lines))
+    dup_line_ratio = F.when(
+        n_lines > 0,
+        (n_lines - n_uniq_lines).cast("double") / n_lines.cast("double"),
+    ).otherwise(F.lit(0.0))
+
+    toks = F.split(F.lower(F.trim(txt)), r"\s+")
+    n_big = F.size(toks) - 1
+    bigrams = F.when(
+        F.size(toks) >= 2,
+        F.transform(
+            F.sequence(F.lit(0), F.size(toks) - 2),
+            lambda i: F.concat_ws(" ", F.element_at(toks, i + 1), F.element_at(toks, i + 2)),
+        ),
+    ).otherwise(F.array().cast("array<string>"))
+    top_count = F.array_max(
+        F.transform(
+            F.array_distinct(bigrams),
+            lambda b: F.size(F.filter(bigrams, lambda x: x == b)),
+        )
+    )
+    top_bigram_ratio = F.when(
+        n_big > 0, top_count.cast("double") / n_big.cast("double")
+    ).otherwise(F.lit(0.0))
+
+    return (
+        df.withColumn("n_lines", F.when(n_lines > 0, n_lines).otherwise(F.lit(0)))
+        .withColumn("dup_line_ratio", dup_line_ratio)
+        .withColumn("top_bigram_ratio", top_bigram_ratio)
+    )
+
+
 def fingerprint(df: DataFrame, text_col: str = "text") -> DataFrame:
     """Deterministic document fingerprint: md5 of normalized text."""
     norm = F.lower(F.regexp_replace(F.trim(F.col(text_col)), r"\s+", " "))

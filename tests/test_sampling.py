@@ -1,0 +1,120 @@
+"""Deterministic sampling + sequence packing: reproducibility across
+partitionings, quota exactness, packing arithmetic, repetition gates."""
+
+import pytest
+
+from pyspark.sql import functions as F
+
+from docling_translate_spark.operators.sampling import (
+    hash_sample,
+    pack_sequences,
+    stratified_sample,
+)
+from docling_translate_spark.operators.text_analysis import repetition_features
+
+SF_DIR = "/root/testdata/sf0.001"
+
+
+@pytest.fixture(scope="module")
+def docs(spark):
+    return spark.read.parquet(f"{SF_DIR}/documents.parquet").cache()
+
+
+def test_hash_sample_deterministic_and_partition_independent(spark, docs):
+    a = {r["doc_id"] for r in hash_sample(docs, 0.25).select("doc_id").collect()}
+    b = {
+        r["doc_id"]
+        for r in hash_sample(docs.repartition(17), 0.25).select("doc_id").collect()
+    }
+    assert a == b and a
+    # roughly the requested fraction (md5 is uniform)
+    n = docs.count()
+    assert 0.15 * n <= len(a) <= 0.35 * n
+
+
+def test_hash_sample_nested(spark, docs):
+    """A smaller fraction is a subset of a larger one (same keyspace
+    prefix) — lets a pipeline grow a sample without resampling."""
+    small = {r["doc_id"] for r in hash_sample(docs, 0.1).select("doc_id").collect()}
+    big = {r["doc_id"] for r in hash_sample(docs, 0.3).select("doc_id").collect()}
+    assert small <= big
+
+
+def test_hash_sample_edges(spark, docs):
+    n = docs.count()
+    assert hash_sample(docs, 1.0).count() == n
+    assert hash_sample(docs, 0.0).count() == 0
+    with pytest.raises(ValueError):
+        hash_sample(docs, 1.5)
+
+
+def test_stratified_sample_quota(spark, docs):
+    sizes = {
+        r["source"]: r["n"]
+        for r in docs.groupBy("source").agg(F.count("*").alias("n")).collect()
+    }
+    got = (
+        stratified_sample(docs, 7)
+        .groupBy("source")
+        .agg(F.count("*").alias("n"))
+        .collect()
+    )
+    assert {r["source"]: r["n"] for r in got} == {
+        s: min(7, n) for s, n in sizes.items()
+    }
+    # reproducible under different physical partitioning
+    a = {tuple(r) for r in stratified_sample(docs, 7).select("source", "doc_id").collect()}
+    b = {
+        tuple(r)
+        for r in stratified_sample(docs.repartition(13), 7)
+        .select("source", "doc_id")
+        .collect()
+    }
+    assert a == b
+
+
+def test_pack_sequences_arithmetic(spark, docs):
+    """seq_bin must equal floor(start_offset / budget) for the stable
+    (source, doc_id) layout, recomputed independently in Python."""
+    budget = 512
+    rows = (
+        pack_sequences(docs, budget)
+        .select("source", "doc_id", "ws_tokens", "seq_bin")
+        .collect()
+    )
+    by_src: dict = {}
+    for r in rows:
+        by_src.setdefault(r["source"], []).append(r)
+    for src, rs in by_src.items():
+        rs.sort(key=lambda r: r["doc_id"])
+        start = 0
+        prev_bin = 0
+        for r in rs:
+            assert r["seq_bin"] == start // budget, (src, r["doc_id"])
+            assert r["seq_bin"] >= prev_bin  # bins never go backwards
+            prev_bin = r["seq_bin"]
+            start += r["ws_tokens"]
+
+
+def test_repetition_fixtures(spark):
+    df = spark.createDataFrame(
+        [
+            (1, "a\na\nb"),          # 3 lines, one dup pair
+            (2, "x y x y"),          # bigrams: x y / y x / x y
+            (3, ""),                 # degenerate
+            (4, "unique lines\nonly here"),
+        ],
+        "doc_id int, text string",
+    )
+    got = {
+        r["doc_id"]: r
+        for r in repetition_features(df)
+        .select("doc_id", "n_lines", "dup_line_ratio", "top_bigram_ratio")
+        .collect()
+    }
+    assert got[1]["n_lines"] == 3
+    assert abs(got[1]["dup_line_ratio"] - 1 / 3) < 1e-12
+    assert abs(got[2]["top_bigram_ratio"] - 2 / 3) < 1e-12
+    assert got[3]["dup_line_ratio"] == 0.0
+    assert got[3]["top_bigram_ratio"] == 0.0
+    assert got[4]["dup_line_ratio"] == 0.0
