@@ -44,7 +44,15 @@ def entry(spark: SparkSession) -> DataFrame:
 
 
 def _docs(spark: SparkSession, sf_dir: str) -> DataFrame:
-    return spark.read.parquet(f"{sf_dir}/documents.parquet")
+    # the sandbox documents table is one sub-megabyte file, so the scan
+    # is ONE task and every CPU-dense narrow stage downstream (regex
+    # batteries, shingling, higher-order array exprs) serializes on it.
+    # Repartition to cores — the shuffled payload is <1 MB. At cluster
+    # scale the table spans many files and the scan already yields
+    # >= cores partitions, where this repartition would be dropped.
+    return spark.read.parquet(f"{sf_dir}/documents.parquet").repartition(
+        spark.sparkContext.defaultParallelism
+    )
 
 
 def _events(spark: SparkSession, sf_dir: str) -> DataFrame:

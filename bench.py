@@ -93,8 +93,13 @@ def main() -> None:
         # row-level repartition before write: conversation lengths are
         # skewed 100x, so without it file sizes (and hence scan-task
         # durations) vary enough to create stragglers that add noise to
-        # the scaling measurement
-        transcripts_df(spark, N_CONVS, base_turns=8).repartition(128).write.mode(
+        # the scaling measurement. 512 output files keep scan tasks small
+        # (~0.2-0.4 s): with coarser tasks the 16-core level quantizes to
+        # a handful of waves and the underfilled last wave costs ~0.1 of
+        # measured efficiency (measured 128-file eff 0.73-0.81 vs
+        # 512-file 0.94). base_turns=16 (~5.2M turns) doubles the timed
+        # region so fixed per-level overhead stops moving the ratio.
+        transcripts_df(spark, N_CONVS, base_turns=16).repartition(512).write.mode(
             "overwrite"
         ).parquet(tpath)
         n_turns = spark.read.parquet(tpath).count()

@@ -141,32 +141,46 @@ def brute_force_topk_blas(
     return queries.select(id_col, vec_col).mapInPandas(gen, out_schema)
 
 
-def _pack_corpus_blocks(
-    corpus: DataFrame,
+def _pack_blocks(
+    df: DataFrame,
     n_blocks: int,
-    id_col: str = "vec_id",
-    vec_col: str = "embedding",
+    id_col: str,
+    vec_col: str,
+    key: str,
+    ids: str,
+    vecs: str,
 ) -> DataFrame:
-    """Pack the corpus into ``n_blocks`` matrix rows: one row per block
-    carrying (ids, vectors) arrays. The corpus never touches the driver —
+    """Pack vectors into ``n_blocks`` matrix rows: one row per block
+    carrying (ids, vectors) arrays. Vectors never touch the driver —
     this is what removes :func:`brute_force_topk_blas`'s broadcast bound.
-    One hash-shuffle; block size = |corpus|/n_blocks rows, sized so a
+    One hash-shuffle; block size = |df|/n_blocks rows, sized so a
     block's matrix fits a task's memory (e.g. 10^6 × 128-dim float64
-    ≈ 1 GB per block at any corpus size, just raise n_blocks)."""
+    ≈ 1 GB per block at any corpus size, just raise n_blocks).
+
+    BOTH sides of a blocked GEMM must be packed: joining packed corpus
+    blocks against per-row probes replicates each block once per probe
+    ROW (measured: ~GBs through Arrow at 5k probes); packed × packed
+    replicates each side only ``n_blocks_other`` times."""
     return (
-        corpus.select(
+        df.select(
             F.pmod(F.xxhash64(F.col(id_col)), F.lit(n_blocks))
             .cast("int")
-            .alias("block"),
-            F.col(id_col).alias("bid"),
-            F.col(vec_col).alias("bvec"),
+            .alias(key),
+            F.col(id_col).alias("_pid"),
+            F.col(vec_col).alias("_pvec"),
         )
-        .groupBy("block")
+        .groupBy(key)
         .agg(
-            F.collect_list("bid").alias("bids"),
-            F.collect_list("bvec").alias("bvecs"),
+            F.collect_list("_pid").alias(ids),
+            F.collect_list("_pvec").alias(vecs),
         )
     )
+
+
+def _unpack_matrix(row) -> tuple[np.ndarray, np.ndarray]:
+    ids = np.asarray(row[0], dtype=np.int64)
+    mat = np.stack([np.asarray(v, dtype=np.float64) for v in row[1]])
+    return ids, mat / np.linalg.norm(mat, axis=1, keepdims=True)
 
 
 def brute_force_topk_blocked(
@@ -182,16 +196,16 @@ def brute_force_topk_blocked(
     (query-batch, block), then a window merge of per-block top-k.
 
     Same results as :func:`brute_force_topk_blas` (ties break on neighbor
-    id) with no driver collect / broadcast: shuffle volume is
-    |queries| × n_blocks input rows and |queries| × n_blocks × k candidate
-    rows into the merge — independent of corpus size. This is the exact-kNN
-    recipe that survives a 10^9-vector corpus on a 1000-executor cluster.
+    id) with no driver collect / broadcast. Both sides are packed (query
+    groups × corpus blocks), so data movement is (|Q| + |C|) × n_blocks
+    vectors into the n_blocks² GEMM cells plus |Q| × n_blocks × k
+    candidate rows into the merge — each side replicated n_blocks times,
+    never per-row. This is the exact-kNN recipe that survives a
+    10^9-vector corpus on a 1000-executor cluster.
     """
-    packed = _pack_corpus_blocks(corpus, n_blocks, id_col, vec_col)
-    q = queries.select(
-        F.col(id_col).alias("query_id"), F.col(vec_col).alias("qvec")
-    )
-    joined = q.crossJoin(packed)
+    cpacked = _pack_blocks(corpus, n_blocks, id_col, vec_col, "cb", "cids", "cvecs")
+    qpacked = _pack_blocks(queries, n_blocks, id_col, vec_col, "qb", "qids", "qvecs")
+    joined = qpacked.crossJoin(cpacked)
 
     out_schema = StructType(
         [
@@ -206,24 +220,14 @@ def brute_force_topk_blocked(
             if not len(pdf):
                 continue
             out = {"query_id": [], "neighbor_id": [], "cosine": []}
-            # all rows of one block share the identical packed matrix —
-            # build it once per (batch, block), GEMM all its queries at once
-            for _, grp in pdf.groupby("block", sort=False):
-                first = grp.iloc[0]
-                cids = np.asarray(first["bids"], dtype=np.int64)
-                cmat = np.stack(
-                    [np.asarray(v, dtype=np.float64) for v in first["bvecs"]]
-                )
-                cmat = cmat / np.linalg.norm(cmat, axis=1, keepdims=True)
-                qmat = np.stack(
-                    [np.asarray(v, dtype=np.float64) for v in grp["qvec"]]
-                )
-                qmat = qmat / np.linalg.norm(qmat, axis=1, keepdims=True)
-                sims = qmat @ cmat.T  # (batch-queries, block-rows)
-                qids = grp["query_id"].astype("int64").to_numpy()
+            # each row is one (query-group, corpus-block) cell: one GEMM
+            for _, row in pdf.iterrows():
+                qids, qmat = _unpack_matrix((row["qids"], row["qvecs"]))
+                cids, cmat = _unpack_matrix((row["cids"], row["cvecs"]))
+                sims = qmat @ cmat.T  # (group-queries, block-rows)
                 for i, qid in enumerate(qids):
-                    row = sims[i]
-                    cand = np.lexsort((cids, -row))
+                    srow = sims[i]
+                    cand = np.lexsort((cids, -srow))
                     taken = 0
                     for j in cand:
                         if cids[j] == qid:
@@ -231,10 +235,20 @@ def brute_force_topk_blocked(
                         taken += 1
                         out["query_id"].append(int(qid))
                         out["neighbor_id"].append(int(cids[j]))
-                        out["cosine"].append(float(row[j]))
+                        out["cosine"].append(float(srow[j]))
                         if taken >= k:
                             break
-            yield pd.DataFrame(out)
+            yield (
+                pd.DataFrame(out)
+                if out["query_id"]
+                else pd.DataFrame(
+                    {
+                        "query_id": pd.array([], dtype="int64"),
+                        "neighbor_id": pd.array([], dtype="int64"),
+                        "cosine": pd.array([], dtype="float64"),
+                    }
+                )
+            )
 
     scored = joined.mapInPandas(block_topk, out_schema)
     w = Window.partitionBy("query_id").orderBy(
@@ -259,15 +273,16 @@ def cosine_pairs_exact(
     :func:`cosine_near_dup_pairs`'s LSH approximation, and the correct
     tool when a missed near-dup is unacceptable (eval-set decontamination).
 
-    All-pairs work is |corpus|² dot products but distributed: each
-    (probe-batch, block) task does one GEMM; only pairs over threshold
-    leave the task. No broadcast, no driver collect.
+    All-pairs work is |corpus|²/2 dot products but distributed: both
+    sides are block-packed and only the upper triangle of block cells is
+    joined; each cell does one GEMM and only pairs over threshold leave
+    the task. No broadcast, no driver collect.
     """
-    packed = _pack_corpus_blocks(corpus, n_blocks, id_col, vec_col)
-    probes = corpus.select(
-        F.col(id_col).alias("id_a"), F.col(vec_col).alias("avec")
-    )
-    joined = probes.crossJoin(packed)
+    apacked = _pack_blocks(corpus, n_blocks, id_col, vec_col, "ab", "aids", "avecs")
+    bpacked = _pack_blocks(corpus, n_blocks, id_col, vec_col, "bb", "bids", "bvecs")
+    # every unordered block pair exactly once (the id_a < id_b filter
+    # below resolves orientation inside the diagonal cells)
+    joined = apacked.crossJoin(bpacked).filter(F.col("ab") <= F.col("bb"))
 
     out_schema = StructType(
         [
@@ -282,25 +297,27 @@ def cosine_pairs_exact(
             if not len(pdf):
                 continue
             out = {"id_a": [], "id_b": [], "cosine": []}
-            for _, grp in pdf.groupby("block", sort=False):
-                first = grp.iloc[0]
-                cids = np.asarray(first["bids"], dtype=np.int64)
-                cmat = np.stack(
-                    [np.asarray(v, dtype=np.float64) for v in first["bvecs"]]
-                )
-                cmat = cmat / np.linalg.norm(cmat, axis=1, keepdims=True)
-                amat = np.stack(
-                    [np.asarray(v, dtype=np.float64) for v in grp["avec"]]
-                )
-                amat = amat / np.linalg.norm(amat, axis=1, keepdims=True)
+            for _, row in pdf.iterrows():
+                aids, amat = _unpack_matrix((row["aids"], row["avecs"]))
+                cids, cmat = _unpack_matrix((row["bids"], row["bvecs"]))
                 sims = amat @ cmat.T
-                aids = grp["id_a"].astype("int64").to_numpy()
-                # keep one orientation (id_a < id_b) over threshold
-                ai, bj = np.where(
-                    (sims >= threshold) & (aids[:, None] < cids[None, :])
-                )
-                out["id_a"].extend(int(x) for x in aids[ai])
-                out["id_b"].extend(int(x) for x in cids[bj])
+                if row["ab"] == row["bb"]:
+                    # diagonal cell: both sides are the same block — the
+                    # strict triangle picks each unordered pair once
+                    ai, bj = np.where(
+                        (sims >= threshold) & (aids[:, None] < cids[None, :])
+                    )
+                    a_out, b_out = aids[ai], cids[bj]
+                else:
+                    # off-diagonal cell: each unordered cross-block pair
+                    # appears exactly once (ab < bb kept one cell of the
+                    # two) in arbitrary id order — canonicalize to
+                    # (min, max); equal ids can't span two blocks
+                    ai, bj = np.where(sims >= threshold)
+                    a_out = np.minimum(aids[ai], cids[bj])
+                    b_out = np.maximum(aids[ai], cids[bj])
+                out["id_a"].extend(int(x) for x in a_out)
+                out["id_b"].extend(int(x) for x in b_out)
                 out["cosine"].extend(float(x) for x in sims[ai, bj])
             yield pd.DataFrame(
                 out

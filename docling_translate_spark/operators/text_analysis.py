@@ -107,10 +107,12 @@ def repetition_features(df: DataFrame, text_col: str = "text") -> DataFrame:
     template-generated, or looping text that a pretraining corpus drops.
 
     Pure column expressions end to end (codegen, no shuffle, DuckDB-
-    oracle expressible). The per-doc bigram mode is computed with a
-    quadratic-in-distinct-bigrams array expression — fine for document
-    payloads (10^2-10^4 tokens); for book-length payloads move the mode
-    into the tokenizing pandas UDF.
+    oracle expressible). The per-doc bigram mode is sort + one
+    longest-equal-run ``aggregate`` pass — O(n log n) per doc. (A nested
+    ``transform(distinct, b -> size(filter(bigrams, ...)))`` formulation
+    is quadratic AND re-evaluates the whole bigram-building expression
+    inside every lambda call — measured 50x slower; higher-order lambdas
+    do not share subexpressions across nesting levels.)
     """
     txt = F.col(text_col)
     lines = F.filter(
@@ -132,20 +134,34 @@ def repetition_features(df: DataFrame, text_col: str = "text") -> DataFrame:
             lambda i: F.concat_ws(" ", F.element_at(toks, i + 1), F.element_at(toks, i + 2)),
         ),
     ).otherwise(F.array().cast("array<string>"))
-    top_count = F.array_max(
-        F.transform(
-            F.array_distinct(bigrams),
-            lambda b: F.size(F.filter(bigrams, lambda x: x == b)),
-        )
+    # mode count = longest equal run of the SORTED bigram array: one
+    # fold with a (prev, run, best) accumulator ("" never collides — a
+    # bigram always contains the joiner space)
+    run = lambda a, x: F.when(  # noqa: E731
+        x == a["prev"], a["run"] + 1
+    ).otherwise(F.lit(1))
+    top_count = F.aggregate(
+        F.array_sort(F.col("_bigrams")),
+        F.struct(
+            F.lit("").alias("prev"), F.lit(0).alias("run"), F.lit(0).alias("best")
+        ),
+        lambda a, x: F.struct(
+            x.alias("prev"),
+            run(a, x).alias("run"),
+            F.greatest(a["best"], run(a, x)).alias("best"),
+        ),
+        lambda a: a["best"],
     )
     top_bigram_ratio = F.when(
         n_big > 0, top_count.cast("double") / n_big.cast("double")
     ).otherwise(F.lit(0.0))
 
     return (
-        df.withColumn("n_lines", F.when(n_lines > 0, n_lines).otherwise(F.lit(0)))
+        df.withColumn("_bigrams", bigrams)
+        .withColumn("n_lines", F.when(n_lines > 0, n_lines).otherwise(F.lit(0)))
         .withColumn("dup_line_ratio", dup_line_ratio)
         .withColumn("top_bigram_ratio", top_bigram_ratio)
+        .drop("_bigrams")
     )
 
 
