@@ -75,6 +75,43 @@ def test_relational_plan_has_single_shuffle(spark, transcript_path):
     assert n_exchanges == 1, plan
 
 
+def test_hash_sample_is_shuffle_free(spark, transcript_path):
+    """Deterministic sampling must stay a pushed-through filter — no
+    exchange, no sort, no Python."""
+    from docling_translate_spark.operators.sampling import hash_sample
+
+    df = spark.read.parquet(transcript_path)
+    plan = _plan(hash_sample(df, 0.25, id_col="conv_id"), "simple")
+    assert "Exchange" not in plan, plan
+    assert "Python" not in plan, plan
+
+
+def test_repetition_features_stay_jvm_side(spark, transcript_path):
+    """Repetition gates are pure column exprs: no Python, no shuffle."""
+    from docling_translate_spark.operators.text_analysis import repetition_features
+
+    df = spark.read.parquet(transcript_path)
+    plan = _plan(repetition_features(df), "simple")
+    assert "Exchange" not in plan, plan
+    assert "Python" not in plan, plan
+
+
+def test_blocked_topk_shuffle_shape(spark, transcript_path):
+    """The blocked exact-kNN plan must contain NO broadcast of vector
+    payloads and no driver collect: both sides hash-aggregate into
+    packed blocks, cells form via a cartesian of the two tiny packed
+    relations, and the only exchanges are the two pack groupBys + the
+    final merge window."""
+    from docling_translate_spark.operators.similarity import brute_force_topk_blocked
+
+    emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    plan = _plan(brute_force_topk_blocked(emb, emb, k=3, n_blocks=4), "simple")
+    assert "CartesianProduct" in plan or "BroadcastNestedLoopJoin" in plan, plan
+    assert "collect_list" in plan
+    # vector payloads must never be broadcast as a hash-join build side
+    assert "BroadcastHashJoin" not in plan, plan
+
+
 def test_classifier_stays_jvm_side(spark, transcript_path):
     """Classification must be JVM expressions (RLIKE in a Project), never
     row-at-a-time Python eval."""
