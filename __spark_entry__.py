@@ -43,6 +43,15 @@ def entry(spark: SparkSession) -> DataFrame:
 # ---------------------------------------------------------------------------
 
 
+def _emb(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # same single-file single-scan-task story as _docs: the sandbox
+    # embeddings table is ~1 MB, so signature/GEMM kernels serialize on
+    # one task without this split. No-op cost at cluster scale.
+    return spark.read.parquet(f"{sf_dir}/embeddings.parquet").repartition(
+        spark.sparkContext.defaultParallelism
+    )
+
+
 def _docs(spark: SparkSession, sf_dir: str) -> DataFrame:
     # the sandbox documents table is one sub-megabyte file, so the scan
     # is ONE task and every CPU-dense narrow stage downstream (regex
@@ -284,7 +293,7 @@ def q_ann_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     DuckDB's list_cosine_similarity; cosine omitted to dodge FP-hash noise)."""
     from docling_translate_spark.operators.similarity import brute_force_topk_blas
 
-    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    emb = _emb(spark, sf_dir)
     return brute_force_topk_blas(emb, emb, k=5).select(
         "query_id", "neighbor_id", "rank"
     )
@@ -297,7 +306,7 @@ def q_ann_topk_blocked(spark: SparkSession, sf_dir: str) -> DataFrame:
     ann_topk: blocking must not change a single neighbor."""
     from docling_translate_spark.operators.similarity import brute_force_topk_blocked
 
-    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    emb = _emb(spark, sf_dir)
     return brute_force_topk_blocked(emb, emb, k=5, n_blocks=8).select(
         "query_id", "neighbor_id", "rank"
     )
@@ -309,7 +318,7 @@ def q_embed_near_dup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
     against the float64 DuckDB oracle)."""
     from docling_translate_spark.operators.similarity import cosine_pairs_exact
 
-    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    emb = _emb(spark, sf_dir)
     return cosine_pairs_exact(emb, threshold=0.35, n_blocks=8).select(
         "id_a", "id_b"
     )
@@ -320,7 +329,7 @@ def q_ann_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     from docling_translate_spark.operators.similarity import lsh_ann_topk
 
     return lsh_ann_topk(
-        spark.read.parquet(f"{sf_dir}/embeddings.parquet"),
+        _emb(spark, sf_dir),
         dim=64, k=5, n_planes=4, n_tables=24,
     ).select("query_id", "neighbor_id", "rank")
 
@@ -331,7 +340,7 @@ def q_ann_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
     from docling_translate_spark.operators.similarity import ivf_topk
 
     return ivf_topk(
-        spark.read.parquet(f"{sf_dir}/embeddings.parquet"),
+        _emb(spark, sf_dir),
         dim=64, k=5, n_cells=16, nprobe=6,
     ).select("query_id", "neighbor_id", "rank")
 
@@ -542,7 +551,7 @@ def q_embed_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
     no-false-positives invariant pinned by pytest)."""
     from docling_translate_spark.operators.similarity import cosine_near_dup_pairs
 
-    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    emb = _emb(spark, sf_dir)
     # these synthetic embeddings are near-uniform (max pairwise cosine
     # ≈0.48), so the "near-dup" threshold sits at the top of that range
     return cosine_near_dup_pairs(emb, dim=64, threshold=0.35, n_planes=6).select(
