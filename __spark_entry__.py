@@ -412,6 +412,29 @@ def q_pack_sequences(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_i18n_localize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """UI-string localization with the reference's fallback chain
+    (lang table → en → key; ref i18n.py t())."""
+    from docling_translate_spark.functions.i18n import localize_col
+
+    keys = F.array(
+        F.lit("job_started"),
+        F.lit("engine_label"),   # absent in ko → en fallback
+        F.lit("unknown_key"),    # absent everywhere → key fallback
+        F.lit("report_header"),
+    )
+    langs = F.array(F.lit("ko"), F.lit("en"), F.lit("de"))  # de → en tier
+    d = _docs(spark, sf_dir).select(
+        "doc_id",
+        F.element_at(keys, (F.col("doc_id") % 4 + 1).cast("int")).alias("ui_key"),
+        F.element_at(langs, (F.col("doc_id") % 3 + 1).cast("int")).alias("ui_lang"),
+    )
+    return d.select(
+        "doc_id", "ui_key", "ui_lang",
+        localize_col("ui_key", "ui_lang").alias("localized"),
+    )
+
+
 def q_o2_truncate(spark: SparkSession, sf_dir: str) -> DataFrame:
     """O2 tooltip truncation (ref text_html_generator.py:498)."""
     d = _docs(spark, sf_dir)
@@ -651,6 +674,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "hash_sample": q_hash_sample,
         "stratified_sample": q_stratified_sample,
         "pack_sequences": q_pack_sequences,
+        "i18n_localize": q_i18n_localize,
         "o2_truncate": q_o2_truncate,
         "media_features": q_media_features,
         "a7_per_kind_counter": q_a7_per_kind_counter,
@@ -1036,6 +1060,28 @@ def oracle_sql() -> dict[str, str]:
                         ) - ws_tokens) / 512.0
                    ) AS BIGINT) AS seq_bin
             FROM toks
+        """,
+        "i18n_localize": """
+            WITH d AS (
+                SELECT doc_id,
+                       ['job_started','engine_label','unknown_key',
+                        'report_header'][(doc_id % 4 + 1)::INT] AS ui_key,
+                       ['ko','en','de'][(doc_id % 3 + 1)::INT] AS ui_lang
+                FROM documents
+            )
+            SELECT doc_id, ui_key, ui_lang,
+                   CASE
+                     WHEN ui_key = 'job_started' AND ui_lang = 'ko'
+                          THEN '추출 작업 시작'
+                     WHEN ui_key = 'job_started'
+                          THEN 'Extraction job started'
+                     WHEN ui_key = 'engine_label' THEN 'Map engine'
+                     WHEN ui_key = 'report_header' AND ui_lang = 'ko'
+                          THEN '추출 리포트'
+                     WHEN ui_key = 'report_header'
+                          THEN 'Extraction report'
+                     ELSE ui_key END AS localized
+            FROM d
         """,
         "o2_truncate": """
             SELECT doc_id,
