@@ -36,6 +36,13 @@ def main() -> None:
 
     fused = plan(extract_turns_fused(df))
     rel = plan(extract_turns(df))
+
+    from docling_translate_spark.operators.sampling import hash_sample
+    from docling_translate_spark.operators.similarity import brute_force_topk_blocked
+
+    emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    blocked = plan(brute_force_topk_blocked(emb, emb, k=3, n_blocks=4))
+    sample = plan(hash_sample(df, 0.25, id_col="conv_id"))
     md = f"""# PLANS — physical plans of the two extraction pipelines
 
 Captured with `.explain("formatted")` over a parquet transcript table
@@ -63,11 +70,33 @@ Project) → Arrow-batched map UDF → ONE exchange (the per-turn groupBy)
 {rel}
 ```
 
+## Blocked exact kNN (`brute_force_topk_blocked`)
+
+Both sides hash-aggregate into packed matrix blocks (collect_list), the
+block cells form via a cartesian of the two tiny packed relations (never
+a vector broadcast), one GEMM per cell in `MapInPandas`, then a window
+merge of per-block top-k. Corpus size never bounds worker memory.
+
+```
+{blocked}
+```
+
+## Deterministic sampling (`hash_sample`)
+
+A pure filter on md5(id) — no exchange, no sort, no Python; at scale
+this is a pushed-through scan-stage predicate.
+
+```
+{sample}
+```
+
 Notes:
 - `ReadSchema` shows only conv_id/turn_idx/text/tool — role/ts pruned.
 - A filter above either plan pushes to `PushedFilters` in the scan.
 - With `dedup_scope='global'` the plan gains a distinct exchange and a
-  broadcast (or AQE shuffle) join keyed on sha2(text).
+  broadcast (or AQE shuffle) join keyed on sha2(text); the sentence
+  distinct plans as partial HashAggregate → Exchange → final (map-side
+  pre-dedup — the two-level dedup at scale).
 """
     with open("/root/repo/PLANS.md", "w") as f:
         f.write(md)
