@@ -94,3 +94,33 @@ def nul_sniff_col(text: Column) -> Column:
 def nonempty_col(text: Column) -> Column:
     """The P1 non-empty filter (ref core.py:426): trim(text) != ''."""
     return text.isNotNull() & (F.trim(text) != F.lit(""))
+
+
+# --- S4: encoding-fallback analog ---
+#
+# The reference reads files with a utf-8 → cp949 → utf-8-errors='ignore'
+# cascade (ref text_parser.py:137-144); an Iceberg ``text`` column is
+# already UTF-8, so the surviving hazard is LONE SURROGATES smuggled in
+# by non-Spark writers with lossy upstream decoding. (Spark itself is
+# safe: UTF8String ops like substring index by code point, and neither
+# py4j nor Arrow will transport a bare surrogate — verified.) The
+# sanitizer mirrors the reference's errors='ignore' tail of the cascade
+# as a JVM-side regexp, to run at ingest before any pandas UDF.
+
+# escaped \uXXXX form: Java's regex engine interprets the escapes, so the
+# pattern string itself stays pure ASCII (a literal surrogate in the
+# pattern cannot even cross the py4j bridge)
+_SURROGATE_RANGE = r"[\uD800-\uDFFF]"
+
+
+def sanitize_text(text: str) -> str:
+    """Pure mirror of :func:`sanitize_text_col`: drop lone surrogates
+    (the reference's errors='ignore' behavior)."""
+    if text is None:
+        return text
+    return "".join(ch for ch in text if not 0xD800 <= ord(ch) <= 0xDFFF)
+
+
+def sanitize_text_col(text: Column) -> Column:
+    """Drop lone-surrogate code units from a string column, JVM-side."""
+    return F.regexp_replace(text, _SURROGATE_RANGE, "")

@@ -86,3 +86,22 @@ def test_column_exprs_match_pure(spark):
     for row in got:
         assert row["f"] == is_formula(row["text"]), row["text"]
         assert row["b"] == is_boilerplate_segment(row["text"]), row["text"]
+
+
+def test_sanitize_text_s4(spark):
+    """S4 encoding-fallback analog: lone surrogates drop (the reference's
+    errors='ignore'); valid text — including astral chars — is untouched,
+    pure and column paths agree."""
+    from pyspark.sql import functions as F
+
+    from docling_translate_spark.classify import sanitize_text, sanitize_text_col
+
+    assert sanitize_text("ab\ud83dcd") == "abcd"
+    assert sanitize_text("\udfff\ud800") == ""  # lone halves, both dropped
+    assert sanitize_text(None) is None
+    clean = ["plain", "", "astral \U0001F600 pair", "korean 한글"]
+    assert [sanitize_text(s) for s in clean] == clean
+
+    df = spark.createDataFrame([(i, s) for i, s in enumerate(clean)], "i int, t string")
+    rows = df.select("i", sanitize_text_col(F.col("t")).alias("s")).collect()
+    assert [r["s"] for r in sorted(rows, key=lambda r: r["i"])] == clean
