@@ -83,3 +83,51 @@ def test_sentences_invariants(text):
         idx = text.find(s, cursor)
         assert idx >= 0, (s, text)
         cursor = idx + len(s)
+
+
+# --- end-to-end extraction equivalence on adversarial payloads ---
+
+_PAYLOAD = st.lists(_ALPHA, max_size=80).map("".join)
+_TOOL = st.sampled_from([None, "python", "cpp", "bash", "json", "markdown"])
+
+
+@settings(max_examples=12, deadline=None)
+@given(payloads=st.lists(st.tuples(_PAYLOAD, _TOOL), min_size=1, max_size=6))
+def test_extraction_plans_agree_on_arbitrary_payloads(spark, payloads):
+    """For ARBITRARY structured payloads: the zero-shuffle fused plan,
+    the relational plan, and the pure-Python golden oracle must agree
+    byte-for-byte — the strongest end-to-end invariant of the engine."""
+    from docling_translate_spark.golden import extract_turn
+    from docling_translate_spark.operators.extract import (
+        ExtractConfig,
+        extract_turns,
+        extract_turns_fused,
+    )
+    from docling_translate_spark.schema import TRANSCRIPT_SCHEMA
+
+    rows = [
+        ("conv-h", i, "user", text, tool, None)
+        for i, (text, tool) in enumerate(payloads)
+    ]
+    df = spark.createDataFrame(rows, TRANSCRIPT_SCHEMA)
+    cfg = ExtractConfig()
+
+    def keyed(out):
+        return {
+            (r["conv_id"], r["turn_idx"]): (
+                r["extracted_text"],
+                [tuple(s) for s in r["spans"]],
+                r["n_spans"],
+                round(r["boilerplate_ratio"], 12),
+            )
+            for r in out.collect()
+        }
+
+    fused = keyed(extract_turns_fused(df, cfg))
+    rel = keyed(extract_turns(df, cfg))
+    assert fused == rel
+    for i, (text, tool) in enumerate(payloads):
+        exp = extract_turn(text, tool)
+        got = fused[("conv-h", i)]
+        assert got[0] == exp["extracted_text"], (i, text)
+        assert got[1] == exp["spans"], (i, text)
