@@ -1,0 +1,145 @@
+"""Markdown → HTML render stage — the reference's text-file presentation
+path (``src/text_html_generator.py:24``: ``markdown.Markdown(
+extensions=['fenced_code', 'tables', 'nl2br'])``, applied per segment at
+``:491-495``).
+
+Render parity is presentation-only (not extraction-correctness), so the
+strategy is: use the real ``markdown`` package when the environment has
+it (exact reference behavior); otherwise fall back to a deterministic
+built-in SUBSET renderer covering the three reference extensions —
+fenced code blocks, pipe tables, nl2br — plus ATX headers, inline
+code/bold/italic, and escaped paragraphs. The subset is pinned by
+fixtures in ``tests/test_render_markdown.py``; swapping in the real
+package changes which branch runs, not the API.
+
+Spark-side the renderer is an Arrow-batched pandas UDF (string → string
+presentation kernels have no JVM equivalent; this is the sanctioned
+slow-path shape, one Python crossing per render stage).
+"""
+
+from __future__ import annotations
+
+import html
+import re
+from typing import Iterator
+
+import pandas as pd
+
+from pyspark.sql import Column, functions as F
+from pyspark.sql.types import StringType
+
+try:  # the reference's exact renderer, if the environment provides it
+    import markdown as _markdown_pkg  # type: ignore
+except ImportError:  # this container: deterministic subset below
+    _markdown_pkg = None
+
+_FENCE_RE = re.compile(r"^(```|~~~)[ \t]*([\w+-]*)[ \t]*$")
+_HEADER_RE = re.compile(r"^(#{1,6})\s+(.*?)\s*#*\s*$")
+_TABLE_SEP_RE = re.compile(r"^\s*\|?\s*:?-{3,}:?\s*(\|\s*:?-{3,}:?\s*)*\|?\s*$")
+
+
+def _inline(text: str) -> str:
+    """Escape, then inline code / bold / italic (subset of the package's
+    inline rules, applied in the package's precedence order)."""
+    out = html.escape(text, quote=False)
+    out = re.sub(r"`([^`]+)`", r"<code>\1</code>", out)
+    out = re.sub(r"\*\*([^*]+)\*\*", r"<strong>\1</strong>", out)
+    out = re.sub(r"\*([^*]+)\*", r"<em>\1</em>", out)
+    return out
+
+
+def _render_table(lines: list[str]) -> str:
+    def cells(line: str) -> list[str]:
+        return [c.strip() for c in line.strip().strip("|").split("|")]
+
+    head = cells(lines[0])
+    rows = [cells(ln) for ln in lines[2:]]
+    parts = ["<table>", "<thead>", "<tr>"]
+    parts += [f"<th>{_inline(c)}</th>" for c in head]
+    parts += ["</tr>", "</thead>", "<tbody>"]
+    for r in rows:
+        parts.append("<tr>")
+        parts += [f"<td>{_inline(c)}</td>" for c in r]
+        parts.append("</tr>")
+    parts += ["</tbody>", "</table>"]
+    return "\n".join(parts)
+
+
+def _render_subset(text: str) -> str:
+    """Deterministic subset renderer (fenced_code + tables + nl2br +
+    headers + inline marks)."""
+    lines = (text or "").split("\n")
+    out: list[str] = []
+    para: list[str] = []
+    i = 0
+
+    def flush_para() -> None:
+        if para:
+            # nl2br: every newline inside a paragraph becomes <br />
+            out.append("<p>" + "<br />\n".join(_inline(ln) for ln in para) + "</p>")
+            para.clear()
+
+    while i < len(lines):
+        line = lines[i]
+        fence = _FENCE_RE.match(line)
+        if fence:
+            flush_para()
+            marker, lang = fence.group(1), fence.group(2)
+            body: list[str] = []
+            i += 1
+            while i < len(lines) and not lines[i].rstrip().startswith(marker):
+                body.append(lines[i])
+                i += 1
+            i += 1  # skip closing fence (or run off the end, like the pkg)
+            cls = f' class="language-{lang}"' if lang else ""
+            out.append(
+                f"<pre><code{cls}>" + html.escape("\n".join(body)) + "\n</code></pre>"
+            )
+            continue
+        header = _HEADER_RE.match(line)
+        if header:
+            flush_para()
+            level = len(header.group(1))
+            out.append(f"<h{level}>{_inline(header.group(2))}</h{level}>")
+            i += 1
+            continue
+        if (
+            "|" in line
+            and i + 1 < len(lines)
+            and _TABLE_SEP_RE.match(lines[i + 1])
+        ):
+            flush_para()
+            tbl = [line, lines[i + 1]]
+            i += 2
+            while i < len(lines) and "|" in lines[i]:
+                tbl.append(lines[i])
+                i += 1
+            out.append(_render_table(tbl))
+            continue
+        if not line.strip():
+            flush_para()
+            i += 1
+            continue
+        para.append(line)
+        i += 1
+    flush_para()
+    return "\n".join(out)
+
+
+def render_markdown(text: str) -> str:
+    """Render one markdown payload to HTML — the reference's per-segment
+    render call (text_html_generator.py:491-495)."""
+    if _markdown_pkg is not None:
+        conv = _markdown_pkg.Markdown(extensions=["fenced_code", "tables", "nl2br"])
+        return conv.convert(text or "")
+    return _render_subset(text or "")
+
+
+def render_markdown_col(col: Column | str) -> Column:
+    """Arrow-batched render over a markdown string column."""
+
+    @F.pandas_udf(StringType())
+    def _render(texts: pd.Series) -> pd.Series:
+        return texts.map(lambda t: render_markdown(t) if t is not None else None)
+
+    return _render(F.col(col) if isinstance(col, str) else col)
