@@ -435,6 +435,22 @@ def q_i18n_localize(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_session_window(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Batch sessionization via session_window (30-min inactivity gap) —
+    the batch twin of streaming/sessionize.py's stateful operator,
+    oracle-checked against a gaps-and-islands SQL formulation."""
+    e = _events(spark, sf_dir)
+    return (
+        e.groupBy("user_id", F.session_window("ts", "30 minutes").alias("sw"))
+        .agg(F.count("*").alias("n_events"))
+        .select(
+            "user_id",
+            F.col("sw.start").alias("session_start"),
+            "n_events",
+        )
+    )
+
+
 def q_o2_truncate(spark: SparkSession, sf_dir: str) -> DataFrame:
     """O2 tooltip truncation (ref text_html_generator.py:498)."""
     d = _docs(spark, sf_dir)
@@ -675,6 +691,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "stratified_sample": q_stratified_sample,
         "pack_sequences": q_pack_sequences,
         "i18n_localize": q_i18n_localize,
+        "session_window": q_session_window,
         "o2_truncate": q_o2_truncate,
         "media_features": q_media_features,
         "a7_per_kind_counter": q_a7_per_kind_counter,
@@ -1060,6 +1077,25 @@ def oracle_sql() -> dict[str, str]:
                         ) - ws_tokens) / 512.0
                    ) AS BIGINT) AS seq_bin
             FROM toks
+        """,
+        "session_window": """
+            WITH marked AS (
+                SELECT user_id, ts,
+                       CASE WHEN lag(ts) OVER w IS NULL
+                                 OR ts - lag(ts) OVER w >= INTERVAL '30 minutes'
+                            THEN 1 ELSE 0 END AS new_s
+                FROM events
+                WINDOW w AS (PARTITION BY user_id ORDER BY ts)
+            ),
+            islands AS (
+                SELECT user_id, ts,
+                       sum(new_s) OVER (PARTITION BY user_id ORDER BY ts
+                                        ROWS UNBOUNDED PRECEDING) AS sid
+                FROM marked
+            )
+            SELECT user_id, min(ts) AS session_start,
+                   count(*) AS n_events
+            FROM islands GROUP BY user_id, sid
         """,
         "i18n_localize": """
             WITH d AS (
