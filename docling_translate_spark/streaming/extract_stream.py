@@ -42,6 +42,22 @@ def stream_extract(stream: DataFrame, config: ExtractConfig | None = None) -> Da
     return extract_turns_fused(stream, config)
 
 
+def stream_dedup(stream: DataFrame, within: str = "10 minutes") -> DataFrame:
+    """Streaming exact dedup: drop re-deliveries of the same
+    (conv_id, turn_idx) within the watermark horizon — the streaming
+    analog of the batch A1 dedup, bounded-state by construction.
+
+    ``dropDuplicatesWithinWatermark`` keys state on the id pair and
+    evicts entries once the watermark passes, so state size is
+    (arrival rate × horizon), not the full stream history — the only
+    formulation that survives an unbounded transcript stream. Use
+    upstream of :func:`stream_extract` when the transport is
+    at-least-once (Kafka, file redelivery)."""
+    return stream.withWatermark("ts", within).dropDuplicatesWithinWatermark(
+        ["conv_id", "turn_idx"]
+    )
+
+
 def stream_metrics(stream: DataFrame) -> DataFrame:
     """Watermarked per-minute ingest metrics (late turns ≤ 2 minutes) —
     the streaming stand-in for the reference's progress callback."""

@@ -65,3 +65,34 @@ def test_stream_metrics_windows(spark, transcript_dir):
     for r in rows:
         assert r["turns"] > 0
         assert r["window_end"] > r["window_start"]
+
+
+def test_stream_dedup_drops_redeliveries(spark, transcript_dir):
+    """At-least-once transport: duplicated turn deliveries within the
+    watermark horizon collapse to one row; the deduped stream then
+    matches batch extraction of the unique turns."""
+    import shutil
+
+    from docling_translate_spark.streaming.extract_stream import stream_dedup
+
+    src = transcript_dir + "/dup_in"
+    shutil.rmtree(src, ignore_errors=True)
+    base = spark.read.parquet(transcript_dir + "/in")
+    # redeliver every turn twice (two files, identical content)
+    base.coalesce(1).write.mode("overwrite").parquet(src)
+    base.coalesce(1).write.mode("append").parquet(src)
+    assert spark.read.parquet(src).count() == 2 * base.count()
+
+    stream = read_transcript_stream(spark, src, max_files_per_trigger=8)
+    deduped = stream_extract(stream_dedup(stream, within="10 minutes"))
+    q = (
+        deduped.writeStream.format("memory")
+        .queryName("dedup_stream")
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    got = spark.sql("select conv_id, turn_idx from dedup_stream").collect()
+    keys = [(r["conv_id"], r["turn_idx"]) for r in got]
+    assert len(keys) == len(set(keys)) == base.count()
