@@ -377,6 +377,24 @@ def q_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
     return fingerprint(_docs(spark, sf_dir)).select("doc_id", "fingerprint")
 
 
+def q_rolling_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Rabin-Karp rolling-hash document fingerprint — one JVM aggregate
+    fold over codepoints, bit-identical in any SQL engine."""
+    from docling_translate_spark.operators.text_analysis import rolling_fingerprint
+
+    return rolling_fingerprint(_docs(spark, sf_dir)).select("doc_id", "rolling_fp")
+
+
+def q_winnow_fingerprints(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Winnowing fingerprint sets (MOSS algorithm; rows-only — the
+    selection rule is pinned against a pure-Python reference in pytest)."""
+    from docling_translate_spark.operators.text_analysis import winnowing_fingerprints
+
+    return winnowing_fingerprints(_docs(spark, sf_dir), k=5, window=4).select(
+        F.col("sid").alias("doc_id"), "fp", "pos"
+    )
+
+
 def q_repetition(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Gopher/C4-style repetition gates: duplicate-line ratio +
     most-frequent-bigram mass (pure column exprs, oracle-checked)."""
@@ -686,6 +704,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "quality_scores": q_quality_scores,
         "token_counts": q_token_counts,
         "fingerprint": q_fingerprint,
+        "rolling_fingerprint": q_rolling_fingerprint,
+        "winnow_fingerprints": q_winnow_fingerprints,
         "repetition": q_repetition,
         "hash_sample": q_hash_sample,
         "stratified_sample": q_stratified_sample,
@@ -1015,6 +1035,24 @@ def oracle_sql() -> dict[str, str]:
             SELECT doc_id,
                    md5(lower(regexp_replace(trim(text), '\s+', ' ', 'g'))) AS fingerprint
             FROM documents
+        """,
+        "rolling_fingerprint": r"""
+            WITH n AS (
+                SELECT doc_id,
+                       lower(regexp_replace(trim(text), '\s+', ' ', 'g'))
+                           AS norm
+                FROM documents
+            )
+            SELECT doc_id,
+                   CASE WHEN norm IS NULL THEN NULL
+                        WHEN length(norm) = 0 THEN 0
+                        ELSE list_reduce(
+                            list_transform(
+                                generate_series(1, length(norm)),
+                                j -> unicode(substr(norm, j, 1))::BIGINT),
+                            (a, b) -> (a * 31 + b) % 1099511627776)
+                   END AS rolling_fp
+            FROM n
         """,
         "repetition": r"""
             WITH base AS (

@@ -145,6 +145,62 @@ def extract_media_features(media: DataFrame, fake_decode: bool = True) -> DataFr
     return media.select("media_id", "kind", "payload").mapInPandas(gen, FEATURE_SCHEMA)
 
 
+def resize_images(
+    media: DataFrame, out_w: int = 4, out_h: int = 4, fake_decode: bool = True
+) -> DataFrame:
+    """Image resize kernel: decode → mean-pool to (out_h, out_w) →
+    re-emit flattened pixels. Arrow-batched mapInPandas; the decode is
+    the stubbed kernel (real codecs absent in this container), the
+    pooling math and the Spark plumbing are real.
+
+    At corpus scale this is the thumbnail/feature-preproc stage: one
+    narrow pass, output rows are fixed-width float arrays ready for an
+    embedding model's input pipeline."""
+
+    out_schema = StructType(
+        [
+            StructField("media_id", LongType(), False),
+            StructField("width", IntegerType(), False),
+            StructField("height", IntegerType(), False),
+            StructField("pixels", ArrayType(DoubleType()), False),
+        ]
+    )
+
+    def gen(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            out = {"media_id": [], "width": [], "height": [], "pixels": []}
+            for mid, kind, payload in zip(
+                pdf["media_id"], pdf["kind"], pdf["payload"]
+            ):
+                if kind != "image":
+                    continue
+                px = decode_image(bytes(payload or b""), fake=fake_decode).astype(
+                    np.float64
+                )
+                h, w = px.shape
+                # mean-pool to the target grid (block average; block
+                # edges by integer rounding — deterministic)
+                ys = np.linspace(0, h, out_h + 1).astype(int)
+                xs = np.linspace(0, w, out_w + 1).astype(int)
+                pooled = np.array(
+                    [
+                        [
+                            px[ys[r] : max(ys[r + 1], ys[r] + 1),
+                               xs[c] : max(xs[c + 1], xs[c] + 1)].mean()
+                            for c in range(out_w)
+                        ]
+                        for r in range(out_h)
+                    ]
+                )
+                out["media_id"].append(int(mid))
+                out["width"].append(out_w)
+                out["height"].append(out_h)
+                out["pixels"].append(pooled.reshape(-1).tolist())
+            yield pd.DataFrame(out)
+
+    return media.select("media_id", "kind", "payload").mapInPandas(gen, out_schema)
+
+
 def frame_sample_plan(media: DataFrame, every_ms: int = 250) -> DataFrame:
     """Video frame-sampling plan: one row per planned frame (pure column
     expressions — the decode itself is the stubbed kernel)."""

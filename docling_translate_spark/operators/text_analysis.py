@@ -169,3 +169,112 @@ def fingerprint(df: DataFrame, text_col: str = "text") -> DataFrame:
     """Deterministic document fingerprint: md5 of normalized text."""
     norm = F.lower(F.regexp_replace(F.trim(F.col(text_col)), r"\s+", " "))
     return df.withColumn("fingerprint", F.md5(norm))
+
+
+# rolling-hash constants: base 31 (classic Rabin-Karp), modulus 2^40 —
+# acc*31 + codepoint stays far under int64 overflow, and the identical
+# integer arithmetic is reproducible in any SQL engine
+_RH_BASE = 31
+_RH_MOD = 1 << 40
+
+
+def rolling_fingerprint(df: DataFrame, text_col: str = "text") -> DataFrame:
+    """Polynomial rolling-hash document fingerprint (Rabin-Karp fold over
+    codepoints of the whitespace-normalized, lowercased text).
+
+    Pure column expression — one `aggregate` fold, JVM-side, exactly
+    reproducible in SQL (unlike md5-of-text it is also incrementally
+    updatable, the property rolling hashes buy at scale)."""
+    norm = F.lower(F.regexp_replace(F.trim(F.col(text_col)), r"\s+", " "))
+    fp = F.aggregate(
+        F.split(norm, ""),
+        F.lit(0).cast("long"),
+        lambda acc, ch: (acc * _RH_BASE + F.ascii(ch)) % F.lit(_RH_MOD),
+    )
+    return df.withColumn("rolling_fp", fp)
+
+
+def winnowing_fingerprints(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    k: int = 5,
+    window: int = 4,
+):
+    """Winnowing document fingerprints (Schleimer et al., the MOSS
+    algorithm): k-gram rolling hashes → per-window minimum selection →
+    the compact fingerprint set that guarantees detection of matches
+    ≥ (window + k - 1) chars.
+
+    numpy-vectorized per Arrow batch (the rolling hash and the sliding
+    window-min are both O(n) array passes); emits exploded
+    (doc, fingerprint, pos) rows ready for an inverted-index join —
+    the plagiarism/near-dup detection shape at corpus scale.
+    """
+    from typing import Iterator
+
+    import numpy as np
+    import pandas as pd
+
+    from pyspark.sql.types import (
+        IntegerType,
+        LongType,
+        StructField,
+        StructType,
+    )
+
+    out_schema = StructType(
+        [
+            StructField("sid", LongType(), False),
+            StructField("fp", LongType(), False),
+            StructField("pos", IntegerType(), False),
+        ]
+    )
+    base, mod = _RH_BASE, _RH_MOD
+
+    def gen(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        topk = pow(base, k - 1, mod)
+        for pdf in batches:
+            sids, fps, poss = [], [], []
+            for sid, text in zip(pdf[id_col], pdf[text_col]):
+                s = " ".join(str(text or "").lower().split())
+                cps = np.fromiter((ord(c) for c in s), dtype=np.int64, count=len(s))
+                n = len(cps) - k + 1
+                if n <= 0:
+                    continue
+                # rolling k-gram hashes, O(n)
+                h = np.empty(n, dtype=np.int64)
+                acc = 0
+                for j in range(k):
+                    acc = (acc * base + int(cps[j])) % mod
+                h[0] = acc
+                for j in range(1, n):
+                    acc = (
+                        (acc - int(cps[j - 1]) * topk) * base + int(cps[j + k - 1])
+                    ) % mod
+                    h[j] = acc
+                # winnowing: rightmost minimum of each window, dedup on
+                # consecutive repeats (the canonical selection rule)
+                if n <= window:
+                    idx = [int(np.where(h == h.min())[0][-1])]
+                else:
+                    sw = np.lib.stride_tricks.sliding_window_view(h, window)
+                    # rightmost min: reverse-argmin trick
+                    rel = window - 1 - np.argmin(sw[:, ::-1], axis=1)
+                    sel = rel + np.arange(len(rel))
+                    keep = np.ones(len(sel), dtype=bool)
+                    keep[1:] = sel[1:] != sel[:-1]
+                    idx = sel[keep].tolist()
+                for p in idx:
+                    sids.append(int(sid))
+                    fps.append(int(h[p]))
+                    poss.append(int(p))
+            yield pd.DataFrame(
+                {
+                    "sid": pd.array(sids, dtype="int64"),
+                    "fp": pd.array(fps, dtype="int64"),
+                    "pos": pd.array(poss, dtype="int32"),
+                }
+            )
+
+    return df.select(id_col, text_col).mapInPandas(gen, out_schema)

@@ -59,3 +59,26 @@ def test_frame_sample_plan(spark, media):
     assert {r["media_id"] for r in plan} == vids
     for r in plan:
         assert r["sample_ms"] == r["frame_no"] * 250
+
+
+def test_resize_images(spark, media):
+    """Resize kernel: image rows only, target grid shape, pooled values
+    match a driver-side recompute of the same fake decode."""
+    import numpy as np
+
+    from docling_translate_spark.operators.multimodal import (
+        decode_image,
+        resize_images,
+    )
+
+    rows = {r["media_id"]: r for r in resize_images(media, 4, 4).collect()}
+    raw = {r["media_id"]: (r["kind"], bytes(r["payload"])) for r in media.collect()}
+    n_images = sum(1 for kind, _ in raw.values() if kind == "image")
+    assert len(rows) == n_images
+    for mid, r in rows.items():
+        kind, payload = raw[mid]
+        assert kind == "image"
+        assert r["width"] == 4 and r["height"] == 4 and len(r["pixels"]) == 16
+        px = decode_image(payload, fake=True).astype(np.float64)
+        expected = px.reshape(4, 2, 4, 2).mean(axis=(1, 3)).reshape(-1)
+        assert np.allclose(r["pixels"], expected), mid

@@ -61,3 +61,89 @@ def test_fingerprint(spark):
     assert out[0] == out[1]
     assert out[0] != out[2]
     assert len(out[0]) == 32
+
+
+def test_rolling_fingerprint_known_values(spark):
+    """Rabin-Karp fold: hand-computed values, normalization, empties."""
+    from docling_translate_spark.operators.text_analysis import rolling_fingerprint
+
+    df = spark.createDataFrame(
+        [(1, "abc"), (2, ""), (3, "  A  b "), (4, None)], "doc_id int, text string"
+    )
+    got = {
+        r["doc_id"]: r["rolling_fp"]
+        for r in rolling_fingerprint(df).select("doc_id", "rolling_fp").collect()
+    }
+    def rf(s):
+        import re
+        s = re.sub(r"\s+", " ", s.strip()).lower()
+        acc = 0
+        for c in s:
+            acc = (acc * 31 + ord(c)) % (1 << 40)
+        return acc
+    assert got[1] == rf("abc") == 96354
+    assert got[2] == 0
+    assert got[3] == rf("a b")
+    assert got[4] is None
+
+
+def _winnow_ref(text, k=5, window=4):
+    """Independent pure-Python winnowing (Schleimer et al. fig. 2 rules:
+    rightmost window minimum, record once per selection change)."""
+    s = " ".join((text or "").lower().split())
+    if len(s) < k:
+        return []
+    hs = []
+    for i in range(len(s) - k + 1):
+        acc = 0
+        for c in s[i : i + k]:
+            acc = (acc * 31 + ord(c)) % (1 << 40)
+        hs.append(acc)
+    if len(hs) <= window:
+        m = min(hs)
+        return [(m, max(i for i, h in enumerate(hs) if h == m))]
+    out, prev = [], None
+    for w0 in range(len(hs) - window + 1):
+        win = hs[w0 : w0 + window]
+        m = min(win)
+        pos = w0 + max(i for i, h in enumerate(win) if h == m)
+        if pos != prev:
+            out.append((m, pos))
+            prev = pos
+    return out
+
+
+def test_winnowing_matches_reference(spark):
+    from docling_translate_spark.operators.text_analysis import winnowing_fingerprints
+
+    texts = [
+        (0, "the quick brown fox jumps over the lazy dog"),
+        (1, "aaaaaaaaaaaaaaa"),
+        (2, "short"),
+        (3, ""),
+        (4, "The   QUICK  brown fox"),
+        (5, "abcabcabcabcabcabc"),
+    ]
+    df = spark.createDataFrame(texts, "doc_id long, text string")
+    got = {}
+    for r in winnowing_fingerprints(df, k=5, window=4).collect():
+        got.setdefault(r["sid"], []).append((r["fp"], r["pos"]))
+    for did, text in texts:
+        exp = _winnow_ref(text)
+        assert sorted(got.get(did, [])) == sorted(exp), (did, text)
+
+
+def test_winnowing_guarantee(spark):
+    """Shared substrings >= window + k - 1 chars must share a fingerprint
+    (the winnowing detection guarantee)."""
+    from docling_translate_spark.operators.text_analysis import winnowing_fingerprints
+
+    common = "identical shared span here"
+    df = spark.createDataFrame(
+        [(0, "prefix one " + common), (1, common + " suffix two")],
+        "doc_id long, text string",
+    )
+    fps = {}
+    for r in winnowing_fingerprints(df, k=5, window=4).collect():
+        fps.setdefault(r["sid"], set()).add(r["fp"])
+    assert fps[0] & fps[1], "no shared fingerprint for a long shared span"
