@@ -395,6 +395,16 @@ def q_winnow_fingerprints(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_winnow_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Plagiarism/near-dup candidate pairs from shared winnowing
+    fingerprints (rows-only; selection + pairing pinned by pytest)."""
+    from docling_translate_spark.operators.text_analysis import winnow_overlap_pairs
+
+    return winnow_overlap_pairs(
+        _docs(spark, sf_dir), min_shared=3, max_bucket=50
+    ).select("id_a", "id_b", "n_shared")
+
+
 def q_repetition(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Gopher/C4-style repetition gates: duplicate-line ratio +
     most-frequent-bigram mass (pure column exprs, oracle-checked)."""
@@ -706,6 +716,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "fingerprint": q_fingerprint,
         "rolling_fingerprint": q_rolling_fingerprint,
         "winnow_fingerprints": q_winnow_fingerprints,
+        "winnow_pairs": q_winnow_pairs,
         "repetition": q_repetition,
         "hash_sample": q_hash_sample,
         "stratified_sample": q_stratified_sample,

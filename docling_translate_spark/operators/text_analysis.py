@@ -278,3 +278,38 @@ def winnowing_fingerprints(
             )
 
     return df.select(id_col, text_col).mapInPandas(gen, out_schema)
+
+
+def winnow_overlap_pairs(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    k: int = 5,
+    window: int = 4,
+    min_shared: int = 3,
+    max_bucket: int = 50,
+) -> DataFrame:
+    """Near-dup / plagiarism candidate pairs from shared winnowing
+    fingerprints: inverted-index self-join on fp (the MOSS pipeline
+    shape), counting distinct shared fingerprints per pair.
+
+    Same scale profile as the shingle index (`dedup.py`): join keys are
+    small ints, hot fingerprints (> ``max_bucket`` docs — boilerplate
+    spans) are dropped as stop-fingerprints before the quadratic
+    bucket join."""
+    fps = winnowing_fingerprints(df, text_col, id_col, k, window).select(
+        "sid", "fp"
+    ).distinct().cache()
+    hot = fps.groupBy("fp").agg(F.count("*").alias("df_")).filter(
+        F.col("df_") > max_bucket
+    )
+    rare = fps.join(hot, "fp", "left_anti")
+    a = rare.select(F.col("sid").alias("id_a"), "fp")
+    b = rare.select(F.col("sid").alias("id_b"), "fp")
+    return (
+        a.join(b, "fp")
+        .filter(F.col("id_a") < F.col("id_b"))
+        .groupBy("id_a", "id_b")
+        .agg(F.count("*").alias("n_shared"))
+        .filter(F.col("n_shared") >= min_shared)
+    )

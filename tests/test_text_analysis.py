@@ -147,3 +147,24 @@ def test_winnowing_guarantee(spark):
     for r in winnowing_fingerprints(df, k=5, window=4).collect():
         fps.setdefault(r["sid"], set()).add(r["fp"])
     assert fps[0] & fps[1], "no shared fingerprint for a long shared span"
+
+
+def test_winnow_overlap_pairs(spark):
+    """Docs sharing a long span pair up; unrelated docs don't."""
+    from docling_translate_spark.operators.text_analysis import winnow_overlap_pairs
+
+    shared = "a long identical paragraph that both documents contain verbatim"
+    df = spark.createDataFrame(
+        [
+            (0, "intro text. " + shared),
+            (1, shared + " plus an original ending"),
+            (2, "entirely different content with no overlap whatsoever xyz"),
+        ],
+        "doc_id long, text string",
+    )
+    pairs = {
+        (r["id_a"], r["id_b"]): r["n_shared"]
+        for r in winnow_overlap_pairs(df, min_shared=3).collect()
+    }
+    assert (0, 1) in pairs and pairs[(0, 1)] >= 3
+    assert all(2 not in p for p in pairs)
