@@ -46,7 +46,18 @@ _BOILER_RE = re.compile(BOILERPLATE_LINE_REGEX)
 
 def is_formula(text: str) -> bool:
     """True if the text looks like LaTeX math (ref html_generator.py:20-45)."""
-    return bool(text) and _FORMULA_RE.search(text) is not None
+    if not text:
+        return False
+    # exact necessary condition for any FORMULA_REGEX alternative —
+    # C-level substring checks reject ordinary prose before the regex
+    if (
+        "\\" not in text
+        and "^{" not in text
+        and "_{" not in text
+        and "&=" not in text
+    ):
+        return False
+    return _FORMULA_RE.search(text) is not None
 
 
 def format_formula(text: str) -> str:
@@ -64,12 +75,26 @@ def is_boilerplate_line(line: str) -> bool:
     return _BOILER_RE.match(line) is not None
 
 
+# every BOILERPLATE_LINE_REGEX alternative starts (after ^\s*) with one of
+# these characters — an exact necessary condition, so checking the first
+# non-whitespace character rejects ordinary prose without splitting lines
+# (this predicate runs once per segment in the fused kernel's hot loop)
+_BOILER_LEAD = frozenset("0123456789Pp-=_*©(CA")
+
+
 def is_boilerplate_segment(text: str) -> bool:
     """A segment is boilerplate when every non-blank line is boilerplate."""
-    if not text or not text.strip():
+    if not text:
         return False
-    lines = [ln for ln in text.split("\n") if ln.strip()]
-    return bool(lines) and all(is_boilerplate_line(ln) for ln in lines)
+    lead = text.lstrip()
+    if not lead or lead[0] not in _BOILER_LEAD:
+        return False
+    for ln in text.split("\n"):
+        if not ln.strip():
+            continue
+        if _BOILER_RE.match(ln) is None:
+            return False
+    return True  # lead is non-empty ⇒ at least one non-blank line exists
 
 
 def has_nul_byte(text: str) -> bool:

@@ -295,9 +295,13 @@ def detect_format(text: str, tool: str | None = None) -> str:
         return "shell"
     if "```" in text or "~~~" in text:
         return "markdown"
-    if _PY_HINT_RE.search(text):
+    # substring prechecks are exact necessary conditions for the hint
+    # regexes (C-level `in` beats re.search on the no-match majority)
+    if (
+        "def " in text or "class " in text or "import " in text or '"""' in text
+    ) and _PY_HINT_RE.search(text):
         return "python"
-    if _C_HINT_RE.search(text):
+    if ("//" in text or "/*" in text) and _C_HINT_RE.search(text):
         return "c_style"
     if _JSONISH_RE.match(text) and text.rstrip().endswith(("}", "]")):
         return "config"
