@@ -65,7 +65,10 @@ def split_paragraphs(
     ``len(para) + 2`` per paragraph in both, matching the reference.
     """
     out: List[Segment] = []
-    if strip:
+    if "\n" not in text:
+        # no newline ⇒ both split rules yield the single paragraph
+        paras = [text]
+    elif strip:
         paras = _PARA_SEP_RE.split(text)
     else:
         paras = text.split("\n\n")
