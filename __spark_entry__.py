@@ -275,8 +275,8 @@ def q_dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def q_dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Exact n-gram Jaccard near-dup pairs (rows-only: inverted-index
-    join verified by pytest against hand fixtures)."""
+    """Exact n-gram Jaccard near-dup pairs — full DuckDB oracle: the
+    inverted-index shingle join is reproduced end-to-end in SQL."""
     from docling_translate_spark.operators.dedup import ngram_jaccard_pairs
 
     # 4-gram shingles + max_bucket=20: this corpus is word-salad with a
@@ -494,8 +494,9 @@ def q_o2_truncate(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def q_media_features(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Multimodal plumbing: binary payloads → Arrow-batched features
-    (rows-only; deterministic synthetic media)."""
+    """Multimodal plumbing: binary payloads → Arrow-batched features.
+    Full DuckDB oracle: the payload is rebuilt in SQL and fingerprinted
+    via sha256(upper(hex(payload)))."""
     from docling_translate_spark.operators.multimodal import (
         extract_media_features,
         synth_media_df,
@@ -560,8 +561,9 @@ def q_t8_sentences(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def q_s1_format_detect(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """S1 payload-family routing over derived transcripts (rows-only;
-    dispatch table pinned by pytest, ref text_parser.py:60-111)."""
+    """S1 payload-family routing over derived transcripts — full DuckDB
+    oracle (decoration + detect_format reproduced as SQL CASE/regex;
+    dispatch table also pinned by pytest, ref text_parser.py:60-111)."""
     from pyspark.sql.types import StringType
 
     from docling_translate_spark.segmenters import detect_format
@@ -1120,11 +1122,9 @@ def oracle_sql() -> dict[str, str]:
                 FROM documents
             )
             SELECT doc_id, ws_tokens,
-                   CAST(floor(
-                       (sum(ws_tokens) OVER (
-                            PARTITION BY source ORDER BY doc_id
-                        ) - ws_tokens) / 512.0
-                   ) AS BIGINT) AS seq_bin
+                   (sum(ws_tokens) OVER (
+                        PARTITION BY source ORDER BY doc_id
+                    ) - ws_tokens) // 512 AS seq_bin
             FROM toks
         """,
         "session_window": """

@@ -117,16 +117,17 @@ def main() -> None:
         # box 2x and measures contention, not scaling. On a real cluster
         # going N -> 4N executors adds nodes, which local[4] -> local[16]
         # on a 32-core box models faithfully (both levels uncontended). ---
-        # INTERLEAVED PAIRED rounds: alternate fresh-JVM measurements of
-        # the two levels; per round, efficiency = t_lo / (ratio * t_hi).
-        # This box is a shared host — identical 16-core runs measured
-        # 10.6-23.2 s across one morning while the 4-core level held
-        # steady, and a Spark-free multiprocessing burn shows the same
-        # aggregate-CPU throttling, so the noise is external co-tenant
-        # load, which only ever SLOWS a run. The best paired ratio is
-        # therefore the least-biased estimate of the true scaling of
-        # this job; all per-round pairs are reported alongside it.
-        hi_cores = max(CPUS // 2, 8)
+        # INTERLEAVED rounds: alternate fresh-JVM measurements of the two
+        # levels. This box is a shared host — identical 16-core runs
+        # measured 10.6-23.2 s across one morning while the 4-core level
+        # held steady, and a Spark-free multiprocessing burn shows the
+        # same aggregate-CPU throttling, so the noise is external
+        # co-tenant load, which only ever SLOWS a run. Headline
+        # efficiency therefore pairs min(t_lo) with min(t_hi) across
+        # rounds: each minimum is the least-disturbed observation of its
+        # level, and unlike max-of-paired-ratios this cannot be inflated
+        # by a slowed low-level run. Per-round pairs are reported too.
+        hi_cores = max(CPUS // 2, 4)  # never above half the cores (CLAUDE.md)
         lo_cores = max(hi_cores // 4, 2)
         rounds: list[dict] = []
         for _ in range(3):
@@ -152,10 +153,10 @@ def main() -> None:
             )
 
         lo, hi = lo_cores, hi_cores
-        best = max(rounds, key=lambda r: r["efficiency"])
-        t_lo, t_hi = best["sec_low"], best["sec_high"]
+        t_lo = min(r["sec_low"] for r in rounds)
+        t_hi = min(r["sec_high"] for r in rounds)
         thr_lo, thr_hi = n_turns / t_lo, n_turns / t_hi
-        eff = best["efficiency"]
+        eff = round(t_lo / (hi / lo) / t_hi, 3)
 
         result = {
             "metric": "turns_extracted_per_sec",
@@ -235,15 +236,14 @@ throughput: 731.7 chars/sec at 8 workers vs this engine's
 
 Headline: **{r['value']} turns/sec** at local[{s['cores_high']}].
 
-Host-variance campaign note: this sandbox is a shared host. Full-run
-4→16 efficiencies measured across one session with the same job:
-1.011, 0.813, 0.763, 0.70 (see this file's git history) — and a
-Spark-free multiprocessing burn shows the same aggregate-CPU
-throttling when the host is busy, so the spread is co-tenant load,
-not the engine. Co-tenant load only ever slows a run; the best
-measured pair (eff ≥ 0.8, up to 1.01) is the capability estimate of
-the job, and the table above reports the current run's paired rounds
-unfiltered.
+Host-variance campaign note: this sandbox is a shared host — identical
+runs vary up to 2x with co-tenant load (a Spark-free multiprocessing
+burn reproduces the throttling), and that load only ever slows a run.
+The headline efficiency above pairs the per-level MINIMUM times across
+the interleaved rounds: each minimum is the least-disturbed observation
+of its level, and this estimator cannot be inflated by a slowed
+low-parallelism run (unlike a best-single-round ratio). All per-round
+pairs are reported unfiltered above.
 """
     )
     os.makedirs(os.path.join(REPO, "BENCH"), exist_ok=True)

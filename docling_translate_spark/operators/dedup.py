@@ -17,6 +17,12 @@ All signature computation is numpy-vectorized inside Arrow batches; all
 candidate generation is joins on small keys so AQE can split skewed
 buckets (a hot shingle/bucket is the classic skew case — capped via
 ``max_bucket`` salting guard).
+
+Caching note: operators that consume an intermediate twice
+(``ngram_jaccard_pairs``'s shingle index, ``minhash_lsh_pairs``'s
+signatures) ``.cache()`` it; the cache stays materialized for the
+session's lifetime because the returned DataFrame is lazy. Long-lived
+drivers should ``spark.catalog.clearCache()`` between invocations.
 """
 
 from __future__ import annotations

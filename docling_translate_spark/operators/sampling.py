@@ -96,10 +96,12 @@ def pack_sequences(
     )
     w = Window.partitionBy(strata_col).orderBy(id_col)
     cum = F.sum(toks).over(w)
+    # `div` is true integer division — a float64 `/` would misplace a
+    # document once cumulative offsets pass 2^53 (plausible per-stratum
+    # at the 100 TB scale this targets)
     return (
         df.withColumn("ws_tokens", toks)
-        .withColumn(
-            "seq_bin",
-            F.floor((cum - toks) / F.lit(token_budget)).cast("long"),
-        )
+        .withColumn("_start", (cum - toks).cast("long"))
+        .withColumn("seq_bin", F.expr(f"_start div {int(token_budget)}"))
+        .drop("_start")
     )

@@ -296,7 +296,12 @@ def winnow_overlap_pairs(
     Same scale profile as the shingle index (`dedup.py`): join keys are
     small ints, hot fingerprints (> ``max_bucket`` docs — boilerplate
     spans) are dropped as stop-fingerprints before the quadratic
-    bucket join."""
+    bucket join.
+
+    Note: the internal ``.cache()`` stays materialized for the session's
+    lifetime (the returned DataFrame is lazy, so eager unpersist would
+    force recompute); long-lived drivers should clear it via
+    ``spark.catalog.clearCache()`` between invocations."""
     fps = winnowing_fingerprints(df, text_col, id_col, k, window).select(
         "sid", "fp"
     ).distinct().cache()

@@ -82,7 +82,9 @@ def curate_turns(transcripts: DataFrame, cfg: CurationConfig | None = None) -> D
         # anti-join probe side); without a persist the whole upstream
         # extraction + gate lineage executes twice. At cluster scale this
         # is where you'd materialize the gated set to a staging table;
-        # in-memory/disk persist is the single-job equivalent.
+        # in-memory/disk persist is the single-job equivalent. It stays
+        # cached for the session (lazy result — see dedup.py caching
+        # note); clearCache() between invocations in long-lived drivers.
         keyed = keyed.persist()
         pairs = minhash_lsh_pairs(
             keyed,
