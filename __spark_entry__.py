@@ -118,7 +118,9 @@ def q_p3_boilerplate_strip(spark: SparkSession, sf_dir: str) -> DataFrame:
     return d.select(
         "doc_id",
         F.array_join(kept, "\n").alias("clean_text"),
-        (F.size(F.split("decorated", "\n")) - F.size(kept)).alias("n_dropped"),
+        (F.size(F.split("decorated", "\n")) - F.size(kept))
+        .cast("long")
+        .alias("n_dropped"),
     )
 
 
@@ -148,7 +150,7 @@ def q_w1_rownum_order(spark: SparkSession, sf_dir: str) -> DataFrame:
     return _events(spark, sf_dir).select(
         "event_id",
         "user_id",
-        F.row_number().over(w).alias("turn_rank"),
+        F.row_number().over(w).cast("long").alias("turn_rank"),
     )
 
 
@@ -185,6 +187,8 @@ def q_j2_broadcast_join(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.count("*").alias("n_orders"),
             F.sum(F.col("o_totalprice").cast("decimal(18,2)")).alias("total_price"),
         )
+        # re-narrow the widened sum so both engines emit DECIMAL(18,2)
+        .withColumn("total_price", F.col("total_price").cast("decimal(18,2)"))
     )
 
 
@@ -214,7 +218,7 @@ def q_o1_longest_first(spark: SparkSession, sf_dir: str) -> DataFrame:
         _docs(spark, sf_dir)
         .orderBy(F.length("text").desc(), F.col("doc_id"))
         .limit(10)
-        .select("doc_id", F.length("text").alias("text_len"))
+        .select("doc_id", F.length("text").cast("long").alias("text_len"))
     )
 
 
@@ -295,7 +299,7 @@ def q_ann_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     emb = _emb(spark, sf_dir)
     return brute_force_topk_blas(emb, emb, k=5).select(
-        "query_id", "neighbor_id", "rank"
+        "query_id", "neighbor_id", F.col("rank").cast("long").alias("rank")
     )
 
 
@@ -308,7 +312,7 @@ def q_ann_topk_blocked(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     emb = _emb(spark, sf_dir)
     return brute_force_topk_blocked(emb, emb, k=5, n_blocks=8).select(
-        "query_id", "neighbor_id", "rank"
+        "query_id", "neighbor_id", F.col("rank").cast("long").alias("rank")
     )
 
 
@@ -331,7 +335,7 @@ def q_ann_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     return lsh_ann_topk(
         _emb(spark, sf_dir),
         dim=64, k=5, n_planes=4, n_tables=24,
-    ).select("query_id", "neighbor_id", "rank")
+    ).select("query_id", "neighbor_id", F.col("rank").cast("long").alias("rank"))
 
 
 def q_ann_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -342,7 +346,7 @@ def q_ann_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
     return ivf_topk(
         _emb(spark, sf_dir),
         dim=64, k=5, n_cells=16, nprobe=6,
-    ).select("query_id", "neighbor_id", "rank")
+    ).select("query_id", "neighbor_id", F.col("rank").cast("long").alias("rank"))
 
 
 def q_lang_id(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -357,7 +361,11 @@ def q_quality_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
     from docling_translate_spark.operators.text_analysis import quality_features
 
     return quality_features(_docs(spark, sf_dir)).select(
-        "doc_id", "n_words", "punct_ratio", "stop_ratio", "quality_score"
+        "doc_id",
+        F.col("n_words").cast("long").alias("n_words"),
+        "punct_ratio",
+        "stop_ratio",
+        "quality_score",
     )
 
 
@@ -366,7 +374,9 @@ def q_token_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
     from docling_translate_spark.operators.text_analysis import token_counts
 
     return token_counts(_docs(spark, sf_dir)).select(
-        "doc_id", "ws_tokens", "bpe_tokens"
+        "doc_id",
+        F.col("ws_tokens").cast("long").alias("ws_tokens"),
+        F.col("bpe_tokens").cast("long").alias("bpe_tokens"),
     )
 
 
@@ -411,7 +421,10 @@ def q_repetition(spark: SparkSession, sf_dir: str) -> DataFrame:
     from docling_translate_spark.operators.text_analysis import repetition_features
 
     return repetition_features(_docs(spark, sf_dir)).select(
-        "doc_id", "n_lines", "dup_line_ratio", "top_bigram_ratio"
+        "doc_id",
+        F.col("n_lines").cast("long").alias("n_lines"),
+        "dup_line_ratio",
+        "top_bigram_ratio",
     )
 
 
@@ -514,7 +527,7 @@ def q_a7_per_kind_counter(spark: SparkSession, sf_dir: str) -> DataFrame:
         "event_id",
         "user_id",
         "event_type",
-        F.row_number().over(w).alias("kind_seq"),
+        F.row_number().over(w).cast("long").alias("kind_seq"),
     )
 
 
@@ -684,7 +697,9 @@ def q_w_window_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select(
             F.col("win.start").alias("window_start"),
             "n_events",
-            "total_value",
+            # sum over DECIMAL(18,2) widens to (28,2) in Spark but (38,2)
+            # in DuckDB — re-narrow so the gate's type-sensitive hash agrees
+            F.col("total_value").cast("decimal(18,2)").alias("total_value"),
         )
     )
 
@@ -757,7 +772,7 @@ def oracle_sql() -> dict[str, str]:
         """,
         "a3_char_volume": """
             SELECT source,
-                   sum(length(text)) AS total_chars,
+                   CAST(sum(length(text)) AS BIGINT) AS total_chars,
                    count(*) AS n_docs
             FROM documents
             GROUP BY source
@@ -815,7 +830,8 @@ def oracle_sql() -> dict[str, str]:
         "j2_broadcast_join": """
             SELECT c_mktsegment,
                    count(*) AS n_orders,
-                   sum(CAST(o_totalprice AS DECIMAL(18,2))) AS total_price
+                   CAST(sum(CAST(o_totalprice AS DECIMAL(18,2)))
+                        AS DECIMAL(18,2)) AS total_price
             FROM orders JOIN customer ON o_custkey = c_custkey
             GROUP BY c_mktsegment
         """,
@@ -1028,11 +1044,15 @@ def oracle_sql() -> dict[str, str]:
                          THEN CAST(n_chars AS DOUBLE) / n_words ELSE 0.0 END AS mean_wlen
                 FROM q
             )
-            SELECT doc_id, n_words, punct_ratio, stop_ratio,
+            SELECT doc_id,
+                   CAST(n_words AS BIGINT) AS n_words,
+                   punct_ratio, stop_ratio,
                    (CASE WHEN mean_wlen >= 3.0 AND mean_wlen <= 12.0
-                         THEN 0.4 ELSE 0.0 END
-                    + CASE WHEN punct_ratio <= 0.2 THEN 0.3 ELSE 0.0 END
-                    + CASE WHEN stop_ratio >= 0.05 THEN 0.3 ELSE 0.0 END)
+                         THEN CAST(0.4 AS DOUBLE) ELSE CAST(0.0 AS DOUBLE) END
+                    + CASE WHEN punct_ratio <= 0.2
+                           THEN CAST(0.3 AS DOUBLE) ELSE CAST(0.0 AS DOUBLE) END
+                    + CASE WHEN stop_ratio >= 0.05
+                           THEN CAST(0.3 AS DOUBLE) ELSE CAST(0.0 AS DOUBLE) END)
                    AS quality_score
             FROM r
         """,
@@ -1121,10 +1141,11 @@ def oracle_sql() -> dict[str, str]:
                        END AS ws_tokens
                 FROM documents
             )
-            SELECT doc_id, ws_tokens,
-                   (sum(ws_tokens) OVER (
+            SELECT doc_id,
+                   CAST(ws_tokens AS BIGINT) AS ws_tokens,
+                   CAST((sum(ws_tokens) OVER (
                         PARTITION BY source ORDER BY doc_id
-                    ) - ws_tokens) // 512 AS seq_bin
+                    ) - ws_tokens) // 512 AS BIGINT) AS seq_bin
             FROM toks
         """,
         "session_window": """
@@ -1244,7 +1265,8 @@ def oracle_sql() -> dict[str, str]:
         "w_window_agg": """
             SELECT date_trunc('hour', ts) AS window_start,
                    count(*) AS n_events,
-                   sum(CAST(value AS DECIMAL(18,2))) AS total_value
+                   CAST(sum(CAST(value AS DECIMAL(18,2)))
+                        AS DECIMAL(18,2)) AS total_value
             FROM events
             GROUP BY date_trunc('hour', ts)
         """,

@@ -91,8 +91,13 @@ def pack_sequences(
     extra shuffle in the composed pipeline.
     """
     txt = F.col(text_col)
-    toks = F.when(F.trim(txt) == "", F.lit(0)).otherwise(
-        F.size(F.split(F.trim(txt), r"\s+"))
+    # long, not int: the driver gate hashes type-sensitively and any SQL
+    # oracle's len()/sum() yields 64-bit — plus per-stratum cumulative
+    # counts overflow int32 long before 100 TB
+    toks = (
+        F.when(F.trim(txt) == "", F.lit(0))
+        .otherwise(F.size(F.split(F.trim(txt), r"\s+")))
+        .cast("long")
     )
     w = Window.partitionBy(strata_col).orderBy(id_col)
     cum = F.sum(toks).over(w)

@@ -46,6 +46,41 @@ def row_multiset(rows, cols):
     return Counter(tuple(norm(r[i]) for i in order) for r in rows)
 
 
+def _arrow_type_map(tbl):
+    """Column -> coarse Arrow type string, tz/unit-normalized.
+
+    The driver's value-hash is type-sensitive (round 1: BIGINT vs
+    HUGEINT, INT vs BIGINT, DECIMAL(28,2) vs DECIMAL(38,2) all produced
+    hash mismatches on bit-identical values), so surface physical-type
+    drift between the Spark and DuckDB results as warnings.
+    """
+    import pyarrow as pa
+
+    out = {}
+    for field in tbl.schema:
+        t = field.type
+        if pa.types.is_timestamp(t):
+            out[field.name] = "timestamp"  # tz/unit differences are benign
+        elif pa.types.is_large_string(t) or pa.types.is_string(t):
+            out[field.name] = "string"
+        else:
+            out[field.name] = str(t)
+    return out
+
+
+def dtype_warnings(sdf, duck_res):
+    try:
+        smap = _arrow_type_map(sdf.toArrow())
+        dmap = _arrow_type_map(duck_res.arrow())
+    except Exception as e:  # arrow conversion not available for some type
+        return [f"dtype-check skipped: {e}"]
+    warns = []
+    for col in sorted(set(smap) & set(dmap)):
+        if smap[col] != dmap[col]:
+            warns.append(f"dtype {col}: spark={smap[col]} duck={dmap[col]}")
+    return warns
+
+
 def main():
     import __spark_entry__ as entrymod
     from docling_translate_spark.plans.session import build_session
@@ -90,6 +125,10 @@ def main():
                 diff_s = list((sm - dm).items())[:3]
                 diff_d = list((dm - sm).items())[:3]
                 msgs.append(f"values spark-only={diff_s} duck-only={diff_d}")
+        if ok:
+            warns = dtype_warnings(fn(spark, SF_DIR), con.execute(oracles[name]))
+            if warns:
+                msgs.append("WARN " + "; ".join(warns))
         status = "OK " if ok else "FAIL"
         print(f"{name:28s} {status} spark={len(srows)} duck={len(drows)} {'; '.join(msgs)}")
         if not ok:
