@@ -293,25 +293,27 @@ def q_dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def q_ann_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Brute-force cosine top-5, BLAS path (ids+rank compared against
-    DuckDB's list_cosine_similarity; cosine omitted to dodge FP-hash noise)."""
-    from docling_translate_spark.operators.similarity import brute_force_topk_blas
-
-    emb = _emb(spark, sf_dir)
-    return brute_force_topk_blas(emb, emb, k=5).select(
-        "query_id", "neighbor_id", F.col("rank").cast("long").alias("rank")
-    )
-
-
-def q_ann_topk_blocked(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Blocked exact cosine top-5: corpus packed into executor-side matrix
-    blocks (no broadcast / driver collect — the exact-kNN plan that holds
-    when the corpus outgrows worker memory). Same DuckDB oracle as
-    ann_topk: blocking must not change a single neighbor."""
+    """Exact cosine top-5 — the HEADLINE kNN entry is the scale-safe
+    blocked plan: corpus packed into executor-side matrix blocks, no
+    broadcast, no driver collect (ids+rank compared against DuckDB's
+    list_cosine_similarity; cosine omitted to dodge FP-hash noise)."""
     from docling_translate_spark.operators.similarity import brute_force_topk_blocked
 
     emb = _emb(spark, sf_dir)
     return brute_force_topk_blocked(emb, emb, k=5, n_blocks=8).select(
+        "query_id", "neighbor_id", F.col("rank").cast("long").alias("rank")
+    )
+
+
+def q_ann_topk_small(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact cosine top-5, small-corpus BLAS fast path (collect +
+    broadcast — documented envelope: corpus must fit worker memory).
+    Same DuckDB oracle as ann_topk: the two plans must agree on every
+    neighbor."""
+    from docling_translate_spark.operators.similarity import brute_force_topk_blas
+
+    emb = _emb(spark, sf_dir)
+    return brute_force_topk_blas(emb, emb, k=5).select(
         "query_id", "neighbor_id", F.col("rank").cast("long").alias("rank")
     )
 
@@ -723,7 +725,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dedup_simhash": q_dedup_simhash,
         "dedup_ngram_jaccard": q_dedup_ngram_jaccard,
         "ann_topk": q_ann_topk,
-        "ann_topk_blocked": q_ann_topk_blocked,
+        "ann_topk_small": q_ann_topk_small,
         "embed_near_dup_exact": q_embed_near_dup_exact,
         "ann_lsh": q_ann_lsh,
         "ann_ivf": q_ann_ivf,
@@ -866,7 +868,7 @@ def oracle_sql() -> dict[str, str]:
             FROM embeddings a JOIN embeddings b ON a.vec_id <> b.vec_id
             QUALIFY rank <= 5
         """,
-        "ann_topk_blocked": """
+        "ann_topk_small": """
             SELECT a.vec_id AS query_id, b.vec_id AS neighbor_id,
                    row_number() OVER (
                        PARTITION BY a.vec_id

@@ -82,7 +82,17 @@ def shingle_df(
             F.transform(idx, lambda i: F.array_join(F.slice(tokens, i + 1, n), " "))
         ),
     ).otherwise(F.array(F.array_join(tokens, " ")))
-    return df.select(F.col(id_col).alias("sid"), F.explode(shingles).alias("shingle"))
+    # set_size rides along from the pre-explode array — measuring it here
+    # costs nothing and spares Jaccard a per-doc sizes join downstream.
+    # The array is materialized in its own projection so explode and size
+    # share one evaluation (referencing the expression twice in a single
+    # select rebuilds it twice).
+    arr = df.select(F.col(id_col).alias("sid"), shingles.alias("_sharr"))
+    return arr.select(
+        "sid",
+        F.explode("_sharr").alias("shingle"),
+        F.size("_sharr").cast("long").alias("set_size"),
+    )
 
 
 def ngram_jaccard_pairs(
@@ -102,27 +112,27 @@ def ngram_jaccard_pairs(
     otherwise serialize the join).
     """
     sh = shingle_df(df, text_col, id_col, n).cache()
-    sizes = sh.groupBy("sid").agg(F.count("*").alias("set_size"))
 
     freq = sh.groupBy("shingle").agg(F.count("*").alias("df_"))
     rare = sh.join(freq.filter(F.col("df_") <= max_bucket), "shingle")
 
-    a = rare.select(F.col("sid").alias("id_a"), "shingle")
-    b = rare.select(F.col("sid").alias("id_b"), "shingle")
-    common = (
+    # set_size travels on every shingle row (computed pre-explode, free),
+    # so union size falls out of the pair aggregation itself — no per-doc
+    # sizes table to join, and in particular nothing per-doc to broadcast
+    # (a broadcast of a |docs|-row aggregate is a planner-forced OOM at
+    # 10^9 docs)
+    a = rare.select(F.col("sid").alias("id_a"), "shingle",
+                    F.col("set_size").alias("size_a"))
+    b = rare.select(F.col("sid").alias("id_b"), "shingle",
+                    F.col("set_size").alias("size_b"))
+    return (
         a.join(b, "shingle")
         .filter(F.col("id_a") < F.col("id_b"))
         .groupBy("id_a", "id_b")
-        .agg(F.count("*").alias("n_common"))
-    )
-    return (
-        common.join(
-            F.broadcast(sizes.withColumnRenamed("sid", "id_a").withColumnRenamed("set_size", "size_a")),
-            "id_a",
-        )
-        .join(
-            F.broadcast(sizes.withColumnRenamed("sid", "id_b").withColumnRenamed("set_size", "size_b")),
-            "id_b",
+        .agg(
+            F.count("*").alias("n_common"),
+            F.min("size_a").alias("size_a"),
+            F.min("size_b").alias("size_b"),
         )
         .withColumn(
             "jaccard",

@@ -79,6 +79,7 @@ def pack_sequences(
     strata_col: str = "source",
     id_col: str = "doc_id",
     text_col: str = "text",
+    n_buckets: int = 32,
 ) -> DataFrame:
     """Assign each document to a training sequence: documents are laid
     out in stable (stratum, id) order, token counts accumulate, and a
@@ -86,9 +87,19 @@ def pack_sequences(
     budget — the concat-and-chunk layout pretraining loaders use.
 
     Integer arithmetic end to end, so Spark and any SQL oracle agree
-    exactly. At scale the window is a range-sort on (stratum, id) —
-    the same partitioning the final write wants, so the sort is not an
-    extra shuffle in the composed pipeline.
+    exactly.
+
+    Scale shape — two-phase prefix sum: a single
+    ``Window.partitionBy(stratum)`` puts an ENTIRE stratum in one task
+    (a handful of sources would serialize a 100 TB packing job on ~5
+    tasks), so each stratum is cut into ``n_buckets`` contiguous id
+    ranges; per-bucket token sums (a tiny ``strata × n_buckets`` table)
+    prefix-sum into per-bucket base offsets which broadcast-join back,
+    and only the local cumulative sum runs as a window — now over
+    ``strata × n_buckets``-way parallelism. Bucketing is pure integer
+    arithmetic on the id (deterministic at any cluster size / input
+    split). Requires an integral id column; pass ``n_buckets=1`` to get
+    the plain one-window-per-stratum plan.
     """
     txt = F.col(text_col)
     # long, not int: the driver gate hashes type-sensitively and any SQL
@@ -99,14 +110,61 @@ def pack_sequences(
         .otherwise(F.size(F.split(F.trim(txt), r"\s+")))
         .cast("long")
     )
-    w = Window.partitionBy(strata_col).orderBy(id_col)
-    cum = F.sum(toks).over(w)
     # `div` is true integer division — a float64 `/` would misplace a
     # document once cumulative offsets pass 2^53 (plausible per-stratum
     # at the 100 TB scale this targets)
-    return (
+    bin_of = lambda start: F.expr(f"{start} div {int(token_budget)}")  # noqa: E731
+
+    if n_buckets <= 1:
+        w = Window.partitionBy(strata_col).orderBy(id_col)
+        cum = F.sum(toks).over(w)
+        return (
+            df.withColumn("ws_tokens", toks)
+            .withColumn("_start", (cum - toks).cast("long"))
+            .withColumn("seq_bin", bin_of("_start"))
+            .drop("_start")
+        )
+
+    sid = F.col(id_col).cast("long")
+    # contiguous id-range buckets: (id - lo) div ceil(range / n_buckets).
+    # The divisor form avoids the (id - lo) * n_buckets overflow and
+    # keeps every bucket value in [0, n_buckets).
+    bounds = df.groupBy(strata_col).agg(
+        F.min(sid).alias("_lo"), F.max(sid).alias("_hi")
+    )
+    tagged = (
         df.withColumn("ws_tokens", toks)
-        .withColumn("_start", (cum - toks).cast("long"))
-        .withColumn("seq_bin", F.expr(f"_start div {int(token_budget)}"))
-        .drop("_start")
+        .join(F.broadcast(bounds), strata_col)  # one row per stratum: tiny
+        .withColumn(
+            "_bkt",
+            F.expr(f"(cast({id_col} as bigint) - _lo) div "
+                   f"((_hi - _lo) div {int(n_buckets)} + 1)"),
+        )
+        .drop("_lo", "_hi")
+    )
+    partials = tagged.groupBy(strata_col, "_bkt").agg(
+        F.sum("ws_tokens").alias("_bsum")
+    )
+    # prefix over the tiny per-bucket table (strata × n_buckets rows —
+    # the one window that may run single-task, on kilobytes)
+    wb = (
+        Window.partitionBy(strata_col)
+        .orderBy("_bkt")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    bases = partials.select(
+        strata_col,
+        "_bkt",
+        F.coalesce(F.sum("_bsum").over(wb), F.lit(0)).alias("_base"),
+    )
+    wl = Window.partitionBy(strata_col, "_bkt").orderBy(id_col)
+    return (
+        tagged.join(F.broadcast(bases), [strata_col, "_bkt"])
+        .withColumn(
+            "_start",
+            (F.col("_base") + F.sum("ws_tokens").over(wl) - F.col("ws_tokens"))
+            .cast("long"),
+        )
+        .withColumn("seq_bin", bin_of("_start"))
+        .drop("_bkt", "_base", "_start")
     )

@@ -387,45 +387,39 @@ def hyperplane_signatures(
     return df.select(id_col, vec_col).mapInPandas(gen, out_schema)
 
 
-def lsh_ann_topk(
+def _rescore_pairs(
     corpus: DataFrame,
-    dim: int,
-    k: int = 5,
-    n_planes: int = 8,
-    n_tables: int = 12,
-    id_col: str = "vec_id",
-    vec_col: str = "embedding",
-    seed: int = 11,
+    pairs: DataFrame,
+    k: int,
+    id_col: str,
+    vec_col: str,
 ) -> DataFrame:
-    """Approximate top-k neighbors: candidate pairs share an LSH bucket in
-    any table; exact rescoring happens in ONE numpy pass per query against
-    a broadcast corpus matrix (no per-pair JVM cosine — with 10^7+
-    candidate pairs that higher-order-function path dominates runtime).
+    """Exact top-k rescoring of distinct candidate ``(query_id,
+    neighbor_id)`` pairs with NO driver collect and NO corpus broadcast —
+    the piece that lets LSH/IVF ANN survive a corpus that outgrows any
+    single machine.
 
-    Recall rises with more tables / fewer planes; candidate volume rises
-    with bucket size — tune to corpus density. Candidate generation is a
-    bucket equi-join on small int keys (AQE-splittable); the rescoring
-    broadcast bounds corpus size like :func:`brute_force_topk_blas`.
+    Neighbor vectors are gathered by an equi-join on ``neighbor_id``
+    (plain shuffle join — AQE splits hot queries), packed per query via
+    ``collect_list(struct(...))``, joined to the query's own vector, and
+    rescored with one GEMM per query row inside Arrow batches. Data moved
+    is exactly one vector copy per candidate pair — the same volume the
+    old broadcast path shipped per executor for the WHOLE corpus.
     """
-    sig = hyperplane_signatures(corpus, dim, n_planes, n_tables, id_col, vec_col, seed)
-    a = sig.select(F.col("sid").alias("query_id"), "table", "bucket")
-    b = sig.select(F.col("sid").alias("neighbor_id"), "table", "bucket")
-    cand = (
-        a.join(b, ["table", "bucket"])
-        .filter(F.col("query_id") != F.col("neighbor_id"))
-        .select("query_id", "neighbor_id")
-        .dropDuplicates()
-        .groupBy("query_id")
-        .agg(F.collect_list("neighbor_id").alias("cand_ids"))
+    nvec = corpus.select(
+        F.col(id_col).alias("neighbor_id"), F.col(vec_col).alias("_nvec")
     )
-
-    rows = corpus.select(id_col, vec_col).collect()
-    ids = np.array([r[0] for r in rows], dtype=np.int64)
-    mat = np.stack([np.asarray(r[1], dtype=np.float64) for r in rows])
-    mat = mat / np.linalg.norm(mat, axis=1, keepdims=True)
-    idx_of = {int(i): j for j, i in enumerate(ids)}
-    sc = corpus.sparkSession.sparkContext
-    b_mat, b_idx = sc.broadcast(mat), sc.broadcast(idx_of)
+    qvec = corpus.select(
+        F.col(id_col).alias("query_id"), F.col(vec_col).alias("_qvec")
+    )
+    gathered = (
+        pairs.join(nvec, "neighbor_id")
+        # single struct list: one aggregate, ids and vectors can't skew
+        # out of step
+        .groupBy("query_id")
+        .agg(F.collect_list(F.struct("neighbor_id", "_nvec")).alias("_cands"))
+        .join(qvec, "query_id")
+    )
 
     out_schema = StructType(
         [
@@ -437,23 +431,72 @@ def lsh_ann_topk(
     )
 
     def rescore(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
-        cmat, cidx = b_mat.value, b_idx.value
         for pdf in batches:
             out = {"query_id": [], "neighbor_id": [], "cosine": [], "rank": []}
-            for qid, cand_ids in zip(pdf["query_id"], pdf["cand_ids"]):
-                qv = cmat[cidx[int(qid)]]
-                nid = np.fromiter((int(c) for c in cand_ids), dtype=np.int64)
-                nrows = np.fromiter((cidx[int(c)] for c in cand_ids), dtype=np.int64)
-                sims = cmat[nrows] @ qv
+            for qid, cands, qv in zip(
+                pdf["query_id"], pdf["_cands"], pdf["_qvec"]
+            ):
+                nid = np.asarray(
+                    [c["neighbor_id"] for c in cands], dtype=np.int64
+                )
+                nmat = np.stack(
+                    [np.asarray(c["_nvec"], dtype=np.float64) for c in cands]
+                )
+                nmat = nmat / np.linalg.norm(nmat, axis=1, keepdims=True)
+                q = np.asarray(qv, dtype=np.float64)
+                q = q / np.linalg.norm(q)
+                sims = nmat @ q
                 order = np.lexsort((nid, -sims))[:k]
                 for r, j in enumerate(order, start=1):
                     out["query_id"].append(int(qid))
                     out["neighbor_id"].append(int(nid[j]))
                     out["cosine"].append(float(sims[j]))
                     out["rank"].append(r)
-            yield pd.DataFrame(out)
+            yield (
+                pd.DataFrame(out)
+                if out["query_id"]
+                else pd.DataFrame(
+                    {
+                        "query_id": pd.array([], dtype="int64"),
+                        "neighbor_id": pd.array([], dtype="int64"),
+                        "cosine": pd.array([], dtype="float64"),
+                        "rank": pd.array([], dtype="int32"),
+                    }
+                )
+            )
 
-    return cand.mapInPandas(rescore, out_schema)
+    return gathered.mapInPandas(rescore, out_schema)
+
+
+def lsh_ann_topk(
+    corpus: DataFrame,
+    dim: int,
+    k: int = 5,
+    n_planes: int = 8,
+    n_tables: int = 12,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    seed: int = 11,
+) -> DataFrame:
+    """Approximate top-k neighbors: candidate pairs share an LSH bucket in
+    any table; exact rescoring is fully distributed (:func:`_rescore_pairs`
+    — gather-by-join + per-query GEMM, no driver collect, no corpus
+    broadcast).
+
+    Recall rises with more tables / fewer planes; candidate volume rises
+    with bucket size — tune to corpus density. Candidate generation is a
+    bucket equi-join on small int keys (AQE-splittable).
+    """
+    sig = hyperplane_signatures(corpus, dim, n_planes, n_tables, id_col, vec_col, seed)
+    a = sig.select(F.col("sid").alias("query_id"), "table", "bucket")
+    b = sig.select(F.col("sid").alias("neighbor_id"), "table", "bucket")
+    cand = (
+        a.join(b, ["table", "bucket"])
+        .filter(F.col("query_id") != F.col("neighbor_id"))
+        .select("query_id", "neighbor_id")
+        .dropDuplicates()
+    )
+    return _rescore_pairs(corpus, cand, k, id_col, vec_col)
 
 
 def _kmeans(mat: np.ndarray, n_cells: int, iters: int = 10, seed: int = 17) -> np.ndarray:
@@ -482,30 +525,35 @@ def ivf_topk(
     id_col: str = "vec_id",
     vec_col: str = "embedding",
     seed: int = 17,
+    max_train: int = 65536,
 ) -> DataFrame:
     """IVF approximate top-k: k-means coarse quantizer → inverted cell
     lists → probe the ``nprobe`` nearest cells per query → exact rescore.
 
-    The quantizer trains on a driver-side sample (deterministic seeded
-    k-means — at production scale train on a bounded sample, which is the
-    standard IVF recipe); cell assignment is one narrow numpy pass;
-    query↔candidate pairing is an equi-join on small int cell ids (AQE-
-    splittable — hot cells are the skew case, nprobe spreads the probe
-    side). Rescoring reuses the broadcast-matrix GEMM pattern.
+    Scale shape: the quantizer trains on a BOUNDED deterministic sample
+    (hash-ordered take of ``max_train`` rows — the standard IVF recipe;
+    the driver never sees more than that regardless of corpus size) and
+    only the ``n_cells × dim`` centroid matrix is broadcast. Cell
+    assignment is one narrow numpy pass; query↔candidate pairing is an
+    equi-join on small int cell ids (AQE-splittable — hot cells are the
+    skew case, nprobe spreads the probe side). Rescoring is fully
+    distributed (:func:`_rescore_pairs` — no corpus collect/broadcast).
     """
-    rows = corpus.select(id_col, vec_col).collect()
-    ids = np.array([r[0] for r in rows], dtype=np.int64)
-    mat = np.stack([np.asarray(r[1], dtype=np.float64) for r in rows])
+    # deterministic bounded training sample: per-partition top-N by
+    # md5(id) then a driver-side merge of at most max_train rows
+    # (TakeOrdered — no full sort, no full collect)
+    sample_rows = (
+        corpus.select(id_col, vec_col)
+        .orderBy(F.md5(F.col(id_col).cast("string")), F.col(id_col))
+        .limit(max_train)
+        .collect()
+    )
+    mat = np.stack([np.asarray(r[1], dtype=np.float64) for r in sample_rows])
     mat = mat / np.linalg.norm(mat, axis=1, keepdims=True)
     centroids = _kmeans(mat, n_cells, seed=seed)
-    idx_of = {int(i): j for j, i in enumerate(ids)}
 
     sc = corpus.sparkSession.sparkContext
-    b_mat, b_idx, b_cent = (
-        sc.broadcast(mat),
-        sc.broadcast(idx_of),
-        sc.broadcast(centroids),
-    )
+    b_cent = sc.broadcast(centroids)
 
     cell_schema = StructType(
         [
@@ -556,37 +604,12 @@ def ivf_topk(
     cand = (
         probes.join(inv, on="cell")
         .filter(F.col("qid") != F.col("sid"))
-        .groupBy("qid")
-        .agg(F.collect_set("sid").alias("cand_ids"))
+        .select(
+            F.col("qid").alias("query_id"), F.col("sid").alias("neighbor_id")
+        )
+        .dropDuplicates()
     )
-
-    out_schema = StructType(
-        [
-            StructField("query_id", LongType(), False),
-            StructField("neighbor_id", LongType(), False),
-            StructField("cosine", DoubleType(), False),
-            StructField("rank", IntegerType(), False),
-        ]
-    )
-
-    def rescore(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
-        cmat, cidx = b_mat.value, b_idx.value
-        for pdf in batches:
-            out = {"query_id": [], "neighbor_id": [], "cosine": [], "rank": []}
-            for qid, cand_ids in zip(pdf["qid"], pdf["cand_ids"]):
-                qv = cmat[cidx[int(qid)]]
-                nid = np.fromiter((int(c) for c in cand_ids), dtype=np.int64)
-                nrows = np.fromiter((cidx[int(c)] for c in cand_ids), dtype=np.int64)
-                sims = cmat[nrows] @ qv
-                order = np.lexsort((nid, -sims))[:k]
-                for r, j in enumerate(order, start=1):
-                    out["query_id"].append(int(qid))
-                    out["neighbor_id"].append(int(nid[j]))
-                    out["cosine"].append(float(sims[j]))
-                    out["rank"].append(r)
-            yield pd.DataFrame(out)
-
-    return cand.mapInPandas(rescore, out_schema)
+    return _rescore_pairs(corpus, cand, k, id_col, vec_col)
 
 
 def cosine_near_dup_pairs(

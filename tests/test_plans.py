@@ -112,6 +112,63 @@ def test_blocked_topk_shuffle_shape(spark, transcript_path):
     assert "BroadcastHashJoin" not in plan, plan
 
 
+def test_ngram_jaccard_carries_sizes_inline(spark, transcript_path):
+    """Jaccard must not join (let alone broadcast) a per-doc sizes
+    aggregate — set_size rides on the shingle rows, so the plan has
+    exactly two joins: the stop-shingle frequency join and the inverted-
+    index self-join. (Round 1 shipped F.broadcast over a |docs|-row
+    aggregate: a planner-forced OOM at 10^9 docs.)"""
+    from docling_translate_spark.operators.dedup import ngram_jaccard_pairs
+
+    df = spark.read.parquet(transcript_path).select(
+        F.col("turn_idx").alias("doc_id"), "text"
+    )
+    plan = _plan(ngram_jaccard_pairs(df, n=3, threshold=0.5), "simple")
+    # all joins key on `shingle` (freq join twice, once under each self-
+    # join side, plus the inverted-index join); none keys on a doc id —
+    # that would be the per-doc sizes join coming back
+    for bad in ("Join [id_a", "Join [id_b"):
+        assert bad not in plan, plan
+    n_joins = sum(plan.count(op) for op in
+                  ("SortMergeJoin", "BroadcastHashJoin", "ShuffledHashJoin"))
+    assert n_joins == 3, plan
+
+
+def test_similarity_no_unbounded_driver_collect():
+    """No corpus-sized .collect() in similarity.py: the only allowed
+    call sites are the documented small-corpus BLAS fast path and IVF's
+    bounded (limit max_train) quantizer-training sample."""
+    import inspect
+
+    from docling_translate_spark.operators import similarity
+
+    src = inspect.getsource(similarity)
+    for chunk in src.split("def ")[1:]:
+        name = chunk.split("(")[0]
+        if ".collect()" in chunk:
+            assert name in ("brute_force_topk_blas", "ivf_topk"), (
+                f"unexpected driver collect in {name}"
+            )
+            if name == "ivf_topk":
+                assert ".limit(max_train)" in chunk.split(".collect()")[0]
+
+
+def test_lsh_rescore_gathers_by_join(spark):
+    """LSH ANN rescoring must gather candidate vectors via joins (two
+    vector-attach joins + per-query collect_list), never a corpus
+    broadcast: no BroadcastExchange carrying the embedding column."""
+    from docling_translate_spark.operators.similarity import lsh_ann_topk
+
+    emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    plan = _plan(
+        lsh_ann_topk(emb, dim=64, k=3, n_planes=4, n_tables=4), "simple"
+    )
+    assert "collect_list" in plan, plan
+    for line in plan.splitlines():
+        if "BroadcastExchange" in line:
+            assert "embedding" not in line, plan
+
+
 def test_classifier_stays_jvm_side(spark, transcript_path):
     """Classification must be JVM expressions (RLIKE in a Project), never
     row-at-a-time Python eval."""

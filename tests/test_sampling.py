@@ -96,6 +96,48 @@ def test_pack_sequences_arithmetic(spark, docs):
             start += r["ws_tokens"]
 
 
+def test_pack_sequences_two_phase_matches_single_window(spark, docs):
+    """The bucketed two-phase prefix sum must reproduce the one-window-
+    per-stratum layout exactly, at any bucket count."""
+    base = {
+        (r["doc_id"]): (r["ws_tokens"], r["seq_bin"])
+        for r in pack_sequences(docs, 512, n_buckets=1)
+        .select("doc_id", "ws_tokens", "seq_bin")
+        .collect()
+    }
+    for nb in (2, 7, 32):
+        got = {
+            (r["doc_id"]): (r["ws_tokens"], r["seq_bin"])
+            for r in pack_sequences(docs, 512, n_buckets=nb)
+            .select("doc_id", "ws_tokens", "seq_bin")
+            .collect()
+        }
+        assert got == base, f"n_buckets={nb}"
+
+
+def test_pack_sequences_parallelizes_within_stratum(spark, docs):
+    """The heavy window must partition on (stratum, bucket), not just the
+    stratum — >1 task per stratum on a 2-source input is the whole point
+    of the two-phase plan."""
+    import contextlib
+    import io
+
+    two = docs.filter(F.col("source").isin("wiki", "web"))
+    df = pack_sequences(two, 512, n_buckets=8)
+    buf = io.StringIO()
+    with contextlib.redirect_stdout(buf):
+        df.explain("simple")
+    plan = buf.getvalue()
+    assert "hashpartitioning(source#" in plan.replace("source ", "source#"), plan
+    # the big window's exchange carries the bucket column
+    assert "_bkt" in plan, plan
+    wide_windows = [
+        l for l in plan.splitlines()
+        if "Window" in l and "ws_tokens" in l and "_bkt" in l
+    ]
+    assert wide_windows, plan
+
+
 def test_repetition_fixtures(spark):
     df = spark.createDataFrame(
         [
