@@ -760,6 +760,16 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
 
 def oracle_sql() -> dict[str, str]:
+    # MinHash universal-hash params, inlined as SQL literals so DuckDB
+    # reproduces the signatures bit-for-bit (same seed as the query)
+    from docling_translate_spark.operators.dedup import _hash_params
+    from docling_translate_spark.sentences import ABBREVIATIONS
+
+    _A, _B = _hash_params(64, 7)
+    _a_lit = "[" + ",".join(str(int(x)) for x in _A) + "]"
+    _b_lit = "[" + ",".join(str(int(x)) for x in _B) + "]"
+    _abbr_lit = "[" + ",".join("'" + a + "'" for a in sorted(ABBREVIATIONS)) + "]"
+
     return {
         "p1_nonempty_filter": """
             SELECT lang, count(*) AS n_docs
@@ -858,6 +868,88 @@ def oracle_sql() -> dict[str, str]:
             FROM documents
             GROUP BY md5(text)
         """,
+        # full value oracle for the 64-bit SimHash: md5-prefix token hash
+        # + per-bit majority vote, reproduced with DuckDB list lambdas
+        "dedup_simhash": r"""
+            WITH toks AS (
+              SELECT doc_id,
+                     CASE WHEN trim(lower(text)) = '' THEN []::VARCHAR[]
+                          ELSE string_split_regex(trim(lower(text)), '\s+')
+                     END AS ts
+              FROM documents
+            ), hv AS (
+              SELECT doc_id,
+                     list_transform(ts,
+                         t -> ('0x'||substr(md5(t),1,16))::UBIGINT) AS hs,
+                     len(ts) AS n
+              FROM toks
+            ), raw AS (
+              SELECT doc_id,
+                     CASE WHEN n = 0 THEN 0::HUGEINT
+                          ELSE list_sum(list_transform(range(0,64), b ->
+                               CASE WHEN 2*list_sum(list_transform(hs,
+                                         h -> ((h >> b) & 1)::BIGINT)) > n
+                                    THEN (1::HUGEINT << b)
+                                    ELSE 0::HUGEINT END))
+                     END AS u
+              FROM hv
+            )
+            SELECT doc_id,
+                   CAST(CASE WHEN u >= 9223372036854775808::HUGEINT
+                             THEN u - 18446744073709551616::HUGEINT
+                             ELSE u END AS BIGINT) AS simhash
+            FROM raw
+        """,
+        # full value oracle for banded MinHash LSH (64 hashes, 16 bands
+        # x 4 rows, est >= 0.5): signatures, band keys, candidate join
+        # and the estimate filter all reproduced in SQL — the a/b hash
+        # params are inlined as literals above
+        "dedup_minhash_lsh": r"""
+            WITH toks AS (
+              SELECT doc_id,
+                     CASE WHEN trim(lower(text)) = '' THEN []::VARCHAR[]
+                          ELSE string_split_regex(trim(lower(text)), '\s+')
+                     END AS ts
+              FROM documents
+            ), shng AS (
+              SELECT doc_id,
+                     CASE WHEN len(ts) >= 3
+                          THEN list_distinct(list_transform(range(0, len(ts)-2),
+                               i -> ts[i+1] || ' ' || ts[i+2] || ' ' || ts[i+3]))
+                          ELSE [array_to_string(ts, ' ')] END AS ss
+              FROM toks
+            ), hv AS (
+              SELECT doc_id,
+                     list_transform(ss, s ->
+                         (('0x'||substr(md5(s),1,16))::UBIGINT
+                          & 4294967295)::HUGEINT) AS hs
+              FROM shng
+            ), sig AS (
+              SELECT doc_id,
+                     list_transform(range(0, 64), k ->
+                         CAST(list_min(list_transform(hs,
+                              h -> (__MINHASH_A__[k+1]::HUGEINT * h
+                                    + __MINHASH_B__[k+1]) % 4294967311))
+                              AS BIGINT)) AS sg
+              FROM hv
+            ), bnd AS (
+              SELECT doc_id, sg, b,
+                     ('0x'||substr(md5(array_to_string(
+                          list_transform(sg[b*4+1 : b*4+4], v -> v::VARCHAR),
+                          ',')),1,15))::BIGINT AS bh
+              FROM sig, range(0, 16) t(b)
+            ), cand AS (
+              SELECT DISTINCT x.doc_id AS id_a, y.doc_id AS id_b
+              FROM bnd x
+              JOIN bnd y ON x.b = y.b AND x.bh = y.bh AND x.doc_id < y.doc_id
+            )
+            SELECT id_a, id_b
+            FROM cand
+            JOIN sig sa ON sa.doc_id = id_a
+            JOIN sig sb ON sb.doc_id = id_b
+            WHERE list_sum(list_transform(range(1, 65),
+                  i -> CASE WHEN sa.sg[i] = sb.sg[i] THEN 1 ELSE 0 END)) >= 32
+        """.replace("__MINHASH_A__", _a_lit).replace("__MINHASH_B__", _b_lit),
         "ann_topk": """
             SELECT a.vec_id AS query_id, b.vec_id AS neighbor_id,
                    row_number() OVER (
@@ -901,6 +993,56 @@ def oracle_sql() -> dict[str, str]:
                    sha256(upper(hex(payload))) AS sha256
             FROM m
         """,
+        # full value oracle for the T8 rule-based sentence tokenizer: the
+        # kernel's boundary regex uses a lookahead (RE2 has none), so the
+        # oracle splits at every candidate and re-applies the lookahead
+        # as a check on the following piece; a rejected/suppressed
+        # candidate's terminator keeps the tail nonempty, hence the
+        # m > last_acc clause
+        "t8_sentences": r"""
+            WITH base AS (
+              SELECT doc_id, text,
+                     regexp_split_to_array(text,
+                         '[.!?]["''’”\)\]]*\s+') AS pieces,
+                     regexp_extract_all(text,
+                         '([.!?])["''’”\)\]]*\s+', 1) AS terms
+              FROM documents
+            ), cand AS (
+              SELECT doc_id, text, pieces, terms, len(terms) AS m,
+                     list_transform(range(1, len(terms)+1), c ->
+                         CASE WHEN regexp_matches(pieces[c+1],
+                                       '^["''“‘(\[]*[A-Z0-9]')
+                                   AND NOT (terms[c] = '.' AND (
+                                       list_contains(__ABBR__,
+                                           lower(rtrim(regexp_extract(pieces[c],
+                                               '([A-Za-z][A-Za-z.]*)$', 1), '.')))
+                                       OR regexp_matches(
+                                           lower(rtrim(regexp_extract(pieces[c],
+                                               '([A-Za-z][A-Za-z.]*)$', 1), '.')),
+                                           '^[a-z]$')))
+                              THEN 1 ELSE 0 END) AS acc
+              FROM base
+            ), agg AS (
+              SELECT doc_id, text, pieces, m,
+                     coalesce(list_sum(acc), 0)::BIGINT AS n_acc,
+                     coalesce(list_max(list_transform(range(1, m+1),
+                         c -> CASE WHEN acc[c] = 1 THEN c ELSE 0 END)), 0)
+                         AS last_acc
+              FROM cand
+            )
+            SELECT doc_id,
+                   CAST(CASE WHEN text IS NULL
+                                  OR trim(text, ' ' || chr(9) || chr(10)
+                                          || chr(13)) = ''
+                             THEN 0
+                             ELSE n_acc + (CASE WHEN m > last_acc
+                                                OR trim(pieces[m+1],
+                                                    ' ' || chr(9) || chr(10)
+                                                    || chr(13)) <> ''
+                                           THEN 1 ELSE 0 END)
+                        END AS INTEGER) AS n_sentences
+            FROM agg
+        """.replace("__ABBR__", _abbr_lit),
         "s1_format_detect": r'''
             WITH deco AS (
                 SELECT doc_id,
@@ -1088,6 +1230,90 @@ def oracle_sql() -> dict[str, str]:
                             (a, b) -> (a * 31 + b) % 1099511627776)
                    END AS rolling_fp
             FROM n
+        """,
+        # full value oracle for winnowing (MOSS): direct polynomial k-gram
+        # hash is congruent to the kernel's rolling form; selections are
+        # non-decreasing under the rightmost-min rule, so the kernel's
+        # consecutive-dedup equals list_distinct
+        "winnow_fingerprints": r"""
+            WITH norm AS (
+              SELECT doc_id,
+                     trim(regexp_replace(lower(text), '\s+', ' ', 'g'), ' ') AS s
+              FROM documents
+            ), cp AS (
+              SELECT doc_id,
+                     list_transform(string_split(s, ''),
+                                    c -> unicode(c)::BIGINT) AS cps,
+                     length(s) AS ln
+              FROM norm
+            ), hs AS (
+              SELECT doc_id, ln - 4 AS n,
+                     list_transform(range(0, ln - 4), j ->
+                         (cps[j+1]*923521 + cps[j+2]*29791 + cps[j+3]*961
+                          + cps[j+4]*31 + cps[j+5]) % 1099511627776) AS h
+              FROM cp
+              WHERE ln >= 5
+            ), sel AS (
+              SELECT doc_id, h,
+                     CASE WHEN n <= 4 THEN
+                         [list_max(list_transform(range(1, n+1),
+                              i -> CASE WHEN h[i] = list_min(h)
+                                   THEN i-1 ELSE -1 END))]
+                     ELSE
+                         list_distinct(list_transform(range(0, n-3), w ->
+                             w + list_max(list_transform(range(1, 5),
+                                 i -> CASE WHEN h[w+i] = list_min(h[w+1:w+4])
+                                      THEN i-1 ELSE -1 END))))
+                     END AS sels
+              FROM hs
+            )
+            SELECT doc_id, h[s+1] AS fp, s::INTEGER AS pos
+            FROM sel, unnest(sels) AS u(s)
+        """,
+        "winnow_pairs": r"""
+            WITH norm AS (
+              SELECT doc_id,
+                     trim(regexp_replace(lower(text), '\s+', ' ', 'g'), ' ') AS s
+              FROM documents
+            ), cp AS (
+              SELECT doc_id,
+                     list_transform(string_split(s, ''),
+                                    c -> unicode(c)::BIGINT) AS cps,
+                     length(s) AS ln
+              FROM norm
+            ), hs AS (
+              SELECT doc_id, ln - 4 AS n,
+                     list_transform(range(0, ln - 4), j ->
+                         (cps[j+1]*923521 + cps[j+2]*29791 + cps[j+3]*961
+                          + cps[j+4]*31 + cps[j+5]) % 1099511627776) AS h
+              FROM cp
+              WHERE ln >= 5
+            ), sel AS (
+              SELECT doc_id, h,
+                     CASE WHEN n <= 4 THEN
+                         [list_max(list_transform(range(1, n+1),
+                              i -> CASE WHEN h[i] = list_min(h)
+                                   THEN i-1 ELSE -1 END))]
+                     ELSE
+                         list_distinct(list_transform(range(0, n-3), w ->
+                             w + list_max(list_transform(range(1, 5),
+                                 i -> CASE WHEN h[w+i] = list_min(h[w+1:w+4])
+                                      THEN i-1 ELSE -1 END))))
+                     END AS sels
+              FROM hs
+            ), fps AS (
+              SELECT DISTINCT doc_id, h[s+1] AS fp
+              FROM sel, unnest(sels) AS u(s)
+            ), rare AS (
+              SELECT doc_id, fp FROM fps
+              WHERE fp NOT IN (
+                  SELECT fp FROM fps GROUP BY fp HAVING count(*) > 50)
+            )
+            SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+                   count(*) AS n_shared
+            FROM rare a JOIN rare b ON a.fp = b.fp AND a.doc_id < b.doc_id
+            GROUP BY a.doc_id, b.doc_id
+            HAVING count(*) >= 3
         """,
         "repetition": r"""
             WITH base AS (

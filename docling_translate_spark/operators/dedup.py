@@ -27,7 +27,6 @@ drivers should ``spark.catalog.clearCache()`` between invocations.
 
 from __future__ import annotations
 
-import zlib
 from typing import Iterator
 
 import numpy as np
@@ -146,14 +145,35 @@ def ngram_jaccard_pairs(
 
 # --- MinHash + LSH ---
 
-_MERSENNE = (1 << 61) - 1
+# smallest prime above 2^32: with 32-bit token hashes, a*h + b stays
+# under 2^64 — exact in numpy uint64 AND in any SQL engine's 128-bit
+# integer, so signatures are oracle-reproducible (the earlier 2^61-1
+# scheme silently wrapped the int64 product, deterministic but
+# engine-private)
+_MINHASH_P = 4294967311
 
 
 def _hash_params(k: int, seed: int = 7) -> tuple[np.ndarray, np.ndarray]:
     rng = np.random.RandomState(seed)
-    a = rng.randint(1, _MERSENNE, size=k, dtype=np.int64)
-    b = rng.randint(0, _MERSENNE, size=k, dtype=np.int64)
+    a = rng.randint(1, _MINHASH_P, size=k).astype(np.uint64)
+    b = rng.randint(0, _MINHASH_P, size=k).astype(np.uint64)
     return a, b
+
+
+def _md5_hash64(strings) -> np.ndarray:
+    """uint64 hash of each string: first 16 hex chars of md5.
+
+    md5 is already avalanche-mixed AND portable — any SQL engine can
+    reproduce it (``('0x' || substr(md5(t), 1, 16))::UBIGINT`` in
+    DuckDB), which is what lets the SimHash / MinHash queries carry full
+    value oracles instead of rows-only checks."""
+    import hashlib
+
+    return np.fromiter(
+        (int(hashlib.md5(s.encode()).hexdigest()[:16], 16) for s in strings),
+        dtype=np.uint64,
+        count=len(strings) if hasattr(strings, "__len__") else -1,
+    )
 
 
 def minhash_signatures(
@@ -186,18 +206,12 @@ def minhash_signatures(
                     sh = {" ".join(toks[i : i + n]) for i in range(len(toks) - n + 1)}
                 else:
                     sh = {" ".join(toks)}
-                hv = (
-                    _splitmix64(
-                        np.fromiter(
-                            (zlib.crc32(s.encode()) for s in sh),
-                            dtype=np.uint64,
-                            count=len(sh),
-                        )
-                    )
-                    >> np.uint64(1)
-                ).astype(np.int64)
+                hv = _md5_hash64(list(sh)) & np.uint64(0xFFFFFFFF)
                 # k x |sh| permutation mins, computed as one outer product
-                sig = ((a_params[:, None] * hv[None, :] + b_params[:, None]) % _MERSENNE).min(axis=1)
+                sig = (
+                    (a_params[:, None] * hv[None, :] + b_params[:, None])
+                    % np.uint64(_MINHASH_P)
+                ).min(axis=1).astype(np.int64)
                 ids.append(int(sid))
                 sigs.append(sig.tolist())
             yield pd.DataFrame({"sid": ids, "signature": sigs})
@@ -224,6 +238,20 @@ def minhash_lsh_pairs(
     rows = num_hashes // bands
     sig = minhash_signatures(df, text_col, id_col, n, num_hashes, seed).cache()
 
+    # band key = 60-bit md5 prefix of the comma-joined band slice: same
+    # collision semantics as any hash of the slice, but portable — a SQL
+    # oracle reproduces it exactly (F.hash is Spark-private murmur)
+    band_key = lambda sl: (  # noqa: E731
+        F.conv(
+            F.substring(
+                F.md5(F.array_join(F.transform(sl, lambda v: v.cast("string")), ",")),
+                1,
+                15,
+            ),
+            16,
+            10,
+        ).cast("long")
+    )
     banded = sig.select(
         "sid",
         "signature",
@@ -232,7 +260,7 @@ def minhash_lsh_pairs(
                 F.sequence(F.lit(0), F.lit(bands - 1)),
                 lambda bi: F.struct(
                     bi.alias("band"),
-                    F.hash(F.slice("signature", bi * rows + 1, rows)).alias("bh"),
+                    band_key(F.slice("signature", bi * rows + 1, rows)).alias("bh"),
                 ),
             )
         ).alias("bb"),
@@ -262,16 +290,6 @@ def minhash_lsh_pairs(
 # --- SimHash ---
 
 
-def _splitmix64(x: np.ndarray) -> np.ndarray:
-    """Avalanche mix (splitmix64 finalizer). CRC32 is linear — raw CRC
-    bits of similar tokens are correlated, which collapses SimHash margins;
-    this restores per-bit independence."""
-    x = (x + np.uint64(0x9E3779B97F4A7C15)) & np.uint64(0xFFFFFFFFFFFFFFFF)
-    x = ((x ^ (x >> np.uint64(30))) * np.uint64(0xBF58476D1CE4E5B9)) & np.uint64(0xFFFFFFFFFFFFFFFF)
-    x = ((x ^ (x >> np.uint64(27))) * np.uint64(0x94D049BB133111EB)) & np.uint64(0xFFFFFFFFFFFFFFFF)
-    return x ^ (x >> np.uint64(31))
-
-
 def simhash_signatures(
     df: DataFrame, text_col: str = "text", id_col: str = "doc_id"
 ) -> DataFrame:
@@ -293,16 +311,12 @@ def simhash_signatures(
                     ids.append(int(sid))
                     hashes.append(0)
                     continue
-                # crc32 seeds a splitmix64 avalanche → well-mixed 64 bits
-                hv = _splitmix64(
-                    np.fromiter(
-                        (zlib.crc32(t.encode()) for t in toks),
-                        dtype=np.uint64,
-                        count=len(toks),
-                    )
-                )
+                hv = _md5_hash64(toks)
                 bits = (hv[:, None] >> bit_idx[None, :]) & np.uint64(1)
-                votes = bits.sum(axis=0) * 2 - len(toks)
+                # signed vote math: uint64 sum * 2 - n wraps negative
+                # margins to huge positives (NEP-50 keeps the uint64
+                # dtype), which silently sets every non-tied bit
+                votes = bits.sum(axis=0).astype(np.int64) * 2 - len(toks)
                 sh = int(((votes > 0).astype(np.uint64) << bit_idx).sum())
                 ids.append(int(sid))
                 hashes.append(sh - (1 << 64) if sh >= (1 << 63) else sh)

@@ -84,9 +84,9 @@ def test_simhash(spark, docs):
 def test_simhash_banded_pairs(spark):
     """hamming ≤ 3 pairs are guaranteed found by 4-band blocking
     (pigeonhole). Long docs differing in one token land within range."""
-    base = [f"tok{i}" for i in range(400)]
+    base = [f"tok{i}" for i in range(40)]
     near = list(base)
-    near[9] = "omega"  # deterministic: hamming(base, near) == 2
+    near[9] = "delta"  # deterministic under the md5 token hash: hamming == 1
     rows = [(0, " ".join(base)), (1, " ".join(near)), (2, " ".join(base))]
     df = spark.createDataFrame(rows, ["doc_id", "text"])
     pairs = {
