@@ -559,6 +559,26 @@ def q_p6_empty_guard(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_s7_render_document(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """S7 whole-document assembly: one complete interactive HTML document
+    per conversation — header/CSS/JS shell, page markers, formula blocks,
+    paragraph rows in stable turn order (ref generate_html_content,
+    html_generator.py:495-761). Full DuckDB oracle: the skeleton
+    constants are inlined into the SQL and the assembly is
+    string_agg(... ORDER BY idx)."""
+    from docling_translate_spark.functions.render import document_html
+
+    txt = F.coalesce(F.col("text"), F.lit(""))
+    d = _docs(spark, sf_dir).select(
+        F.col("source").alias("conv_id"),
+        F.col("doc_id").alias("turn_idx"),
+        txt.alias("text"),
+        txt.alias("extracted"),
+        ((F.col("doc_id") % 40) + 1).alias("page"),
+    )
+    return document_html(d, page_col="page")
+
+
 def q_t8_sentences(spark: SparkSession, sf_dir: str) -> DataFrame:
     """T8 sentence tokenization per doc (rows-only: rule-based splitter
     pinned by pytest fixtures, ref core.py:428)."""
@@ -751,6 +771,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "t8_sentences": q_t8_sentences,
         "s1_format_detect": q_s1_format_detect,
         "s7_render_html": q_s7_render_html,
+        "s7_render_document": q_s7_render_document,
         "lang_codes": q_lang_codes,
         "embed_near_dup": q_embed_near_dup,
         "curation_pipeline": q_curation_pipeline,
@@ -769,6 +790,11 @@ def oracle_sql() -> dict[str, str]:
     _a_lit = "[" + ",".join(str(int(x)) for x in _A) + "]"
     _b_lit = "[" + ",".join(str(int(x)) for x in _B) + "]"
     _abbr_lit = "[" + ",".join("'" + a + "'" for a in sorted(ABBREVIATIONS)) + "]"
+
+    from docling_translate_spark.functions.render import DOC_FOOTER, DOC_HEADER
+
+    _doc_header_lit = "'" + DOC_HEADER.replace("'", "''") + "'"
+    _doc_footer_lit = "'" + DOC_FOOTER.replace("'", "''") + "'"
 
     return {
         "p1_nonempty_filter": """
@@ -1468,6 +1494,62 @@ def oracle_sql() -> dict[str, str]:
                    || '</span></div></div>' AS html
             FROM documents
         """,
+        # whole-document assembly: page markers (lag over the conv
+        # window), formula blocks, paragraph rows, ordered string_agg,
+        # with the DOC_HEADER/DOC_FOOTER constants inlined as literals
+        "s7_render_document": r"""
+            WITH turns AS (
+              SELECT source AS conv_id, doc_id AS turn_idx,
+                     coalesce(text, '') AS t,
+                     doc_id % 40 + 1 AS page
+              FROM documents
+            ), rows_html AS (
+              SELECT conv_id, turn_idx,
+                 (CASE WHEN lag(page) OVER w IS NULL OR page <> lag(page) OVER w
+                       THEN '<div class="page-marker">Page '
+                            || CAST(page AS VARCHAR) || '</div>' || chr(10)
+                       ELSE '' END)
+                 ||
+                 (CASE WHEN regexp_matches(t, '\\[a-zA-Z]+|\^\{|_\{|&=')
+                  THEN '<div class="formula-block">'
+                       || (CASE WHEN starts_with(trim(t), '$')
+                                     OR starts_with(trim(t), '\[')
+                                     OR starts_with(trim(t), '\(')
+                                THEN trim(t)
+                                WHEN contains(trim(t), '&')
+                                THEN '\[\begin{aligned}' || trim(t)
+                                     || '\end{aligned}\]'
+                                ELSE '\[' || trim(t) || '\]' END)
+                       || '</div>'
+                  ELSE '<div class="paragraph-row"><div class="src-block">'
+                       || '<span class="sent" id="'
+                       || 'src-' || conv_id || '-' || CAST(turn_idx AS VARCHAR) || '-0'
+                       || '">'
+                       || replace(replace(replace(replace(replace(t,
+                            '&', '&amp;'), '<', '&lt;'), '>', '&gt;'),
+                            '"', '&quot;'), '''', '&#x27;')
+                       || '</span></div><div class="tgt-block">'
+                       || '<span class="sent" id="'
+                       || 'tgt-' || conv_id || '-' || CAST(turn_idx AS VARCHAR) || '-0'
+                       || '" data-src="'
+                       || 'src-' || conv_id || '-' || CAST(turn_idx AS VARCHAR) || '-0'
+                       || '">'
+                       || replace(replace(replace(replace(replace(t,
+                            '&', '&amp;'), '<', '&lt;'), '>', '&gt;'),
+                            '"', '&quot;'), '''', '&#x27;')
+                       || '</span></div></div>' END) AS row_html
+              FROM turns
+              WINDOW w AS (PARTITION BY conv_id ORDER BY turn_idx)
+            )
+            SELECT conv_id,
+                   __DOC_HEADER__
+                   || string_agg(row_html, chr(10) ORDER BY turn_idx)
+                   || chr(10) || __DOC_FOOTER__ AS html
+            FROM rows_html
+            GROUP BY conv_id
+        """.replace("__DOC_HEADER__", _doc_header_lit).replace(
+            "__DOC_FOOTER__", _doc_footer_lit
+        ),
         "lang_codes": """
             SELECT doc_id,
                    CASE lower(lang)
