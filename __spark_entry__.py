@@ -579,6 +579,58 @@ def q_s7_render_document(spark: SparkSession, sf_dir: str) -> DataFrame:
     return document_html(d, page_col="page")
 
 
+def q_s28_table_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """§2.8 UNION ALL of span sources: body + caption + table cells +
+    headers through the REAL fused extraction kernel (ref core.py:429-448).
+    Full DuckDB oracle: the body is sanitized to a guaranteed single
+    plaintext paragraph, so the kernel's output is exactly
+    body ∥ caption ∥ cells ∥ headers joined with the content joiner —
+    SQL-expressible even though the kernel itself is not."""
+    from docling_translate_spark.operators.extract import extract_turns_fused
+
+    body = F.trim(
+        F.concat(
+            F.lit("w "),
+            F.trim(
+                F.regexp_replace(
+                    F.regexp_replace(
+                        F.lower(F.coalesce(F.col("text"), F.lit(""))),
+                        "[^a-z0-9 ]",
+                        " ",
+                    ),
+                    " +",
+                    " ",
+                )
+            ),
+        )
+    )
+    did = F.col("doc_id").cast("string")
+    has_tbl = F.col("doc_id") % 4 == 0
+    rich = _docs(spark, sf_dir).select(
+        F.col("source").alias("conv_id"),
+        F.col("doc_id").cast("int").alias("turn_idx"),
+        F.lit("user").alias("role"),
+        body.alias("text"),
+        F.lit(None).cast("string").alias("tool"),
+        F.lit(None).cast("timestamp").alias("ts"),
+        F.when(
+            F.col("doc_id") % 3 == 0,
+            F.concat(F.lit("Figure "), did, F.lit(": "), F.substring(body, 1, 20)),
+        ).alias("caption"),
+        F.when(
+            has_tbl,
+            F.array(
+                F.array(F.substring(body, 3, 8), F.concat(F.lit("v"), did)),
+                F.array(F.lit(""), F.substring(body, 11, 8)),
+            ),
+        ).alias("cells"),
+        F.when(has_tbl, F.array(F.lit("metric"), F.lit("value"))).alias("headers"),
+    )
+    return extract_turns_fused(rich).select(
+        "conv_id", "turn_idx", "extracted_text", "n_spans"
+    )
+
+
 def q_t8_sentences(spark: SparkSession, sf_dir: str) -> DataFrame:
     """T8 sentence tokenization per doc (rows-only: rule-based splitter
     pinned by pytest fixtures, ref core.py:428)."""
@@ -772,6 +824,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "s1_format_detect": q_s1_format_detect,
         "s7_render_html": q_s7_render_html,
         "s7_render_document": q_s7_render_document,
+        "s28_table_spans": q_s28_table_spans,
         "lang_codes": q_lang_codes,
         "embed_near_dup": q_embed_near_dup,
         "curation_pipeline": q_curation_pipeline,
@@ -1018,6 +1071,44 @@ def oracle_sql() -> dict[str, str]:
                    octet_length(payload)::INT AS n_bytes,
                    sha256(upper(hex(payload))) AS sha256
             FROM m
+        """,
+        # §2.8 span-source union through the real kernel: the sanitized
+        # body is a guaranteed single plaintext paragraph, so extraction
+        # = body + caption + row-major non-blank cells + headers joined
+        # with '\n\n', and n_spans counts them
+        "s28_table_spans": r"""
+            WITH t AS (
+              SELECT source AS conv_id, CAST(doc_id AS INTEGER) AS turn_idx,
+                     doc_id,
+                     trim('w ' || trim(regexp_replace(regexp_replace(
+                         lower(coalesce(text, '')),
+                         '[^a-z0-9 ]', ' ', 'g'), ' +', ' ', 'g'))) AS body
+              FROM documents
+            ), aux AS (
+              SELECT conv_id, turn_idx, body,
+                     CASE WHEN doc_id % 3 = 0
+                          THEN ['Figure ' || CAST(doc_id AS VARCHAR) || ': '
+                                || substr(body, 1, 20)]
+                          ELSE []::VARCHAR[] END AS cap,
+                     CASE WHEN doc_id % 4 = 0
+                          THEN list_filter(
+                               [substr(body, 3, 8),
+                                'v' || CAST(doc_id AS VARCHAR),
+                                '',
+                                substr(body, 11, 8)],
+                               x -> trim(x) <> '')
+                          ELSE []::VARCHAR[] END AS cells_flat,
+                     CASE WHEN doc_id % 4 = 0
+                          THEN ['metric', 'value']
+                          ELSE []::VARCHAR[] END AS hdrs
+              FROM t
+            )
+            SELECT conv_id, turn_idx,
+                   array_to_string([body] || cap || cells_flat || hdrs,
+                                   chr(10) || chr(10)) AS extracted_text,
+                   CAST(1 + len(cap) + len(cells_flat) + len(hdrs)
+                        AS INTEGER) AS n_spans
+            FROM aux
         """,
         # full value oracle for the T8 rule-based sentence tokenizer: the
         # kernel's boundary regex uses a lookahead (RE2 has none), so the

@@ -22,15 +22,25 @@ from docling_translate_spark.classify import BOILERPLATE_LINE_REGEX, FORMULA_REG
 
 def classify_segments(segments: DataFrame) -> DataFrame:
     """Add final ``segment_type``/``translatable`` after formula and
-    boilerplate detection, plus an ``is_content`` flag."""
+    boilerplate detection, plus an ``is_content`` flag.
+
+    Caption/table-cell/header spans are exempt: the reference pools them
+    into the sentence set unconditionally (src/core.py:429-448), with no
+    formula/boilerplate pass."""
+    from docling_translate_spark.operators.segment import AUX_SEGMENT_TYPES
+
     txt = F.col("text")
-    is_formula = F.col("translatable") & F.regexp_like(txt, F.lit(FORMULA_REGEX))
+    not_aux = ~F.col("segment_type").isin(*AUX_SEGMENT_TYPES)
+    is_formula = (
+        F.col("translatable") & not_aux & F.regexp_like(txt, F.lit(FORMULA_REGEX))
+    )
 
     nonblank_lines = F.filter(
         F.split(txt, "\n"), lambda ln: F.trim(ln) != F.lit("")
     )
     is_boiler = (
         F.col("translatable")
+        & not_aux
         & ~is_formula
         & (F.size(nonblank_lines) > 0)
         & F.forall(

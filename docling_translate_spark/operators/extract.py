@@ -139,7 +139,17 @@ def _sentence_mapped_segments(segments: DataFrame, cfg: ExtractConfig) -> DataFr
     def _sents(texts: pd.Series) -> pd.Series:
         return texts.map(lambda t: split_sentences(t) if t is not None else [])
 
-    seg = segments.withColumn("sents", F.when(F.col("is_content"), _sents("text")))
+    from docling_translate_spark.operators.segment import AUX_SEGMENT_TYPES
+
+    # caption/cell/header spans are pooled WHOLE (src/core.py:429-448) —
+    # only body spans get the sentence tokenizer
+    is_aux = F.col("segment_type").isin(*AUX_SEGMENT_TYPES)
+    seg = segments.withColumn(
+        "sents",
+        F.when(F.col("is_content") & is_aux, F.array(F.col("text"))).when(
+            F.col("is_content"), _sents("text")
+        ),
+    )
     exploded = seg.select(
         *_SPAN_KEY, F.posexplode_outer("sents").alias("sent_pos", "sentence")
     )
@@ -314,6 +324,7 @@ def extract_turns_fused(
         is_boilerplate_segment,
         is_formula,
     )
+    from docling_translate_spark.operators.segment import aux_span_texts
     from docling_translate_spark.segmenters import segment_text
     from docling_translate_spark.sentences import split_sentences
 
@@ -323,9 +334,13 @@ def extract_turns_fused(
         for pdf in batches:
             conv_ids, turn_idxs, span_lists, content_lists = [], [], [], []
             uniq: dict[str, None] = {}
-            tools = pdf["tool"] if "tool" in pdf else pd.Series([None] * len(pdf))
-            for cid, tix, text, tool in zip(
-                pdf["conv_id"], pdf["turn_idx"], pdf["text"], tools
+            n = len(pdf)
+            tools = pdf["tool"] if "tool" in pdf else pd.Series([None] * n)
+            caps = pdf["caption"] if "caption" in pdf else pd.Series([None] * n)
+            cells = pdf["cells"] if "cells" in pdf else pd.Series([None] * n)
+            heads = pdf["headers"] if "headers" in pdf else pd.Series([None] * n)
+            for cid, tix, text, tool, cap, cel, hdr in zip(
+                pdf["conv_id"], pdf["turn_idx"], pdf["text"], tools, caps, cells, heads
             ):
                 spans, contents = [], []
                 if text is not None and str(text).strip() and not has_nul_byte(str(text)):
@@ -355,6 +370,21 @@ def extract_turns_fused(
                             else:
                                 contents.append(seg_text)
                                 uniq[seg_text] = None
+                # §2.8 UNION ALL of span sources: caption + table cells +
+                # headers, pooled WHOLE — no sentence split, no
+                # formula/boilerplate pass (src/core.py:429-448)
+                for st, aux_text in aux_span_texts(cap, cel, hdr):
+                    spans.append(
+                        {
+                            "start_pos": -1,
+                            "end_pos": -1,
+                            "segment_type": st,
+                            "translatable": True,
+                            "line_number": -1,
+                        }
+                    )
+                    contents.append([aux_text] if sentence_split else aux_text)
+                    uniq[aux_text] = None
                 conv_ids.append(cid)
                 turn_idxs.append(tix)
                 span_lists.append(spans)
@@ -400,7 +430,8 @@ def extract_turns_fused(
                 }
             )
 
-    slim = transcripts.select("conv_id", "turn_idx", "text", "tool")
+    want = ["conv_id", "turn_idx", "text", "tool", "caption", "cells", "headers"]
+    slim = transcripts.select(*[c for c in want if c in transcripts.columns])
     out = slim.mapInPandas(gen, EXTRACTED_SCHEMA)
     if cfg.ordered:
         out = out.repartitionByRange("conv_id", "turn_idx").sortWithinPartitions(

@@ -32,6 +32,20 @@ TRANSCRIPT_SCHEMA = StructType(
     ]
 )
 
+# Rich transcript: the baseline shape plus the structured span sources a
+# turn may carry — a figure/table caption and table cells + column
+# headers (the reference collects body text AND captions AND table cells
+# into the sentence pool, src/core.py:424-448). All three are optional:
+# readers presence-check and degrade to the plain shape.
+RICH_TRANSCRIPT_SCHEMA = StructType(
+    [
+        *TRANSCRIPT_SCHEMA.fields,
+        StructField("caption", StringType(), True),
+        StructField("cells", ArrayType(ArrayType(StringType())), True),
+        StructField("headers", ArrayType(StringType()), True),
+    ]
+)
+
 # One span: the reference TextSegment record plus the boilerplate/formula
 # labels our classifier adds (reference src/text_parser.py:28-46,
 # src/html_generator.py:20-45 and :617-619).
