@@ -518,7 +518,7 @@ def q_media_features(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
     return extract_media_features(synth_media_df(spark, n=128)).select(
-        "media_id", "kind", "n_bytes", "sha256"
+        "media_id", "kind", "n_bytes", "hex_sha256"
     )
 
 
@@ -1069,7 +1069,7 @@ def oracle_sql() -> dict[str, str]:
             )
             SELECT media_id, kind,
                    octet_length(payload)::INT AS n_bytes,
-                   sha256(upper(hex(payload))) AS sha256
+                   sha256(upper(hex(payload))) AS hex_sha256
             FROM m
         """,
         # §2.8 span-source union through the real kernel: the sanitized

@@ -125,10 +125,28 @@ def main() -> None:
         # co-tenant load, which only ever SLOWS a run. Headline
         # efficiency therefore pairs min(t_lo) with min(t_hi) across
         # rounds: each minimum is the least-disturbed observation of its
-        # level, and unlike max-of-paired-ratios this cannot be inflated
-        # by a slowed low-level run. Per-round pairs are reported too.
-        hi_cores = max(CPUS // 2, 4)  # never above half the cores (CLAUDE.md)
+        # level. Caveat: if every low-level round is disturbed while a
+        # high-level round is clean, the min-pair still overstates — so
+        # the per-round pairs and the efficiency spread are reported
+        # alongside the headline.
+        hi_cores = max(CPUS // 2, 2)  # never above half the cores (CLAUDE.md)
         lo_cores = max(hi_cores // 4, 2)
+        if hi_cores <= lo_cores:
+            # host too small for two distinct uncontended levels
+            # (< 16 cores): report throughput only, don't fabricate a
+            # scaling ratio from contended runs
+            result = {
+                "metric": "turns_extracted_per_sec",
+                "value": round(n_turns / max(sum(queries_sec.values()), 1e-9), 1),
+                "unit": "sec",
+                "queries": queries_sec,
+                "sf": _SF,
+                "n_turns": n_turns,
+                "scaling": None,
+                "total_queries_sec": round(sum(queries_sec.values()), 3),
+            }
+            print(json.dumps(result))
+            return
         rounds: list[dict] = []
         for _ in range(3):
             secs = {}
@@ -173,6 +191,10 @@ def main() -> None:
                 "turns_per_sec_low": round(thr_lo, 1),
                 "turns_per_sec_high": round(thr_hi, 1),
                 "efficiency": round(eff, 3),
+                # dispersion indicator for the min-pair headline: the
+                # spread of per-round paired efficiencies
+                "efficiency_rounds_min": min(r["efficiency"] for r in rounds),
+                "efficiency_rounds_max": max(r["efficiency"] for r in rounds),
                 "rounds": rounds,
             },
             "total_queries_sec": round(sum(queries_sec.values()), 3),

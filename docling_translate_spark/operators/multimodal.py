@@ -55,7 +55,7 @@ FEATURE_SCHEMA = StructType(
         StructField("media_id", LongType(), False),
         StructField("kind", StringType(), False),
         StructField("n_bytes", IntegerType(), False),
-        StructField("sha256", StringType(), False),
+        StructField("hex_sha256", StringType(), False),
         StructField("features", ArrayType(DoubleType()), True),
     ]
 )
@@ -125,7 +125,7 @@ def extract_media_features(media: DataFrame, fake_decode: bool = True) -> DataFr
                 # sha256 is VARCHAR-only (DuckDB) can reproduce it as
                 # sha256(upper(hex(payload))), which makes the whole
                 # binary-plumbing path oracle-checkable end to end
-                out["sha256"].append(
+                out["hex_sha256"].append(
                     hashlib.sha256(data.hex().upper().encode()).hexdigest()
                 )
                 if kind == "image":

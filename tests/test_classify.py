@@ -105,3 +105,53 @@ def test_sanitize_text_s4(spark):
     df = spark.createDataFrame([(i, s) for i, s in enumerate(clean)], "i int, t string")
     rows = df.select("i", sanitize_text_col(F.col("t")).alias("s")).collect()
     assert [r["s"] for r in sorted(rows, key=lambda r: r["i"])] == clean
+
+
+def test_boiler_lead_set_covers_every_alternative():
+    """_BOILER_LEAD is a hand-derived first-char precheck that must stay
+    a NECESSARY condition of BOILERPLATE_LINE_REGEX: for every line the
+    regex matches, the first non-space char must be in the lead set —
+    otherwise is_boilerplate_segment silently misclassifies. Exercise a
+    sample battery spanning every regex alternative (with and without
+    leading whitespace) and assert segment == line verdicts."""
+    from docling_translate_spark.classify import (
+        _BOILER_LEAD,
+        is_boilerplate_line,
+        is_boilerplate_segment,
+    )
+
+    battery = [
+        "Page 3 of 40", "page 7", "Page 12",
+        "3", "0042",
+        "---", "===", "___", "****", "-=-=-=",
+        "© 2024 ExampleCorp", "(c) 2024 ExampleCorp", "Copyright 2024",
+        "CONFIDENTIAL - internal", "All rights reserved.",
+        "All rights reserved",
+    ]
+    for line in battery:
+        for pad in ("", "  ", "\t "):
+            s = pad + line
+            assert is_boilerplate_line(s), s
+            assert s.lstrip()[0] in _BOILER_LEAD, (
+                f"lead set misses {s.lstrip()[0]!r} for {s!r}"
+            )
+            assert is_boilerplate_segment(s), s
+
+
+def test_boiler_segment_equals_per_line_verdict():
+    """For any single-line text, the segment classifier (with its lead
+    precheck) must agree with the plain line regex — the precheck is an
+    optimization, never a semantic."""
+    from docling_translate_spark.classify import (
+        is_boilerplate_line,
+        is_boilerplate_segment,
+    )
+
+    probes = [
+        "Page 3 of 40", "page x", "Pag 3", "4 of 4", "7", "x7",
+        " - ", "--", "---", "(c)", "(d) 2024", "c 2024",
+        "CONFIDENTIAL", "Confidential", "All rights reserved!",
+        "normal prose", "Copyrighted material is long",
+    ]
+    for s in probes:
+        assert is_boilerplate_segment(s) == bool(is_boilerplate_line(s)), s

@@ -46,7 +46,7 @@ def test_feature_extraction(spark, media):
         # fingerprint is over the canonical uppercase-hex text (see
         # extract_media_features: keeps the value SQL-oracle-reproducible)
         assert (
-            r["sha256"]
+            r["hex_sha256"]
             == hashlib.sha256(raw[mid].hex().upper().encode()).hexdigest()
         )
         assert len(r["features"]) == 4
