@@ -1136,7 +1136,11 @@ def oracle_sql() -> dict[str, str]:
                                        OR regexp_matches(
                                            lower(rtrim(regexp_extract(pieces[c],
                                                '([A-Za-z][A-Za-z.]*)$', 1), '.')),
-                                           '^[a-z]$')))
+                                           '^[a-z]$')
+                                       OR regexp_matches(
+                                           lower(rtrim(regexp_extract(pieces[c],
+                                               '([A-Za-z][A-Za-z.]*)$', 1), '.')),
+                                           '^[a-z]{1,2}(\.[a-z]{1,2})+$')))
                               THEN 1 ELSE 0 END) AS acc
               FROM base
             ), agg AS (

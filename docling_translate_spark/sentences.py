@@ -47,8 +47,25 @@ ABBREVIATIONS = frozenset(
         "dept",
         "univ",
         "approx",
+        # Punkt-gap closure (round 2): frequent English abbreviations the
+        # trained Punkt model learns from its corpus — months, titles,
+        # street/organization suffixes, citation shorthand
+        "jan", "feb", "mar", "apr", "jun", "jul", "aug",
+        "sep", "sept", "oct", "nov", "dec",
+        "vol", "vols", "pp", "ed", "eds", "rev", "est",
+        "gen", "col", "lt", "capt", "sgt", "gov", "sen", "rep", "hon",
+        "messrs", "mme", "mlle",
+        "ave", "blvd", "rd",
+        "corp", "co", "assn", "bros",
     }
 )
+
+# dotted initialisms — "U.S.", "Ph.D.", "U.S.A." — suppress like
+# abbreviations (Punkt learns these as collocation tokens); matched on
+# the lowercased tail word with its final period stripped. Segments are
+# capped at 2 letters so dotted FILE names ("config.yaml.") still end
+# sentences.
+_DOTTED_ABBR_RE = re.compile(r"^[a-z]{1,2}(\.[a-z]{1,2})+$")
 
 # candidate boundary: terminator (+ closers) + whitespace + opener
 _BOUNDARY_RE = re.compile(
@@ -70,9 +87,13 @@ def split_sentences(text: str) -> List[str]:
             tail = _TAIL_WORD_RE.search(prefix)
             if tail:
                 word = tail.group(1).rstrip(".").lower()
-                # suppress split after known abbreviations and single-letter
-                # initials ("J. Smith")
-                if word in ABBREVIATIONS or (len(word) == 1 and word.isalpha()):
+                # suppress split after known abbreviations, single-letter
+                # initials ("J. Smith"), and dotted initialisms ("U.S.")
+                if (
+                    word in ABBREVIATIONS
+                    or (len(word) == 1 and word.isalpha())
+                    or _DOTTED_ABBR_RE.match(word)
+                ):
                     continue
         end = m.end(2)
         sent = text[start:end].strip()

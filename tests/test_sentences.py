@@ -56,3 +56,48 @@ def test_newline_boundary():
         "First line.",
         "Second thing.",
     ]
+
+
+def test_punkt_gap_fixtures():
+    """Adversarial abbreviation / ellipsis / initialism fixtures: each
+    encodes the boundary behavior the reference's Punkt tokenizer (a
+    trained model, unavailable in this sandbox) exhibits on standard
+    English — the documented round-1 divergence list, driven to zero by
+    the dotted-initialism rule and the widened abbreviation table."""
+    from docling_translate_spark.sentences import split_sentences
+
+    cases = [
+        # dotted initialisms do not end sentences mid-flow
+        ("The U.S. economy grew. Then it slowed.",
+         ["The U.S. economy grew.", "Then it slowed."]),
+        ("She holds a Ph.D. Nonetheless she teaches.",
+         ["She holds a Ph.D. Nonetheless she teaches."]),
+        ("The U.S.A. Senate met today.", ["The U.S.A. Senate met today."]),
+        # dotted FILE names still end sentences
+        ("Edit config.yaml. Then restart.",
+         ["Edit config.yaml.", "Then restart."]),
+        # months and titles
+        ("Born Jan. 5th. Died Dec. 9th.",
+         ["Born Jan. 5th.", "Died Dec. 9th."]),
+        ("Gen. Smith spoke. Sen. Jones replied.",
+         ["Gen. Smith spoke.", "Sen. Jones replied."]),
+        # ellipsis followed by a capital is a boundary
+        ("Wait... Then go.", ["Wait...", "Then go."]),
+        # ellipsis followed by lowercase is not
+        ("Wait... then go.", ["Wait... then go."]),
+        # citation shorthand
+        ("See vol. 3, pp. 10-12. Next chapter follows.",
+         ["See vol. 3, pp. 10-12.", "Next chapter follows."]),
+        # street suffixes
+        ("Meet at 5th Ave. North side. Bring maps.",
+         ["Meet at 5th Ave. North side.", "Bring maps."]),
+        # initials chains
+        ("J. R. R. Tolkien wrote it. C. S. Lewis read it.",
+         ["J. R. R. Tolkien wrote it.", "C. S. Lewis read it."]),
+        # plain boundaries unaffected
+        ("One sentence. Two sentences. Three.",
+         ["One sentence.", "Two sentences.", "Three."]),
+    ]
+    diverging = [(t, split_sentences(t), want)
+                 for t, want in cases if split_sentences(t) != want]
+    assert not diverging, diverging
