@@ -849,6 +849,43 @@ def oracle_sql() -> dict[str, str]:
     _doc_header_lit = "'" + DOC_HEADER.replace("'", "''") + "'"
     _doc_footer_lit = "'" + DOC_FOOTER.replace("'", "''") + "'"
 
+    # LSH bucket assignment as relational SQL: integer hyperplanes are
+    # inlined flat (j-major) and unnested into rows; dot products are
+    # integer sums (order-independent → exact vs the numpy kernel). The
+    # planes must NOT appear inside per-row scalar expressions — a
+    # 6144-literal nested list inside a join key sent the planner into
+    # the weeds; as a 6144-row table the whole bucket build is <1 s.
+    def _lsh_buckets_cte(dim: int, n_planes: int, n_tables: int) -> str:
+        from docling_translate_spark.operators.similarity import lsh_planes
+
+        p = lsh_planes(dim, n_planes, n_tables, seed=11)
+        flat = "[" + ",".join(
+            str(int(p[i, j])) for j in range(n_planes * n_tables)
+            for i in range(dim)
+        ) + "]"
+        return f"""
+w AS MATERIALIZED (
+  SELECT unnest({flat}) AS wt,
+         generate_subscripts({flat}, 1) AS k
+), pl AS MATERIALIZED (
+  SELECT CAST((k-1) // {dim} AS INTEGER) AS j,
+         CAST((k-1) % {dim} + 1 AS INTEGER) AS i, wt
+  FROM w
+), eq AS MATERIALIZED (
+  SELECT vec_id, generate_subscripts(embedding, 1) AS i,
+         CAST(floor(unnest(embedding) * 1024 + 0.5) AS BIGINT) AS qi
+  FROM embeddings
+), dots AS (
+  SELECT eq.vec_id, pl.j, sum(eq.qi * pl.wt) AS dot
+  FROM eq JOIN pl ON eq.i = pl.i
+  GROUP BY eq.vec_id, pl.j
+), buckets AS (
+  SELECT vec_id, CAST(j // {n_planes} AS INTEGER) AS tbl,
+         CAST(sum(CASE WHEN dot > 0 THEN 1 << (j % {n_planes}) ELSE 0 END)
+              AS BIGINT) AS bucket
+  FROM dots GROUP BY vec_id, j // {n_planes}
+)"""
+
     return {
         "p1_nonempty_filter": """
             SELECT lang, count(*) AS n_docs
@@ -1048,6 +1085,51 @@ def oracle_sql() -> dict[str, str]:
                    ) AS rank
             FROM embeddings a JOIN embeddings b ON a.vec_id <> b.vec_id
             QUALIFY rank <= 5
+        """,
+        # full value oracle for LSH ANN: integer-exact bucket assignment
+        # (quantized embeddings × integer planes), candidate bucket join,
+        # exact cosine rescore with the same (-cosine, id) tie-break
+        "ann_lsh": "WITH " + _lsh_buckets_cte(64, 4, 24) + """
+            , cand AS (
+              SELECT DISTINCT a.vec_id AS query_id, b.vec_id AS neighbor_id
+              FROM buckets a
+              JOIN buckets b ON a.tbl = b.tbl AND a.bucket = b.bucket
+              WHERE a.vec_id <> b.vec_id
+            )
+            SELECT query_id, neighbor_id, CAST(rank AS BIGINT) AS rank
+            FROM (
+              SELECT query_id, neighbor_id,
+                     row_number() OVER (PARTITION BY query_id
+                         ORDER BY list_cosine_similarity(
+                                      ea.embedding, eb.embedding) DESC,
+                                  neighbor_id) AS rank
+              FROM cand
+              JOIN embeddings ea ON ea.vec_id = query_id
+              JOIN embeddings eb ON eb.vec_id = neighbor_id
+            )
+            WHERE rank <= 5
+        """,
+        # full value oracle for LSH near-dup pairs: same exact buckets,
+        # threshold compare mirrors the kernel's sequential double fold
+        # dot/(sqrt(na)*sqrt(nb))
+        "embed_near_dup": "WITH " + _lsh_buckets_cte(64, 6, 8) + """
+            , cand AS (
+              SELECT DISTINCT a.vec_id AS id_a, b.vec_id AS id_b
+              FROM buckets a
+              JOIN buckets b ON a.tbl = b.tbl AND a.bucket = b.bucket
+              WHERE a.vec_id < b.vec_id
+            )
+            SELECT id_a, id_b
+            FROM cand
+            JOIN embeddings ea ON ea.vec_id = id_a
+            JOIN embeddings eb ON eb.vec_id = id_b
+            WHERE list_sum(list_transform(range(1, 65),
+                      i -> ea.embedding[i]::DOUBLE * eb.embedding[i]::DOUBLE))
+                  / (sqrt(list_sum(list_transform(range(1, 65),
+                         i -> ea.embedding[i]::DOUBLE * ea.embedding[i]::DOUBLE)))
+                     * sqrt(list_sum(list_transform(range(1, 65),
+                         i -> eb.embedding[i]::DOUBLE * eb.embedding[i]::DOUBLE))))
+                  >= 0.35
         """,
         "embed_near_dup_exact": """
             WITH e AS (

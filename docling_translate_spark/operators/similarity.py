@@ -332,6 +332,21 @@ def cosine_pairs_exact(
     return joined.mapInPandas(block_pairs, out_schema)
 
 
+# embedding quantization scale for LSH bucket assignment: bits come from
+# INTEGER dot products (floor(x*1024 + 0.5) per component × int8-range
+# planes), so bucket membership is exact and any SQL engine reproduces
+# it bit-for-bit — float GEMM sign bits depend on summation order near
+# zero, which would make the bucket join un-oracle-able
+_LSH_QUANT = 1024.0
+
+
+def lsh_planes(dim: int, n_planes: int, n_tables: int, seed: int = 11) -> np.ndarray:
+    """Integer hyperplanes in [-127, 127], seeded — shared by the kernel
+    and the SQL oracle (inlined as literals there)."""
+    rng = np.random.RandomState(seed)
+    return rng.randint(-127, 128, size=(dim, n_planes * n_tables)).astype(np.int64)
+
+
 def hyperplane_signatures(
     df: DataFrame,
     dim: int,
@@ -348,9 +363,10 @@ def hyperplane_signatures(
     per-table collision prob for angle θ is (1-θ/π)^n_planes; L
     independent tables union to 1-(1-p)^L. numpy matmul over the whole
     Arrow batch — thousands of vectors per BLAS call, no per-row Python.
+    Planes and embeddings are integer-quantized (:data:`_LSH_QUANT`) so
+    bucket assignment is exact integer arithmetic.
     """
-    rng = np.random.RandomState(seed)
-    planes = rng.normal(size=(dim, n_planes * n_tables))
+    planes = lsh_planes(dim, n_planes, n_tables, seed)
     out_schema = StructType(
         [
             StructField("sid", LongType(), False),
@@ -370,7 +386,8 @@ def hyperplane_signatures(
                 )
                 continue
             mat = np.stack(pdf[vec_col].to_numpy()).astype(np.float64)
-            bits = (mat @ planes) > 0  # (rows, planes*tables)
+            q = np.floor(mat * _LSH_QUANT + 0.5).astype(np.int64)
+            bits = (q @ planes) > 0  # (rows, planes*tables), exact int dots
             bits = bits.reshape(len(pdf), n_tables, n_planes)
             buckets = (bits.astype(np.int64) * weights).sum(axis=2)  # (rows, tables)
             sids = pdf[id_col].astype("int64").to_numpy()
