@@ -113,7 +113,9 @@ def ngram_jaccard_pairs(
     sh = shingle_df(df, text_col, id_col, n).cache()
 
     freq = sh.groupBy("shingle").agg(F.count("*").alias("df_"))
-    rare = sh.join(freq.filter(F.col("df_") <= max_bucket), "shingle")
+    # cache rare too: it feeds BOTH sides of the pair self-join, and
+    # without it the freq join re-executes once per side
+    rare = sh.join(freq.filter(F.col("df_") <= max_bucket), "shingle").cache()
 
     # set_size travels on every shingle row (computed pre-explode, free),
     # so union size falls out of the pair aggregation itself — no per-doc

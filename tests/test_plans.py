@@ -153,17 +153,21 @@ def test_similarity_no_unbounded_driver_collect():
                 assert ".limit(max_train)" in chunk.split(".collect()")[0]
 
 
-def test_lsh_rescore_gathers_by_join(spark):
-    """LSH ANN rescoring must gather candidate vectors via joins (two
-    vector-attach joins + per-query collect_list), never a corpus
-    broadcast: no BroadcastExchange carrying the embedding column."""
+def test_lsh_rescore_is_distributed_jvm(spark):
+    """LSH ANN rescoring must attach candidate vectors via shuffle joins
+    and score with the codegen cosine + window top-k — never a corpus
+    broadcast (no BroadcastExchange carrying the embedding column) and
+    no Python beyond the signature kernel."""
     from docling_translate_spark.operators.similarity import lsh_ann_topk
 
     emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
     plan = _plan(
         lsh_ann_topk(emb, dim=64, k=3, n_planes=4, n_tables=4), "simple"
     )
-    assert "collect_list" in plan, plan
+    assert "Window" in plan, plan
+    # Python crossings: only the signature kernel, planned once per side
+    # of the bucket self-join — rescoring itself must add none
+    assert plan.count("MapInPandas") == 2, plan
     for line in plan.splitlines():
         if "BroadcastExchange" in line:
             assert "embedding" not in line, plan
