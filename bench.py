@@ -148,7 +148,10 @@ def main() -> None:
             print(json.dumps(result))
             return
         rounds: list[dict] = []
-        for _ in range(3):
+        # 4 interleaved rounds: with sustained co-tenant load the extra
+        # pair measurably improves the odds that each level gets one
+        # clean observation (load only ever slows a run)
+        for _ in range(int(os.environ.get("SPARK_GRAFT_BENCH_ROUNDS", "4"))):
             secs = {}
             for cores in (lo_cores, hi_cores):
                 out = subprocess.run(
