@@ -26,11 +26,22 @@ from docling_translate_spark.schema import TRANSCRIPT_SCHEMA
 
 
 def read_transcript_stream(
-    spark: SparkSession, path: str, max_files_per_trigger: int = 4
+    spark: SparkSession,
+    path: str,
+    max_files_per_trigger: int = 4,
+    rich: bool = False,
 ) -> DataFrame:
-    """File-source stream over a growing directory of transcript parquet."""
+    """File-source stream over a growing directory of transcript parquet.
+
+    ``rich=True`` reads the extended shape with caption/cells/headers
+    span-source columns (§2.8) — the fused kernel is stateless either
+    way, so the streaming plan is unchanged.
+    """
+    from docling_translate_spark.schema import RICH_TRANSCRIPT_SCHEMA
+
+    schema = RICH_TRANSCRIPT_SCHEMA if rich else TRANSCRIPT_SCHEMA
     return (
-        spark.readStream.schema(TRANSCRIPT_SCHEMA)
+        spark.readStream.schema(schema)
         .option("maxFilesPerTrigger", max_files_per_trigger)
         .parquet(path)
     )

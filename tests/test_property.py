@@ -131,3 +131,53 @@ def test_extraction_plans_agree_on_arbitrary_payloads(spark, payloads):
         got = fused[("conv-h", i)]
         assert got[0] == exp["extracted_text"], (i, text)
         assert got[1] == exp["spans"], (i, text)
+
+
+# --- §2.8 aux span sources: arbitrary captions/cells/headers ---
+
+_CELL = st.one_of(
+    st.none(),
+    st.text(alphabet="ab \t\nxyz0·é", max_size=8),
+)
+_CELLS = st.one_of(
+    st.none(),
+    st.lists(st.one_of(st.none(), st.lists(_CELL, max_size=4)), max_size=4),
+)
+_HEADERS = st.one_of(st.none(), st.lists(_CELL, max_size=4))
+
+
+@settings(max_examples=300, deadline=None)
+@given(caption=_CELL, cells=_CELLS, headers=_HEADERS)
+def test_aux_span_collection_properties(caption, cells, headers):
+    """For ARBITRARY caption/cells/headers (None, blanks, unicode): the
+    collection keeps the reference order (caption, cells row-major,
+    headers), drops exactly the blank/None entries, and never raises."""
+    from docling_translate_spark.operators.segment import aux_span_texts
+
+    out = aux_span_texts(caption, cells, headers)
+    # every emitted text is non-blank and appears in the inputs
+    flat_inputs = [caption] + [
+        c for row in (cells or []) if row is not None for c in row
+    ] + list(headers or [])
+    for kind, text in out:
+        assert text.strip()
+        assert text in [str(x) for x in flat_inputs if x is not None]
+        assert kind in ("caption", "table_cell", "table_header")
+    # kinds appear in reference collection order
+    kinds = [k for k, _ in out]
+    assert kinds == sorted(
+        kinds, key=("caption", "table_cell", "table_header").index
+    )
+    # count equals the number of non-blank entries
+    expected = (1 if caption is not None and str(caption).strip() else 0)
+    expected += sum(
+        1
+        for row in (cells or [])
+        if row is not None
+        for c in row
+        if c is not None and str(c).strip()
+    )
+    expected += sum(
+        1 for h in (headers or []) if h is not None and str(h).strip()
+    )
+    assert len(out) == expected

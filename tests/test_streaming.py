@@ -96,3 +96,44 @@ def test_stream_dedup_drops_redeliveries(spark, transcript_dir):
     got = spark.sql("select conv_id, turn_idx from dedup_stream").collect()
     keys = [(r["conv_id"], r["turn_idx"]) for r in got]
     assert len(keys) == len(set(keys)) == base.count()
+
+
+def test_stream_extract_rich_schema_matches_batch(spark):
+    """§2.8 span sources flow through the streaming path unchanged: the
+    fused kernel is stateless, so caption/cell/header spans on a stream
+    must equal the batch result row for row."""
+    import tempfile
+
+    from docling_translate_spark.schema import RICH_TRANSCRIPT_SCHEMA
+
+    tmp = tempfile.mkdtemp(prefix="dts-stream-rich-")
+    rows = [
+        ("c1", 0, "user", "Body paragraph one.", None, None,
+         "Figure 1: cap", [["a", "b"]], ["h1", "h2"]),
+        ("c1", 1, "tool", "", None, None, "caption only", None, None),
+        ("c2", 0, "user", "Plain body.", None, None, None, None, None),
+    ]
+    df = spark.createDataFrame(rows, RICH_TRANSCRIPT_SCHEMA)
+    df.coalesce(2).write.mode("overwrite").parquet(tmp + "/in")
+
+    stream = read_transcript_stream(spark, tmp + "/in", rich=True)
+    q = (
+        stream_extract(stream)
+        .writeStream.format("memory")
+        .queryName("rich_stream")
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    got = {
+        (r["conv_id"], r["turn_idx"]): (r["extracted_text"], r["n_spans"])
+        for r in spark.sql("select * from rich_stream").collect()
+    }
+    batch = {
+        (r["conv_id"], r["turn_idx"]): (r["extracted_text"], r["n_spans"])
+        for r in extract_turns_fused(spark.read.parquet(tmp + "/in")).collect()
+    }
+    assert got == batch
+    assert got[("c1", 1)][1] == 1  # caption-only turn carries one span
+    assert "Figure 1: cap" in got[("c1", 0)][0]
