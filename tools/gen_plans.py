@@ -40,10 +40,16 @@ def main() -> None:
     from docling_translate_spark.operators.sampling import hash_sample
     from docling_translate_spark.operators.similarity import brute_force_topk_blocked
 
+    from docling_translate_spark.operators.sampling import pack_sequences
+    from docling_translate_spark.operators.similarity import lsh_ann_topk
+
     emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
     blocked = plan(brute_force_topk_blocked(emb, emb, k=3, n_blocks=4))
     sample = plan(hash_sample(df, 0.25, id_col="conv_id"))
-    md = f"""# PLANS — physical plans of the two extraction pipelines
+    docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    packing = plan(pack_sequences(docs, 512))
+    lsh = plan(lsh_ann_topk(emb, dim=64, k=3, n_planes=4, n_tables=4))
+    md = f"""# PLANS — physical plans of the extraction + headline scale operators
 
 Captured with `.explain("formatted")` over a parquet transcript table
 (regenerate with `python tools/gen_plans.py`). Properties are enforced by
@@ -88,6 +94,29 @@ this is a pushed-through scan-stage predicate.
 
 ```
 {sample}
+```
+
+## Two-phase sequence packing (`pack_sequences`)
+
+A stratum never serializes on one task: contiguous id-range buckets cut
+each stratum into n_buckets pieces; the per-bucket partial-sum table
+(strata × buckets rows — kilobytes) prefix-sums and broadcast-joins
+back, and the heavy window partitions on (stratum, bucket). The only
+single-task window runs over the tiny partials relation.
+
+```
+{packing}
+```
+
+## LSH ANN (`lsh_ann_topk`) — per-bucket GEMM
+
+Signature kernel (one `MapInPandas`), bucket packing via
+`collect_list`, one numpy GEMM per (table, bucket) cell emitting only
+per-member top-k, then a max-dedup + window merge. Candidate PAIRS are
+never materialized or shuffled, and no vector is broadcast.
+
+```
+{lsh}
 ```
 
 Notes:
