@@ -631,6 +631,62 @@ def q_s28_table_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_pii_redact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PII scrubbing over documents decorated with deterministic
+    synthetic PII (emails/phones/IPs/cards) — full DuckDB oracle: the
+    same portable regex battery runs in SQL."""
+    from docling_translate_spark.operators.scrub import redact_pii
+
+    did = F.col("doc_id").cast("string")
+    decorated = F.concat(
+        F.col("text"),
+        F.when(
+            F.col("doc_id") % 3 == 0,
+            F.concat(F.lit(" contact user"), did, F.lit("@example.com now")),
+        ).otherwise(F.lit("")),
+        F.when(F.col("doc_id") % 5 == 0, F.lit(" call +1 555-123-4567 ok")).otherwise(
+            F.lit("")
+        ),
+        F.when(
+            F.col("doc_id") % 7 == 0,
+            F.concat(F.lit(" host 10.0.0."), (F.col("doc_id") % 200).cast("string"), F.lit(" up")),
+        ).otherwise(F.lit("")),
+        F.when(F.col("doc_id") % 11 == 0, F.lit(" pay 4111 1111 1111 1111 thanks")).otherwise(
+            F.lit("")
+        ),
+    )
+    d = _docs(spark, sf_dir).select("doc_id", decorated.alias("text"))
+    return redact_pii(d).select(
+        "doc_id", "clean_text", "n_email", "n_card", "n_phone", "n_ip", "n_pii"
+    )
+
+
+def q_decontaminate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Benchmark decontamination: flag training docs sharing ≥1 distinct
+    4-gram with a (deterministic md5-sampled) eval set — full oracle via
+    the same inverted-index join in SQL."""
+    from docling_translate_spark.operators.dedup import decontaminate
+    from docling_translate_spark.operators.sampling import hash_sample
+
+    docs = _docs(spark, sf_dir)
+    eval_set = hash_sample(docs, 0.05)
+    return decontaminate(docs, eval_set, n=4, min_hits=1).select(
+        "train_id", "n_hits", "n_eval_docs"
+    )
+
+
+def q_mix_budget(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Domain-mixture budgeting: per-source keep fractions targeting
+    weight×budget tokens, realized as a per-source md5 cutoff — full
+    oracle (identical double arithmetic + 60-bit hash keyspace)."""
+    from docling_translate_spark.operators.sampling import mix_sources
+
+    weights = {"src0": 0.4, "src1": 0.25, "src2": 0.2, "src3": 0.1, "src4": 0.05}
+    return mix_sources(_docs(spark, sf_dir), weights, 3000).select(
+        "source", "doc_id"
+    )
+
+
 def q_t8_sentences(spark: SparkSession, sf_dir: str) -> DataFrame:
     """T8 sentence tokenization per doc (rows-only: rule-based splitter
     pinned by pytest fixtures, ref core.py:428)."""
@@ -825,6 +881,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "s7_render_html": q_s7_render_html,
         "s7_render_document": q_s7_render_document,
         "s28_table_spans": q_s28_table_spans,
+        "pii_redact": q_pii_redact,
+        "decontaminate": q_decontaminate,
+        "mix_budget": q_mix_budget,
         "lang_codes": q_lang_codes,
         "embed_near_dup": q_embed_near_dup,
         "curation_pipeline": q_curation_pipeline,
@@ -1191,6 +1250,122 @@ w AS MATERIALIZED (
                    CAST(1 + len(cap) + len(cells_flat) + len(hdrs)
                         AS INTEGER) AS n_spans
             FROM aux
+        """,
+        # PII battery: same decoration + same ordered regex chain, with
+        # counts measured on the same intermediate state as the kernel
+        "pii_redact": r"""
+            WITH d AS (
+              SELECT doc_id,
+                     text
+                     || CASE WHEN doc_id % 3 = 0
+                             THEN ' contact user' || CAST(doc_id AS VARCHAR)
+                                  || '@example.com now' ELSE '' END
+                     || CASE WHEN doc_id % 5 = 0
+                             THEN ' call +1 555-123-4567 ok' ELSE '' END
+                     || CASE WHEN doc_id % 7 = 0
+                             THEN ' host 10.0.0.' || CAST(doc_id % 200 AS VARCHAR)
+                                  || ' up' ELSE '' END
+                     || CASE WHEN doc_id % 11 = 0
+                             THEN ' pay 4111 1111 1111 1111 thanks' ELSE '' END
+                     AS t0
+              FROM documents
+            ), s1 AS (
+              SELECT doc_id,
+                     CAST(len(regexp_extract_all(t0,
+                         '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}'))
+                         AS BIGINT) AS n_email,
+                     regexp_replace(t0,
+                         '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}',
+                         '[EMAIL]', 'g') AS t1
+              FROM d
+            ), s2 AS (
+              SELECT doc_id, n_email,
+                     CAST(len(regexp_extract_all(t1,
+                         '\b\d(?:[ -]?\d){12,18}\b')) AS BIGINT) AS n_card,
+                     regexp_replace(t1, '\b\d(?:[ -]?\d){12,18}\b',
+                         '[CARD]', 'g') AS t2
+              FROM s1
+            ), s3 AS (
+              SELECT doc_id, n_email, n_card,
+                     CAST(len(regexp_extract_all(t2,
+                         '\+?\d{1,3}[ .-]\(?\d{2,4}\)?[ .-]\d{3,4}(?:[ .-]\d{3,4})?\b'))
+                         AS BIGINT) AS n_phone,
+                     regexp_replace(t2,
+                         '\+?\d{1,3}[ .-]\(?\d{2,4}\)?[ .-]\d{3,4}(?:[ .-]\d{3,4})?\b',
+                         '[PHONE]', 'g') AS t3
+              FROM s2
+            )
+            SELECT doc_id,
+                   regexp_replace(t3, '\b\d{1,3}\.\d{1,3}\.\d{1,3}\.\d{1,3}\b',
+                       '[IP]', 'g') AS clean_text,
+                   n_email, n_card, n_phone,
+                   CAST(len(regexp_extract_all(t3,
+                       '\b\d{1,3}\.\d{1,3}\.\d{1,3}\.\d{1,3}\b')) AS BIGINT)
+                       AS n_ip,
+                   n_email + n_card + n_phone
+                   + CAST(len(regexp_extract_all(t3,
+                         '\b\d{1,3}\.\d{1,3}\.\d{1,3}\.\d{1,3}\b')) AS BIGINT)
+                       AS n_pii
+            FROM s3
+        """,
+        # decontamination: inverted 4-gram index join against the
+        # md5-sampled eval set (same cutoff literal as hash_sample(0.05))
+        "decontaminate": r"""
+            WITH toks AS (
+              SELECT doc_id,
+                     CASE WHEN trim(lower(text)) = '' THEN []::VARCHAR[]
+                          ELSE string_split_regex(trim(lower(text)), '\s+')
+                     END AS ts
+              FROM documents
+            ), shng AS (
+              SELECT doc_id,
+                     CASE WHEN len(ts) >= 4
+                          THEN list_distinct(list_transform(range(0, len(ts)-3),
+                               i -> ts[i+1] || ' ' || ts[i+2] || ' '
+                                    || ts[i+3] || ' ' || ts[i+4]))
+                          ELSE [array_to_string(ts, ' ')] END AS ss
+              FROM toks
+            ), train AS (
+              SELECT doc_id AS train_id, unnest(ss) AS shingle FROM shng
+            ), ev AS (
+              SELECT doc_id AS eval_id, unnest(ss) AS shingle FROM shng
+              WHERE md5(CAST(doc_id AS VARCHAR)) < '__EVAL_CUTOFF__'
+            )
+            SELECT train_id,
+                   count(DISTINCT t.shingle) AS n_hits,
+                   count(DISTINCT e.eval_id) AS n_eval_docs
+            FROM train t JOIN ev e ON t.shingle = e.shingle
+            GROUP BY train_id
+            HAVING count(DISTINCT t.shingle) >= 1
+        """.replace("__EVAL_CUTOFF__", format(int(0.05 * (1 << 64)), "016x")),
+        # mixture budgeting: identical double arithmetic for the
+        # fraction and the 60-bit md5 keyspace for the cutoff compare
+        "mix_budget": r"""
+            WITH toks AS (
+              SELECT source, doc_id,
+                     CAST(CASE WHEN trim(text) = '' THEN 0
+                          ELSE len(string_split_regex(trim(text), '\s+'))
+                          END AS BIGINT) AS wt
+              FROM documents
+            ), tot AS (
+              SELECT source, CAST(sum(wt) AS BIGINT) AS stoks
+              FROM toks GROUP BY source
+            ), w(source, wgt) AS (
+              VALUES ('src0', 0.4), ('src1', 0.25), ('src2', 0.2),
+                     ('src3', 0.1), ('src4', 0.05)
+            ), f AS (
+              SELECT t.source,
+                     t.stoks,
+                     CAST(floor(least(1.0,
+                          w.wgt * 3000.0 / CAST(t.stoks AS DOUBLE))
+                          * 1152921504606846976.0) AS BIGINT) AS cutoff
+              FROM tot t JOIN w ON t.source = w.source
+            )
+            SELECT d.source, d.doc_id
+            FROM documents d JOIN f ON d.source = f.source
+            WHERE f.stoks > 0
+              AND ('0x' || substr(md5(CAST(d.doc_id AS VARCHAR)), 1, 15))::BIGINT
+                  < f.cutoff
         """,
         # full value oracle for the T8 rule-based sentence tokenizer: the
         # kernel's boundary regex uses a lookahead (RE2 has none), so the

@@ -145,6 +145,47 @@ def ngram_jaccard_pairs(
     )
 
 
+def decontaminate(
+    df: DataFrame,
+    eval_df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    eval_text_col: str = "text",
+    eval_id_col: str = "doc_id",
+    n: int = 8,
+    min_hits: int = 1,
+) -> DataFrame:
+    """Benchmark decontamination: flag training documents sharing ≥
+    ``min_hits`` distinct word ``n``-grams with ANY eval-set document
+    (the GPT-3/PaLM-style n-gram overlap recipe; 13-grams is the classic
+    setting, lower n is stricter).
+
+    Scale shape: an inverted-index equi-join on the shingle string —
+    identical to :func:`ngram_jaccard_pairs`'s index, but one side is
+    the (small) eval set, so the join's build side is eval shingles and
+    AQE broadcasts it when it fits. No all-pairs work, no collect; the
+    training side stays a narrow shingle pass + one aggregation.
+
+    Returns one row per CONTAMINATED training doc: (id, n_hits =
+    distinct shared n-grams, n_eval_docs = eval docs it overlaps).
+    """
+    train = shingle_df(df, text_col, id_col, n).select(
+        F.col("sid").alias("train_id"), "shingle"
+    )
+    ev = shingle_df(eval_df, eval_text_col, eval_id_col, n).select(
+        F.col("sid").alias("eval_id"), "shingle"
+    )
+    return (
+        train.join(ev, "shingle")
+        .groupBy("train_id")
+        .agg(
+            F.countDistinct("shingle").alias("n_hits"),
+            F.countDistinct("eval_id").alias("n_eval_docs"),
+        )
+        .filter(F.col("n_hits") >= min_hits)
+    )
+
+
 # --- MinHash + LSH ---
 
 # smallest prime above 2^32: with 32-bit token hashes, a*h + b stays

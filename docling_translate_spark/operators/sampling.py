@@ -73,6 +73,58 @@ def stratified_sample(
     )
 
 
+def mix_sources(
+    df: DataFrame,
+    weights: dict,
+    token_budget: int,
+    strata_col: str = "source",
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """Deterministic domain-mixture sampling: keep a per-source fraction
+    of documents such that the EXPECTED kept tokens per source equal
+    ``weights[source] * token_budget`` — the mixture-budget step between
+    corpus curation and sequence packing.
+
+    ``f_s = min(1, w_s * budget / tokens_s)``; a row survives iff its
+    60-bit md5 key falls under ``floor(f_s * 2^60)``. Same keyspace as
+    :func:`hash_sample`, so mixture samples nest/reproduce identically
+    at any cluster size. Sources absent from ``weights`` are dropped.
+
+    Scale shape: one per-source aggregation (a handful of rows),
+    broadcast back, then a pushed-down-able filter — no other shuffle.
+    The cutoff arithmetic is plain double×double→floor, exactly
+    reproducible in a SQL oracle.
+    """
+    txt = F.col(text_col)
+    toks = (
+        F.when(F.trim(txt) == "", F.lit(0))
+        .otherwise(F.size(F.split(F.trim(txt), r"\s+")))
+        .cast("long")
+    )
+    totals = df.groupBy(strata_col).agg(F.sum(toks).alias("_stoks"))
+    wmap = F.create_map(
+        *[F.lit(x) for kv in weights.items() for x in (kv[0], float(kv[1]))]
+    )
+    weight = wmap[F.col(strata_col)]
+    frac = F.least(
+        F.lit(1.0),
+        weight * F.lit(float(token_budget)) / F.col("_stoks").cast("double"),
+    )
+    cutoff = F.floor(frac * F.lit(float(1 << 60))).cast("long")
+    key = (
+        F.conv(F.substring(F.md5(F.col(id_col).cast("string")), 1, 15), 16, 10)
+        .cast("long")
+    )
+    return (
+        df.join(F.broadcast(totals), strata_col)  # one row per source: tiny
+        # least() ignores NULLs, so an absent weight must be rejected
+        # explicitly or it would silently mean keep-everything
+        .filter(weight.isNotNull() & (F.col("_stoks") > 0) & (key < cutoff))
+        .drop("_stoks")
+    )
+
+
 def pack_sequences(
     df: DataFrame,
     token_budget: int,

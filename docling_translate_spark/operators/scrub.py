@@ -1,0 +1,72 @@
+"""PII scrubbing — the redaction pass a training-data pipeline runs
+before anything else ships.
+
+Pure column expressions (regexp_replace / regexp_count chains): the
+whole stage stays in WholeStageCodegen, scales as a narrow map over the
+scan, and is exactly reproducible in any SQL engine (the driver-gate
+oracle runs the same regexes in DuckDB).
+
+Patterns are the standard curation battery: emails, international-ish
+phone numbers, IPv4 addresses, and 13-19 digit card-like runs. They are
+deliberately precision-leaning (word-ish boundaries) — at 100 TB a
+recall-leaning phone regex would mangle ordinary numerics everywhere.
+Replacement order matters and is fixed: emails first (their local parts
+can contain digits that the phone pattern would otherwise split),
+then cards before phones (a 16-digit run must not be half-eaten as a
+phone match), then IPs.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, functions as F
+
+# RE2/Java/DuckDB-portable: no lookarounds, no backrefs.
+EMAIL_RE = r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}"
+CARD_RE = r"\b\d(?:[ -]?\d){12,18}\b"
+# separators REQUIRED between groups (unseparated digit runs are more
+# often ids/timestamps than phones); 3 groups minimum, optional 4th
+PHONE_RE = r"\+?\d{1,3}[ .-]\(?\d{2,4}\)?[ .-]\d{3,4}(?:[ .-]\d{3,4})?\b"
+IPV4_RE = r"\b\d{1,3}\.\d{1,3}\.\d{1,3}\.\d{1,3}\b"
+
+_ORDERED = (
+    ("email", EMAIL_RE, "[EMAIL]"),
+    ("card", CARD_RE, "[CARD]"),
+    ("phone", PHONE_RE, "[PHONE]"),
+    ("ip", IPV4_RE, "[IP]"),
+)
+
+
+def redact_pii_col(text: Column) -> Column:
+    """Redacted text column: each PII family replaced by its marker, in
+    the fixed order documented above."""
+    out = text
+    for _, pat, marker in _ORDERED:
+        out = F.regexp_replace(out, pat, marker)
+    return out
+
+
+def redact_pii(
+    df: DataFrame, text_col: str = "text", out_col: str = "clean_text"
+) -> DataFrame:
+    """Add ``out_col`` (redacted text) plus per-family hit counts and a
+    total — the counts are what a curation job monitors (a sudden spike
+    in one family usually means a leaky source, not more PII).
+
+    Counts are measured on the SAME intermediate state the replacement
+    saw (e.g. phones are counted after emails and cards were already
+    cut out), so counts and replacements can never disagree.
+    """
+    cur = F.col(text_col)
+    counts = {}
+    for name, pat, marker in _ORDERED:
+        counts[name] = F.coalesce(
+            F.regexp_count(cur, F.lit(pat)), F.lit(0)
+        ).cast("long")
+        cur = F.regexp_replace(cur, pat, marker)
+    out = df.withColumn(out_col, cur)
+    for name, c in counts.items():
+        out = out.withColumn(f"n_{name}", c)
+    return out.withColumn(
+        "n_pii",
+        sum(F.col(f"n_{name}") for name, _, _ in _ORDERED).cast("long"),
+    )
