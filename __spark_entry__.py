@@ -772,13 +772,20 @@ def q_embed_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def q_curation_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Composed training-data curation flow: extraction → quality/lang
-    gates → exact + near dedup → token accounting (rows-only)."""
+    """Composed training-data curation flow: extraction → PII redaction
+    → quality/lang gates → exact + near dedup → benchmark
+    decontamination → token accounting (rows-only)."""
+    from docling_translate_spark.operators.sampling import hash_sample
     from docling_translate_spark.pipeline import CurationConfig, curate_turns
     from docling_translate_spark.sources.tables import transcripts_from_documents
 
     t = transcripts_from_documents(spark, sf_dir)
-    out = curate_turns(t, CurationConfig(min_quality=0.3, min_chars=10))
+    eval_set = hash_sample(_docs(spark, sf_dir), 0.02).select("doc_id", "text")
+    out = curate_turns(
+        t,
+        CurationConfig(min_quality=0.3, min_chars=10, redact=True, decontam_n=6),
+        eval_set=eval_set,
+    )
     return out.select(
         "conv_id", "turn_idx", "pred_lang", "quality_score", "ws_tokens"
     )

@@ -43,18 +43,46 @@ class CurationConfig:
     near_dup_threshold: float = 0.85
     near_dup: bool = True
     extract: ExtractConfig = ExtractConfig()
+    # PII scrubbing of the extracted text (opt-in; quality/token stats
+    # then run over the redacted text, which is what actually ships)
+    redact: bool = False
+    # benchmark decontamination n-gram size (used when an eval set is
+    # passed to curate_turns)
+    decontam_n: int = 8
+    decontam_min_hits: int = 1
 
 
-def curate_turns(transcripts: DataFrame, cfg: CurationConfig | None = None) -> DataFrame:
+def curate_turns(
+    transcripts: DataFrame,
+    cfg: CurationConfig | None = None,
+    eval_set: DataFrame | None = None,
+) -> DataFrame:
     """Run the full curation flow; returns kept turns with quality/token
     metadata. Deterministic: near-dup removal keeps the smallest
-    (conv_id, turn_idx) member of each duplicate pair."""
+    (conv_id, turn_idx) member of each duplicate pair.
+
+    ``eval_set`` (columns ``doc_id``, ``text``) enables benchmark
+    decontamination: turns sharing ≥ ``cfg.decontam_min_hits`` distinct
+    ``cfg.decontam_n``-grams with any eval document are dropped via a
+    left-anti join on the flagged set.
+    """
     cfg = cfg or CurationConfig()
 
     ext = extract_turns_fused(transcripts, cfg.extract)
     docs = ext.filter(F.length("extracted_text") >= cfg.min_chars).withColumn(
         "text", F.col("extracted_text")
     )
+    if cfg.redact:
+        from docling_translate_spark.operators.scrub import redact_pii
+
+        # downstream stats/dedup run over the redacted text — the text
+        # that actually ships
+        docs = (
+            redact_pii(docs)
+            .drop("text", "extracted_text")
+            .withColumnRenamed("clean_text", "text")
+            .withColumn("extracted_text", F.col("text"))
+        )
 
     docs = quality_features(docs)
     docs = lang_id(docs)
@@ -95,6 +123,23 @@ def curate_turns(transcripts: DataFrame, cfg: CurationConfig | None = None) -> D
         # drop the larger id of each near-dup pair
         losers = pairs.select(F.col("id_b").alias("_nid")).distinct()
         kept = keyed.join(losers, on="_nid", how="left_anti").drop("_nid")
+
+    if eval_set is not None:
+        from docling_translate_spark.operators.dedup import decontaminate
+
+        # two consumers again (flag generation + anti-join probe):
+        # persist, same reasoning as the near-dup stage above
+        keyed2 = kept.withColumn(
+            "_did", F.xxhash64("conv_id", "turn_idx")
+        ).persist()
+        flagged = decontaminate(
+            keyed2,
+            eval_set,
+            id_col="_did",
+            n=cfg.decontam_n,
+            min_hits=cfg.decontam_min_hits,
+        ).select(F.col("train_id").alias("_did"))
+        kept = keyed2.join(flagged, on="_did", how="left_anti").drop("_did")
 
     return kept.select(
         "conv_id",

@@ -66,3 +66,47 @@ def test_curation_lang_gate(spark, transcripts):
         transcripts, CurationConfig(keep_langs=("fr",), near_dup=False)
     ).collect()
     assert out == []
+
+
+def test_curation_redact_stage(spark, transcripts):
+    """With redact=True the shipped text is scrubbed and all stats/
+    fingerprints run over the redacted form."""
+    rows = [
+        ("p1", 0, "user",
+         "The quick brown fox called +1 555-123-4567 and it was a fine "
+         "day for the animals in the park because the sun was out.",
+         "", None),
+    ]
+    from docling_translate_spark.schema import TRANSCRIPT_SCHEMA
+
+    df = spark.createDataFrame(rows, TRANSCRIPT_SCHEMA)
+    out = curate_turns(
+        df, CurationConfig(min_quality=0.3, redact=True, near_dup=False)
+    ).collect()
+    assert len(out) == 1
+    assert "[PHONE]" in out[0]["extracted_text"]
+    assert "555" not in out[0]["extracted_text"]
+
+
+def test_curation_decontaminate_stage(spark, transcripts):
+    """Passing an eval set drops turns overlapping it by >= min_hits
+    n-grams; everything else is unchanged."""
+    ev = spark.createDataFrame(
+        [(900, GOOD)], "doc_id bigint, text string"
+    )
+    base = {
+        (r["conv_id"], r["turn_idx"])
+        for r in curate_turns(
+            transcripts, CurationConfig(min_quality=0.8, near_dup_threshold=0.7)
+        ).collect()
+    }
+    decon = {
+        (r["conv_id"], r["turn_idx"])
+        for r in curate_turns(
+            transcripts,
+            CurationConfig(min_quality=0.8, near_dup_threshold=0.7),
+            eval_set=ev,
+        ).collect()
+    }
+    assert ("c1", 0) in base
+    assert decon == base - {("c1", 0)}  # the GOOD turn is contaminated
