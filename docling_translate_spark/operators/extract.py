@@ -343,9 +343,10 @@ def extract_turns_fused(
                 pdf["conv_id"], pdf["turn_idx"], pdf["text"], tools, caps, cells, heads
             ):
                 spans, contents = [], []
-                if text is not None and str(text).strip() and not has_nul_byte(str(text)):
+                payload = str(text) if text is not None else None
+                if payload is not None and payload.strip() and not has_nul_byte(payload):
                     for seg_text, start, end, tr, st, line in segment_text(
-                        str(text), tool or None
+                        payload, tool or None
                     ):
                         if tr and is_formula(seg_text):
                             st, tr = "formula", False

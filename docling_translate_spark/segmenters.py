@@ -75,10 +75,11 @@ def split_paragraphs(
     pos = start_pos
     line = line_number
     for para in paras:
-        if para.strip():
+        stripped = para.strip()
+        if stripped:
             out.append(
                 (
-                    para.strip() if strip else para,
+                    stripped if strip else para,
                     pos,
                     pos + len(para),
                     True,
