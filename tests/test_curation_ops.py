@@ -50,6 +50,28 @@ def test_redact_pii_stays_jvm_side(spark):
     assert "Python" not in plan, plan
 
 
+def test_mix_sources_plan_shape(spark):
+    """One tiny per-source aggregate joined back via broadcast; the kept
+    rows come straight off the scan — no extra exchange on the big side
+    and no Python anywhere."""
+    docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    plan = _plan(mix_sources(docs, {"src0": 0.5}, 1000))
+    assert "BroadcastExchange" in plan, plan
+    assert "Python" not in plan, plan
+    # only the totals aggregation shuffles (inside the broadcast build)
+    assert plan.count("Exchange hashpartitioning") <= 1, plan
+
+
+def test_decontaminate_plan_is_index_join(spark):
+    """Shingle inverted-index join, aggregation on the training side —
+    no cartesian, no Python beyond nothing (pure column shingles)."""
+    docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    ev = docs.limit(5)
+    plan = _plan(decontaminate(docs, ev, n=4))
+    assert "CartesianProduct" not in plan, plan
+    assert "Python" not in plan, plan
+
+
 def test_decontaminate_flags_exact_and_partial_overlap(spark):
     train = spark.createDataFrame(
         [
