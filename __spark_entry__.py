@@ -687,6 +687,28 @@ def q_mix_budget(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_s8_embed_media(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """S8/S9 composition: the reference's save-and-embed image block —
+    a full-width div with the payload inlined as a base64 data URI
+    (ref html_generator.py:645-660, utils.py:95-124). Spark's base64
+    MIME-wraps at 76 chars; the CRLFs are stripped so the data URI is
+    valid AND byte-equal to any SQL engine's unwrapped encoder."""
+    from docling_translate_spark.operators.multimodal import synth_media_df
+
+    m = synth_media_df(spark, n=128)
+    b64 = F.regexp_replace(F.base64("payload"), "[\\r\\n]", "")
+    html = F.concat(
+        F.lit('<div class="full-width"><img src="data:'),
+        F.col("mime"),
+        F.lit(";base64,"),
+        b64,
+        F.lit('" alt="'),
+        F.col("kind"),
+        F.lit('"></div>'),
+    )
+    return m.select("media_id", html.alias("html"))
+
+
 def q_t8_sentences(spark: SparkSession, sf_dir: str) -> DataFrame:
     """T8 sentence tokenization per doc (rows-only: rule-based splitter
     pinned by pytest fixtures, ref core.py:428)."""
@@ -891,6 +913,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "pii_redact": q_pii_redact,
         "decontaminate": q_decontaminate,
         "mix_budget": q_mix_budget,
+        "s8_embed_media": q_s8_embed_media,
         "lang_codes": q_lang_codes,
         "embed_near_dup": q_embed_near_dup,
         "curation_pipeline": q_curation_pipeline,
@@ -1218,6 +1241,24 @@ w AS MATERIALIZED (
             SELECT media_id, kind,
                    octet_length(payload)::INT AS n_bytes,
                    sha256(upper(hex(payload))) AS hex_sha256
+            FROM m
+        """,
+        # S8/S9 save-and-embed: same synthetic payload rebuild as
+        # media_features, base64 data-URI image block
+        "s8_embed_media": """
+            WITH m AS (
+                SELECT i AS media_id,
+                       ['image','audio','video'][(i % 3 + 1)::INT] AS kind,
+                       ['image/png','audio/wav','video/mp4'][(i % 3 + 1)::INT]
+                           AS mime,
+                       repeat(unhex(sha256('media-' || i)),
+                              (i % 4 + 1)::INT) AS payload
+                FROM range(0, 128) t(i)
+            )
+            SELECT media_id,
+                   '<div class="full-width"><img src="data:' || mime
+                   || ';base64,' || to_base64(payload::BLOB)
+                   || '" alt="' || kind || '"></div>' AS html
             FROM m
         """,
         # §2.8 span-source union through the real kernel: the sanitized
