@@ -135,6 +135,14 @@ def document_html(
     """
     from docling_translate_spark.classify import FORMULA_REGEX
 
+    # NULL text/extracted must render as an empty cell, not silently
+    # drop the turn: F.concat null-propagates into _row_html and
+    # collect_list skips NULLs, so without this coalesce a NULL turn
+    # would vanish from the assembled document with no error (r2 ADVICE).
+    df = df.withColumn(orig_col, F.coalesce(F.col(orig_col), F.lit(""))).withColumn(
+        extr_col, F.coalesce(F.col(extr_col), F.lit(""))
+    )
+
     row = F.when(
         F.regexp_like(F.col(orig_col), F.lit(FORMULA_REGEX)),
         F.concat(

@@ -198,7 +198,11 @@ _MINHASH_P = 4294967311
 
 def _hash_params(k: int, seed: int = 7) -> tuple[np.ndarray, np.ndarray]:
     rng = np.random.RandomState(seed)
-    a = rng.randint(1, _MINHASH_P, size=k).astype(np.uint64)
+    # a < 2^32 by CONSTRUCTION, not by luck of the seed: P exceeds 2^32,
+    # so a drawn from [1, P) could make a*h + b wrap uint64 in numpy
+    # while the oracle's HUGEINT does not — silent signature divergence
+    # for unlucky (seed, k) choices (r2 ADVICE). b may stay in [0, P).
+    a = rng.randint(1, 1 << 32, size=k).astype(np.uint64)
     b = rng.randint(0, _MINHASH_P, size=k).astype(np.uint64)
     return a, b
 
@@ -277,6 +281,13 @@ def minhash_lsh_pairs(
     32 bands × 4 rows ⇒ collision prob ~ s^4 per band: s=0.8 pairs are
     caught w.p. ≈ 1-(1-0.41)^32 ≈ 1. Bucket join is on (band, band_hash)
     — small keys, AQE-splittable.
+
+    Scale shape: the candidate self-join moves SLIM (sid, band, bh)
+    rows only — 16 B of key per exploded band row, never the
+    ``num_hashes``-long signature array (which would be ~1 KB per band
+    row per side: tens of TB of shuffle at 10^9 docs). Signatures
+    attach to the deduped candidate pairs afterwards via two equi-joins
+    (the ``cosine_near_dup_pairs`` pattern, similarity.py).
     """
     rows = num_hashes // bands
     sig = minhash_signatures(df, text_col, id_col, n, num_hashes, seed).cache()
@@ -297,7 +308,6 @@ def minhash_lsh_pairs(
     )
     banded = sig.select(
         "sid",
-        "signature",
         F.explode(
             F.transform(
                 F.sequence(F.lit(0), F.lit(bands - 1)),
@@ -307,15 +317,24 @@ def minhash_lsh_pairs(
                 ),
             )
         ).alias("bb"),
-    ).select("sid", "signature", F.col("bb.band").alias("band"), F.col("bb.bh").alias("bh"))
+    ).select("sid", F.col("bb.band").alias("band"), F.col("bb.bh").alias("bh"))
 
-    a = banded.select(F.col("sid").alias("id_a"), F.col("signature").alias("sig_a"), "band", "bh")
-    b = banded.select(F.col("sid").alias("id_b"), F.col("signature").alias("sig_b"), "band", "bh")
-    cands = (
+    a = banded.select(F.col("sid").alias("id_a"), "band", "bh")
+    b = banded.select(F.col("sid").alias("id_b"), "band", "bh")
+    pairs = (
         a.join(b, ["band", "bh"])
         .filter(F.col("id_a") < F.col("id_b"))
-        .select("id_a", "id_b", "sig_a", "sig_b")
+        .select("id_a", "id_b")
         .dropDuplicates(["id_a", "id_b"])
+    )
+    # signatures attach AFTER pair dedup, so the wide array rides only
+    # on the (few) surviving candidates, never through the band exchange
+    cands = pairs.join(
+        sig.select(F.col("sid").alias("id_a"), F.col("signature").alias("sig_a")),
+        "id_a",
+    ).join(
+        sig.select(F.col("sid").alias("id_b"), F.col("signature").alias("sig_b")),
+        "id_b",
     )
     est = F.size(
         F.filter(

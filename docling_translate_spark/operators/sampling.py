@@ -167,6 +167,17 @@ def pack_sequences(
     # at the 100 TB scale this targets)
     bin_of = lambda start: F.expr(f"{start} div {int(token_budget)}")  # noqa: E731
 
+    # The bucketed plan keys on cast(id as bigint); a non-integral id
+    # (e.g. string UUIDs) casts to NULL, NULLs _bkt, and the equi-join
+    # with `bases` would silently drop EVERY row. Fall back to the
+    # single-window plan, which only needs an orderable id.
+    from pyspark.sql.types import ByteType, IntegerType, LongType, ShortType
+
+    if not isinstance(
+        df.schema[id_col].dataType, (ByteType, ShortType, IntegerType, LongType)
+    ):
+        n_buckets = 1
+
     if n_buckets <= 1:
         w = Window.partitionBy(strata_col).orderBy(id_col)
         cum = F.sum(toks).over(w)

@@ -13,7 +13,8 @@ recall-leaning phone regex would mangle ordinary numerics everywhere.
 Replacement order matters and is fixed: emails first (their local parts
 can contain digits that the phone pattern would otherwise split),
 then cards before phones (a 16-digit run must not be half-eaten as a
-phone match), then IPs.
+phone match), then IPs before phones (a dotted quad must never be
+half-eaten as a dotted phone).
 """
 
 from __future__ import annotations
@@ -23,16 +24,25 @@ from pyspark.sql import Column, DataFrame, functions as F
 # RE2/Java/DuckDB-portable: no lookarounds, no backrefs.
 EMAIL_RE = r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}"
 CARD_RE = r"\b\d(?:[ -]?\d){12,18}\b"
-# separators REQUIRED between groups (unseparated digit runs are more
-# often ids/timestamps than phones); 3 groups minimum, optional 4th
-PHONE_RE = r"\+?\d{1,3}[ .-]\(?\d{2,4}\)?[ .-]\d{3,4}(?:[ .-]\d{3,4})?\b"
+# Three precision-leaning shapes (r2 ADVICE: the old dot-separated form
+# swallowed dotted dates '15.08.2026' and numeric tuples '3.14.159'):
+#   1. international — leading '+' anchor, any separators
+#   2. parenthesized area code — '(' anchor, any separators
+#   3. bare groups — space/dash separators ONLY (dot-separated bare
+#      runs are more often dates/versions than phones); the 3-4 digit
+#      middle group rejects dd-mm-yyyy too
+PHONE_RE = (
+    r"\+\d{1,3}[ .-]?\(?\d{2,4}\)?[ .-]?\d{3,4}(?:[ .-]\d{3,4})?\b"
+    r"|\(\d{2,4}\)[ .-]?\d{3,4}[ .-]\d{3,4}\b"
+    r"|\b\d{2,4}[ -]\d{3,4}[ -]\d{3,4}\b"
+)
 IPV4_RE = r"\b\d{1,3}\.\d{1,3}\.\d{1,3}\.\d{1,3}\b"
 
 _ORDERED = (
     ("email", EMAIL_RE, "[EMAIL]"),
     ("card", CARD_RE, "[CARD]"),
-    ("phone", PHONE_RE, "[PHONE]"),
     ("ip", IPV4_RE, "[IP]"),
+    ("phone", PHONE_RE, "[PHONE]"),
 )
 
 

@@ -139,3 +139,25 @@ def test_mix_sources_budget_and_determinism(spark):
     # a dominating budget keeps every doc of a weighted source
     all_kept = mix_sources(docs, {"src0": 1.0}, 10**9)
     assert all_kept.count() == docs.filter(F.col("source") == "src0").count()
+
+
+def test_redact_pii_dates_versions_ips_precision(spark):
+    """r2 ADVICE: the old dot-separated phone shape swallowed dotted
+    dates/version tuples and half-ate IPv4s. Dates and versions must
+    pass through untouched; IPs redact as IPs (IP pass runs first);
+    anchored and dash-separated phones still redact."""
+    rows = [
+        (0, "released 15.08.2026 with pi 3.14.159 inside"),
+        (1, "gateway 172.16.254.1 pinged"),
+        (2, "call (02) 555-0199 or +82 10-1234-5678"),
+        (3, "meeting on 15-08-2026 at noon"),
+    ]
+    df = spark.createDataFrame(rows, "doc_id int, text string")
+    got = {r["doc_id"]: r for r in redact_pii(df).collect()}
+    assert got[0]["clean_text"] == rows[0][1] and got[0]["n_pii"] == 0
+    assert got[1]["clean_text"] == "gateway [IP] pinged"
+    assert got[1]["n_ip"] == 1 and got[1]["n_phone"] == 0
+    assert got[2]["clean_text"] == "call [PHONE] or [PHONE]"
+    assert got[2]["n_phone"] == 2
+    # dash date: middle group is 2 digits, phone needs 3-4 — untouched
+    assert got[3]["clean_text"] == rows[3][1] and got[3]["n_pii"] == 0

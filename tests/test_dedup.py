@@ -102,3 +102,15 @@ def test_simhash_empty_text(spark):
     df = spark.createDataFrame([(0, ""), (1, None)], ["doc_id", "text"])
     out = {r["sid"]: r["simhash"] for r in simhash_signatures(df).collect()}
     assert out == {0: 0, 1: 0}
+
+
+def test_minhash_hash_params_bounded_for_any_seed():
+    """a < 2^32 by construction (r2 ADVICE): a in [2^32, P) would wrap
+    a*h+b in numpy uint64 but not in the oracle's HUGEINT, silently
+    breaking signature parity for unlucky seeds."""
+    from docling_translate_spark.operators.dedup import _hash_params
+
+    for seed in range(25):
+        a, b = _hash_params(128, seed=seed)
+        assert int(a.max()) < 1 << 32 and int(a.min()) >= 1, seed
+        assert int(b.min()) >= 0

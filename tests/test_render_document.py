@@ -65,3 +65,16 @@ def test_document_structure(spark):
     # span pairing ids are deterministic
     assert 'id="src-conv-A-0-0"' in html
     assert 'data-src="src-conv-A-0-0"' in html
+
+
+def test_document_null_turn_renders_empty_not_dropped(spark):
+    """A NULL text/extracted turn must appear as an empty cell, not
+    vanish from the assembled document (r2 ADVICE: F.concat
+    null-propagates and collect_list skips NULLs)."""
+    df = spark.createDataFrame(
+        [("c1", 0, "hello", "hello"), ("c1", 1, None, None), ("c1", 2, "bye", "bye")],
+        "conv_id string, turn_idx int, text string, extracted string",
+    )
+    html = document_html(df).collect()[0]["html"]
+    assert html.count('class="paragraph-row"') == 3
+    assert html.index("hello") < html.index("bye")

@@ -160,3 +160,25 @@ def test_repetition_fixtures(spark):
     assert got[3]["dup_line_ratio"] == 0.0
     assert got[3]["top_bigram_ratio"] == 0.0
     assert got[4]["dup_line_ratio"] == 0.0
+
+
+def test_pack_sequences_string_id_falls_back(spark, docs):
+    """Non-integral id: cast-to-bigint yields NULL and the bucketed plan's
+    equi-join would silently drop EVERY row (r2 ADVICE) — pack_sequences
+    must fall back to the single-window plan instead."""
+    sdocs = docs.withColumn(
+        "sid", F.concat(F.lit("doc-"), F.col("doc_id").cast("string"))
+    )
+    base = {
+        r["sid"]: (r["ws_tokens"], r["seq_bin"])
+        for r in pack_sequences(sdocs, 512, id_col="sid", n_buckets=1)
+        .select("sid", "ws_tokens", "seq_bin")
+        .collect()
+    }
+    got = {
+        r["sid"]: (r["ws_tokens"], r["seq_bin"])
+        for r in pack_sequences(sdocs, 512, id_col="sid", n_buckets=32)
+        .select("sid", "ws_tokens", "seq_bin")
+        .collect()
+    }
+    assert got and got == base
