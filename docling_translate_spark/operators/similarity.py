@@ -475,6 +475,7 @@ def lsh_ann_topk(
     id_col: str = "vec_id",
     vec_col: str = "embedding",
     seed: int = 11,
+    max_bucket: int = 2048,
 ) -> DataFrame:
     """Approximate top-k neighbors via per-bucket GEMM: each (table,
     bucket) packs its members once (``collect_list`` — one shuffle, one
@@ -485,19 +486,45 @@ def lsh_ann_topk(
     materialized or shuffled: on a dense corpus the bucket self-join
     form shuffles O(Σ bucket²) pair rows, which measured 4-5x slower.
 
-    Per-bucket top-k pruning is exact: if a neighbor is outranked by k
-    members inside every bucket it shares with the query, those members
-    are also candidates and outrank it globally.
+    Per-(bucket, shard) top-k pruning is exact: if a neighbor is
+    outranked by k members inside every shard it shares with the query,
+    those members are also candidates and outrank it globally.
 
     Recall rises with more tables / fewer planes; candidate volume rises
-    with bucket size — tune to corpus density. Hot buckets are the skew
-    case (one task per bucket).
+    with bucket size — tune to corpus density. Hot buckets — the skew
+    case (one task and an O(bucket²) GEMM per bucket) — are BOUNDED:
+    buckets above ``max_bucket`` members are salt-split into
+    ``ceil(size / max_bucket)`` deterministic md5-keyed shards, each
+    packed and scored independently (r2 verdict #3). Within a split
+    bucket, cross-shard pairs are lost in that table only — the other
+    ``n_tables - 1`` tables still catch them, which is the same recall
+    argument LSH already rests on. The split is content-keyed (md5 of
+    the id), so results are reproducible at any cluster size.
     """
     sig = hyperplane_signatures(corpus, dim, n_planes, n_tables, id_col, vec_col, seed)
     vec = corpus.select(F.col(id_col).alias("sid"), F.col(vec_col).alias("_v"))
+    # Bucket size via a window count on the SAME (table, bucket) keys the
+    # pack groups on: the pack's HashAggregate keys are a superset of the
+    # window's partitioning, so Catalyst reuses the exchange — the capped
+    # plan shuffles exactly as much as the uncapped one did, and the
+    # signature kernel still runs once. The shard key is pure column
+    # arithmetic (md5 of the id), deterministic at any cluster size. The
+    # window task itself is linear in bucket size — the quadratic GEMM is
+    # what the cap bounds.
+    wb = Window.partitionBy("table", "bucket")
+    shard = F.pmod(
+        F.conv(F.substring(F.md5(F.col("sid").cast("string")), 1, 15), 16, 10).cast(
+            "long"
+        ),
+        F.greatest(
+            F.lit(1).cast("long"),
+            F.ceil(F.count("*").over(wb) / F.lit(int(max_bucket))).cast("long"),
+        ),
+    )
     packed = (
         sig.join(vec, "sid")
-        .groupBy("table", "bucket")
+        .withColumn("_shard", shard)
+        .groupBy("table", "bucket", "_shard")
         .agg(F.collect_list(F.struct("sid", "_v")).alias("_members"))
     )
 
