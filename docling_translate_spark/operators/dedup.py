@@ -425,3 +425,76 @@ def simhash_pairs(
         .filter(F.col("hamming") <= max_hamming)
         .select("id_a", "id_b", "hamming")
     )
+
+
+# --- connected components over near-dup pair edges ---
+
+
+def connected_components(
+    pairs: DataFrame,
+    id_a: str = "id_a",
+    id_b: str = "id_b",
+    max_iter: int = 25,
+) -> DataFrame:
+    """Component label per vertex appearing in ``pairs``: ``(id, comp)``
+    with ``comp`` = the smallest id reachable over the pair edges.
+
+    Near-dup relations are not transitive, but corpus dedup treats them
+    as if they were (a chain A~B~C is one redundant cluster): keeping
+    one doc per CONNECTED COMPONENT — not one per pair — is what MinHash
+    dedup pipelines ship. Without it, dropping ``id_b`` of each pair
+    keeps both endpoints of a path like (1,3),(2,3).
+
+    Min-label propagation: every vertex starts as its own label; each
+    round every vertex takes the min label among itself and its
+    neighbors; fixpoint when a round changes nothing (checked with a
+    cheap ``limit(1).count()``). Rounds needed = graph diameter — near-
+    dup components are short chains/cliques in practice, and ``max_iter``
+    bounds the pathological path-graph. Each round moves slim
+    ``(id, label)`` rows through one equi-join + min-aggregate — no
+    payloads — and iteration state is ``localCheckpoint``-ed so the plan
+    stays flat instead of nesting one join per round. The fixpoint is
+    iteration-order independent, so results are deterministic at any
+    cluster size / partitioning.
+    """
+    e = (
+        pairs.select(F.col(id_a).alias("src"), F.col(id_b).alias("dst"))
+        .union(pairs.select(F.col(id_b).alias("src"), F.col(id_a).alias("dst")))
+        .distinct()
+        .persist()
+    )
+    labels = (
+        e.select(F.col("src").alias("id"))
+        .distinct()
+        .withColumn("comp", F.col("id"))
+        .localCheckpoint()
+    )
+    for _ in range(max_iter):
+        nbr_min = (
+            e.join(labels.withColumnRenamed("id", "dst"), "dst")
+            .groupBy("src")
+            .agg(F.min("comp").alias("_ncomp"))
+            .withColumnRenamed("src", "id")
+        )
+        new_labels = (
+            labels.join(nbr_min, "id", "left")
+            .select(
+                "id",
+                F.least(
+                    F.col("comp"), F.coalesce(F.col("_ncomp"), F.col("comp"))
+                ).alias("comp"),
+            )
+            .localCheckpoint()
+        )
+        changed = (
+            new_labels.withColumnRenamed("comp", "_new")
+            .join(labels, "id")
+            .filter(F.col("_new") != F.col("comp"))
+            .limit(1)
+            .count()
+        )
+        labels = new_labels
+        if changed == 0:
+            break
+    e.unpersist()
+    return labels

@@ -22,7 +22,10 @@ from dataclasses import dataclass
 from pyspark.sql import DataFrame, functions as F
 from pyspark.sql.window import Window
 
-from docling_translate_spark.operators.dedup import minhash_lsh_pairs
+from docling_translate_spark.operators.dedup import (
+    connected_components,
+    minhash_lsh_pairs,
+)
 from docling_translate_spark.operators.extract import (
     ExtractConfig,
     extract_turns_fused,
@@ -59,12 +62,17 @@ def curate_turns(
 ) -> DataFrame:
     """Run the full curation flow; returns kept turns with quality/token
     metadata. Deterministic: near-dup removal keeps the smallest
-    (conv_id, turn_idx) member of each duplicate pair.
+    md5-keyed member of each near-dup connected component.
 
     ``eval_set`` (columns ``doc_id``, ``text``) enables benchmark
     decontamination: turns sharing ≥ ``cfg.decontam_min_hits`` distinct
     ``cfg.decontam_n``-grams with any eval document are dropped via a
     left-anti join on the flagged set.
+
+    Near-dup removal is component-wise: LSH pairs are treated as edges
+    and ONE member per connected component survives (the min-id one).
+    A chain A~B~C therefore keeps exactly one doc even when A~C was
+    never itself a candidate pair (r2 verdict #6).
     """
     cfg = cfg or CurationConfig()
 
@@ -102,9 +110,25 @@ def curate_turns(
     )
 
     if cfg.near_dup:
-        # stable int id for pair generation
+        # stable int id for pair generation: 60-bit md5 prefix of
+        # "conv_id:turn_idx" — avalanche-mixed like xxhash64, but
+        # portable (any SQL engine reproduces it), which is what lets
+        # the composed pipeline carry a full value oracle. The id also
+        # decides WHICH component member survives (the min), so it must
+        # be engine-reproducible, not Spark-private.
         keyed = kept.withColumn(
-            "_nid", F.xxhash64("conv_id", "turn_idx")
+            "_nid",
+            F.conv(
+                F.substring(
+                    F.md5(
+                        F.concat_ws(":", F.col("conv_id"), F.col("turn_idx"))
+                    ),
+                    1,
+                    15,
+                ),
+                16,
+                10,
+            ).cast("long"),
         )
         # `keyed` feeds TWO consumers (LSH pair generation and the
         # anti-join probe side); without a persist the whole upstream
@@ -120,8 +144,15 @@ def curate_turns(
             id_col="_nid",
             threshold=cfg.near_dup_threshold,
         )
-        # drop the larger id of each near-dup pair
-        losers = pairs.select(F.col("id_b").alias("_nid")).distinct()
+        # component-wise removal: pair edges → connected components,
+        # keep the min-id member of each component. Dropping id_b per
+        # pair would keep both ends of a chain A~B~C whenever A~C was
+        # never a candidate pair (near-dup is not transitive, but
+        # corpus dedup treats the closure as one redundant cluster).
+        comp = connected_components(pairs, "id_a", "id_b")
+        losers = comp.filter(F.col("comp") != F.col("id")).select(
+            F.col("id").alias("_nid")
+        )
         kept = keyed.join(losers, on="_nid", how="left_anti").drop("_nid")
 
     if eval_set is not None:

@@ -114,3 +114,29 @@ def test_minhash_hash_params_bounded_for_any_seed():
         a, b = _hash_params(128, seed=seed)
         assert int(a.max()) < 1 << 32 and int(a.min()) >= 1, seed
         assert int(b.min()) >= 0
+
+
+def test_connected_components_chain_and_island(spark):
+    """Min-label propagation over pair edges: a 3-chain (1-2, 2-3) is
+    ONE component labeled by its min id, an unrelated pair is another,
+    and vertices appearing only as id_b still get labels."""
+    from docling_translate_spark.operators.dedup import connected_components
+
+    pairs = spark.createDataFrame(
+        [(1, 2), (2, 3), (10, 11), (7, 3)], ["id_a", "id_b"]
+    )
+    got = {r["id"]: r["comp"] for r in connected_components(pairs).collect()}
+    assert got == {1: 1, 2: 1, 3: 1, 7: 1, 10: 10, 11: 10}
+
+
+def test_connected_components_path_graph_converges(spark):
+    """A long path is the diameter worst case — the fixpoint loop must
+    still converge (within max_iter) to a single min label."""
+    from docling_translate_spark.operators.dedup import connected_components
+
+    n = 12
+    pairs = spark.createDataFrame(
+        [(i, i + 1) for i in range(n)], ["id_a", "id_b"]
+    )
+    got = {r["id"]: r["comp"] for r in connected_components(pairs).collect()}
+    assert got == {i: 0 for i in range(n + 1)}

@@ -40,9 +40,11 @@ def test_curation_end_to_end(spark, transcripts):
         transcripts, CurationConfig(min_quality=0.8, near_dup_threshold=0.7)
     ).collect()
     keys = sorted((r["conv_id"], r["turn_idx"]) for r in out)
-    assert keys == [("c1", 0), ("c5", 0)]
+    # near-dup component {c1:0, c2:0}: the min-md5-id member survives
+    # (md5("c2:0") < md5("c1:0")), per the documented determinism rule
+    assert keys == [("c2", 0), ("c5", 0)]
     by_key = {(r["conv_id"], r["turn_idx"]): r for r in out}
-    assert by_key[("c1", 0)]["extracted_text"] == GOOD
+    assert by_key[("c2", 0)]["extracted_text"] == NEAR
     # page chrome stripped from c5, content preserved
     assert by_key[("c5", 0)]["extracted_text"] == GOOD2
     assert by_key[("c5", 0)]["boilerplate_ratio"] > 0
@@ -108,5 +110,67 @@ def test_curation_decontaminate_stage(spark, transcripts):
             eval_set=ev,
         ).collect()
     }
-    assert ("c1", 0) in base
-    assert decon == base - {("c1", 0)}  # the GOOD turn is contaminated
+    # the near-dup survivor is c2 (NEAR), which still shares 6-grams
+    # with the GOOD eval doc → contaminated and dropped
+    assert ("c2", 0) in base
+    assert decon == base - {("c2", 0)}
+
+
+def test_curation_near_dup_chain_keeps_one(spark):
+    """r2 verdict #6: a near-dup chain X~Y~Z (X~Z never a candidate
+    pair) must keep exactly ONE member — component-wise removal, not
+    per-pair id_b dropping. conv_ids are chosen so the middle doc has
+    the LARGEST md5 id of the three: per-pair dropping would then keep
+    both ends (2 rows), components keep only the min-id member."""
+    import hashlib
+
+    base = (
+        "alpha bravo charlie delta echo foxtrot golf hotel india juliet "
+        "kilo lima mike november oscar papa quebec romeo sierra tango "
+        "uniform victor whiskey xray yankee zulu one two three four"
+    )
+    words = base.split()
+    wa, wc = list(words), list(words)
+    wa[4] = "changedword"       # X: early edit  → near Y, far from Z
+    wc[25] = "otherword"        # Z: late edit   → near Y, far from X
+    # middle doc na has the max md5("<conv>:0") id; min is nc
+    rows = [
+        ("nb", 0, "user", " ".join(wa), "", None),
+        ("na", 0, "user", base, "", None),
+        ("nc", 0, "user", " ".join(wc), "", None),
+    ]
+    df = spark.createDataFrame(rows, TRANSCRIPT_SCHEMA)
+
+    ids = {
+        c: int(hashlib.md5(f"{c}:0".encode()).hexdigest()[:15], 16)
+        for c in ("na", "nb", "nc")
+    }
+    assert ids["na"] == max(ids.values()) and ids["nc"] == min(ids.values())
+
+    # precondition: both chain edges are LSH candidate pairs
+    from docling_translate_spark.operators.dedup import minhash_lsh_pairs
+
+    keyed = df.withColumn(
+        "_nid",
+        F.conv(
+            F.substring(
+                F.md5(F.concat_ws(":", F.col("conv_id"), F.col("turn_idx"))),
+                1, 15,
+            ),
+            16, 10,
+        ).cast("long"),
+    )
+    pairs = {
+        (r["id_a"], r["id_b"])
+        for r in minhash_lsh_pairs(
+            keyed, text_col="text", id_col="_nid", threshold=0.7
+        ).collect()
+    }
+    chain = {tuple(sorted((ids["na"], ids["nb"]))),
+             tuple(sorted((ids["na"], ids["nc"])))}
+    assert chain <= pairs, (pairs, ids)
+
+    out = curate_turns(
+        df, CurationConfig(min_quality=0.0, near_dup_threshold=0.7)
+    ).collect()
+    assert [(r["conv_id"], r["turn_idx"]) for r in out] == [("nc", 0)]
