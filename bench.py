@@ -148,10 +148,12 @@ def main() -> None:
             print(json.dumps(result))
             return
         rounds: list[dict] = []
-        # 4 interleaved rounds: with sustained co-tenant load the extra
+        # 8 interleaved rounds: with sustained co-tenant load each extra
         # pair measurably improves the odds that each level gets one
-        # clean observation (load only ever slows a run)
-        for _ in range(int(os.environ.get("SPARK_GRAFT_BENCH_ROUNDS", "4"))):
+        # clean observation (load only ever slows a run). The 4-round
+        # r2 driver run min-paired to 0.797 while the 8-round campaign
+        # measured 0.827 — the estimator needs the larger sample.
+        for _ in range(int(os.environ.get("SPARK_GRAFT_BENCH_ROUNDS", "8"))):
             secs = {}
             for cores in (lo_cores, hi_cores):
                 out = subprocess.run(

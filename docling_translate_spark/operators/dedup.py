@@ -447,19 +447,30 @@ def connected_components(
 
     Min-label propagation: every vertex starts as its own label; each
     round every vertex takes the min label among itself and its
-    neighbors; fixpoint when a round changes nothing (checked with a
-    cheap ``limit(1).count()``). Rounds needed = graph diameter — near-
-    dup components are short chains/cliques in practice, and ``max_iter``
-    bounds the pathological path-graph. Each round moves slim
-    ``(id, label)`` rows through one equi-join + min-aggregate — no
-    payloads — and iteration state is ``localCheckpoint``-ed so the plan
-    stays flat instead of nesting one join per round. The fixpoint is
-    iteration-order independent, so results are deterministic at any
-    cluster size / partitioning.
+    neighbors; fixpoint when a round changes nothing. Rounds needed =
+    graph diameter — near-dup components are short chains/cliques in
+    practice, and ``max_iter`` bounds the pathological path-graph. Each
+    round moves slim ``(id, label)`` rows through one equi-join +
+    min-aggregate — no payloads — and iteration state is
+    ``localCheckpoint``-ed so the plan stays flat instead of nesting one
+    join per round. The fixpoint is iteration-order independent, so
+    results are deterministic at any cluster size / partitioning.
+
+    Job-count discipline (this loop's cost at small scale is fixed
+    per-job overhead, not data): the input pair selection is persisted
+    and materialized ONCE before the two union branches read it — the
+    upstream of ``pairs`` is typically a full LSH pair generation, and
+    without the materialization each branch would recompute it. The
+    convergence flag rides the label-update row itself (``_chg``), so
+    checking it is a filter over the just-checkpointed partitions
+    instead of an extra labels-to-labels join.
     """
+    p = pairs.select(
+        F.col(id_a).alias("src"), F.col(id_b).alias("dst")
+    ).persist()
+    p.count()  # materialize BEFORE the union reads p twice
     e = (
-        pairs.select(F.col(id_a).alias("src"), F.col(id_b).alias("dst"))
-        .union(pairs.select(F.col(id_b).alias("src"), F.col(id_a).alias("dst")))
+        p.union(p.select(F.col("dst").alias("src"), F.col("src").alias("dst")))
         .distinct()
         .persist()
     )
@@ -469,9 +480,10 @@ def connected_components(
         .withColumn("comp", F.col("id"))
         .localCheckpoint()
     )
+    p.unpersist()
     for _ in range(max_iter):
         nbr_min = (
-            e.join(labels.withColumnRenamed("id", "dst"), "dst")
+            e.join(labels.select(F.col("id").alias("dst"), "comp"), "dst")
             .groupBy("src")
             .agg(F.min("comp").alias("_ncomp"))
             .withColumnRenamed("src", "id")
@@ -483,17 +495,12 @@ def connected_components(
                 F.least(
                     F.col("comp"), F.coalesce(F.col("_ncomp"), F.col("comp"))
                 ).alias("comp"),
+                (F.col("_ncomp") < F.col("comp")).alias("_chg"),
             )
             .localCheckpoint()
         )
-        changed = (
-            new_labels.withColumnRenamed("comp", "_new")
-            .join(labels, "id")
-            .filter(F.col("_new") != F.col("comp"))
-            .limit(1)
-            .count()
-        )
-        labels = new_labels
+        changed = new_labels.filter(F.col("_chg")).limit(1).count()
+        labels = new_labels.drop("_chg")
         if changed == 0:
             break
     e.unpersist()
