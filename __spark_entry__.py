@@ -494,20 +494,6 @@ def q_session_window(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-def q_o2_truncate(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """O2 tooltip truncation (ref text_html_generator.py:498)."""
-    d = _docs(spark, sf_dir)
-    return d.select(
-        "doc_id",
-        F.when(
-            F.length("text") > 200,
-            F.concat(F.substring("text", 1, 200), F.lit("...")),
-        )
-        .otherwise(F.col("text"))
-        .alias("tooltip"),
-    )
-
-
 def q_media_features(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Multimodal plumbing: binary payloads → Arrow-batched features.
     Full DuckDB oracle: the payload is rebuilt in SQL and fingerprinted
@@ -540,22 +526,6 @@ def q_w5_history_latest(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy(F.col("ts").desc(), F.col("event_id"))
         .limit(20)
         .select("event_id", "user_id", "event_type")
-    )
-
-
-def q_s9_base64(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """S9 base64 payload embedding (ref utils.py:114)."""
-    return _docs(spark, sf_dir).select(
-        "doc_id",
-        F.base64(F.encode(F.substring("text", 1, 48), "UTF-8")).alias("b64"),
-    )
-
-
-def q_p6_empty_guard(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """P6 empty-input guard (ref engines/google.py:24-25)."""
-    return _docs(spark, sf_dir).select(
-        "doc_id",
-        F.when(F.trim("text") == "", F.lit("")).otherwise(F.col("text")).alias("out"),
     )
 
 
@@ -765,21 +735,6 @@ def q_s7_render_html(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-def q_lang_codes(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Language-code normalization battery (ref translation/utils.py:11-48)."""
-    from docling_translate_spark.functions.langcodes import (
-        deepl_lang_col,
-        language_name_col,
-    )
-
-    d = _docs(spark, sf_dir)
-    return d.select(
-        "doc_id",
-        language_name_col(F.col("lang")).alias("lang_name"),
-        deepl_lang_col(F.col("lang")).alias("deepl_code"),
-    )
-
-
 def q_embed_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Embedding-cosine near-dup pairs via multi-table LSH (rows-only;
     no-false-positives invariant pinned by pytest)."""
@@ -922,10 +877,75 @@ def q_w_window_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_dedup_components(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Near-dup clusters: MinHash+LSH pair edges → connected components
+    (min-id label per doc). Full DuckDB oracle: the LSH pair SQL wrapped
+    in a recursive min-reachable-label CTE. This is what corpus dedup
+    actually keys on — one survivor per component, so a chain A~B~C
+    collapses even when A~C was never a candidate pair."""
+    from docling_translate_spark.operators.dedup import (
+        connected_components,
+        minhash_lsh_pairs,
+    )
+
+    pairs = minhash_lsh_pairs(
+        _docs(spark, sf_dir), num_hashes=64, bands=16, threshold=0.5
+    )
+    return connected_components(pairs).select(
+        F.col("id").alias("doc_id"), F.col("comp").alias("comp_id")
+    )
+
+
+def q_dedup_segments(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """C4-style duplicate-segment removal: consecutive 10-word segments,
+    keep each segment only at its globally-first occurrence, reassemble
+    docs (full oracle: posexplode/arg-min/string_agg in SQL)."""
+    from docling_translate_spark.operators.dedup import dedup_segments
+
+    return dedup_segments(_docs(spark, sf_dir), seg_words=10)
+
+
+def q_unigram_logprob(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CCNet-style unigram-LM quality score: mean −log2 p(token) under
+    the corpus's own unigram MLE (full oracle)."""
+    from docling_translate_spark.operators.text_analysis import unigram_logprob
+
+    return unigram_logprob(_docs(spark, sf_dir))
+
+
+def q_scalar_battery(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Scalar-function battery in ONE driver slot — the gate records only
+    the first 50 ``queries()`` entries, so the four per-doc scalar
+    queries share a query: O2 tooltip truncation (ref
+    text_html_generator.py:498), S9 base64 payload (ref utils.py:114),
+    P6 empty-input guard (ref engines/google.py:24-25), and the §2.9
+    language-code battery (ref translation/utils.py:11-48). Every column
+    is value-checked by the single merged oracle, identical coverage to
+    the four stand-alone queries they replace."""
+    from docling_translate_spark.functions.langcodes import (
+        deepl_lang_col,
+        language_name_col,
+    )
+
+    d = _docs(spark, sf_dir)
+    return d.select(
+        "doc_id",
+        F.when(
+            F.length("text") > 200,
+            F.concat(F.substring("text", 1, 200), F.lit("...")),
+        )
+        .otherwise(F.col("text"))
+        .alias("tooltip"),
+        F.base64(F.encode(F.substring("text", 1, 48), "UTF-8")).alias("b64"),
+        F.when(F.trim("text") == "", F.lit("")).otherwise(F.col("text")).alias("out"),
+        language_name_col(F.col("lang")).alias("lang_name"),
+        deepl_lang_col(F.col("lang")).alias("deepl_code"),
+    )
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "p1_nonempty_filter": q_p1_nonempty_filter,
-        "a1_distinct_dedup": q_a1_distinct_dedup,
         "a3_char_volume": q_a3_char_volume,
         "p3_boilerplate_strip": q_p3_boilerplate_strip,
         "p4_formula_detect": q_p4_formula_detect,
@@ -940,17 +960,18 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dedup_minhash_lsh": q_dedup_minhash_lsh,
         "dedup_simhash": q_dedup_simhash,
         "dedup_ngram_jaccard": q_dedup_ngram_jaccard,
+        "dedup_components": q_dedup_components,
+        "dedup_segments": q_dedup_segments,
         "ann_topk": q_ann_topk,
-        "ann_topk_small": q_ann_topk_small,
         "embed_near_dup_exact": q_embed_near_dup_exact,
         "ann_lsh": q_ann_lsh,
         "ann_ivf": q_ann_ivf,
         "lang_id": q_lang_id,
         "quality_scores": q_quality_scores,
+        "unigram_logprob": q_unigram_logprob,
         "token_counts": q_token_counts,
         "fingerprint": q_fingerprint,
         "rolling_fingerprint": q_rolling_fingerprint,
-        "winnow_fingerprints": q_winnow_fingerprints,
         "winnow_pairs": q_winnow_pairs,
         "repetition": q_repetition,
         "hash_sample": q_hash_sample,
@@ -959,8 +980,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "i18n_localize": q_i18n_localize,
         "session_window": q_session_window,
         # Driver gate records only the first 50 entries (r2 verdict #3):
-        # keep every previously-failed or composite query inside the cap;
-        # trivially-green scalar queries ride at the tail.
+        # every newly-added or previously-failed query sits inside the
+        # cap; queries whose SURVEY row has a SECOND driver-checked query
+        # ride at the tail (a1 ← dedup_exact, ann_topk_small ← ann_topk,
+        # winnow_fingerprints ← winnow_pairs/fingerprint, s8_embed_media
+        # ← media_features + the battery's b64 column).
         "w_window_agg": q_w_window_agg,
         "embed_near_dup": q_embed_near_dup,
         "s10_history_parse": q_s10_history_parse,
@@ -976,11 +1000,12 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "pii_redact": q_pii_redact,
         "decontaminate": q_decontaminate,
         "mix_budget": q_mix_budget,
+        "scalar_battery": q_scalar_battery,
+        # --- entries 51+: recorded by `make oracle`, not the driver ---
+        "a1_distinct_dedup": q_a1_distinct_dedup,
+        "ann_topk_small": q_ann_topk_small,
+        "winnow_fingerprints": q_winnow_fingerprints,
         "s8_embed_media": q_s8_embed_media,
-        "o2_truncate": q_o2_truncate,
-        "s9_base64": q_s9_base64,
-        "p6_empty_guard": q_p6_empty_guard,
-        "lang_codes": q_lang_codes,
     }
 
 
@@ -1297,6 +1322,58 @@ w AS MATERIALIZED (
   FROM dots GROUP BY vec_id, j // {n_planes}
 )"""
 
+    # full value oracle for banded MinHash LSH (64 hashes, 16 bands x 4
+    # rows, est >= 0.5): signatures, band keys, candidate join and the
+    # estimate filter all reproduced in SQL — the a/b hash params are
+    # inlined as literals above. Shared by `dedup_minhash_lsh` (the pair
+    # list) and `dedup_components` (recursive closure over those pairs).
+    _minhash_pairs_sql = r"""
+            WITH toks AS (
+              SELECT doc_id,
+                     CASE WHEN trim(lower(text)) = '' THEN []::VARCHAR[]
+                          ELSE string_split_regex(trim(lower(text)), '\s+')
+                     END AS ts
+              FROM documents
+            ), shng AS (
+              SELECT doc_id,
+                     CASE WHEN len(ts) >= 3
+                          THEN list_distinct(list_transform(range(0, len(ts)-2),
+                               i -> ts[i+1] || ' ' || ts[i+2] || ' ' || ts[i+3]))
+                          ELSE [array_to_string(ts, ' ')] END AS ss
+              FROM toks
+            ), hv AS (
+              SELECT doc_id,
+                     list_transform(ss, s ->
+                         (('0x'||substr(md5(s),1,16))::UBIGINT
+                          & 4294967295)::HUGEINT) AS hs
+              FROM shng
+            ), sig AS (
+              SELECT doc_id,
+                     list_transform(range(0, 64), k ->
+                         CAST(list_min(list_transform(hs,
+                              h -> (__MINHASH_A__[k+1]::HUGEINT * h
+                                    + __MINHASH_B__[k+1]) % 4294967311))
+                              AS BIGINT)) AS sg
+              FROM hv
+            ), bnd AS (
+              SELECT doc_id, sg, b,
+                     ('0x'||substr(md5(array_to_string(
+                          list_transform(sg[b*4+1 : b*4+4], v -> v::VARCHAR),
+                          ',')),1,15))::BIGINT AS bh
+              FROM sig, range(0, 16) t(b)
+            ), cand AS (
+              SELECT DISTINCT x.doc_id AS id_a, y.doc_id AS id_b
+              FROM bnd x
+              JOIN bnd y ON x.b = y.b AND x.bh = y.bh AND x.doc_id < y.doc_id
+            )
+            SELECT id_a, id_b
+            FROM cand
+            JOIN sig sa ON sa.doc_id = id_a
+            JOIN sig sb ON sb.doc_id = id_b
+            WHERE list_sum(list_transform(range(1, 65),
+                  i -> CASE WHEN sa.sg[i] = sb.sg[i] THEN 1 ELSE 0 END)) >= 32
+    """.replace("__MINHASH_A__", _a_lit).replace("__MINHASH_B__", _b_lit)
+
     return {
         "p1_nonempty_filter": """
             SELECT lang, count(*) AS n_docs
@@ -1427,56 +1504,93 @@ w AS MATERIALIZED (
                              ELSE u END AS BIGINT) AS simhash
             FROM raw
         """,
-        # full value oracle for banded MinHash LSH (64 hashes, 16 bands
-        # x 4 rows, est >= 0.5): signatures, band keys, candidate join
-        # and the estimate filter all reproduced in SQL — the a/b hash
-        # params are inlined as literals above
-        "dedup_minhash_lsh": r"""
+        "dedup_minhash_lsh": _minhash_pairs_sql,
+        # connected components over the LSH pairs: bidirectional edges,
+        # recursive min-reachable-label closure, one label row per vertex
+        "dedup_components": f"""
+            WITH RECURSIVE mdup AS MATERIALIZED (
+              SELECT id_a, id_b FROM ({_minhash_pairs_sql}) q
+            ), edges AS MATERIALIZED (
+              SELECT id_a AS s, id_b AS d FROM mdup
+              UNION
+              SELECT id_b, id_a FROM mdup
+            ), reach AS (
+              SELECT s AS id, s AS comp FROM edges
+              UNION
+              SELECT e.s, r.comp FROM edges e JOIN reach r ON e.d = r.id
+            )
+            SELECT id AS doc_id, min(comp) AS comp_id
+            FROM reach GROUP BY id
+        """,
+        # C4-style duplicate-segment removal: 10-word segments, global
+        # keep-first occurrence (min (doc_id, seg_idx)), docs reassembled
+        # from the surviving occurrences in segment order
+        "dedup_segments": r"""
             WITH toks AS (
               SELECT doc_id,
-                     CASE WHEN trim(lower(text)) = '' THEN []::VARCHAR[]
+                     CASE WHEN text IS NULL OR trim(text) = ''
+                          THEN []::VARCHAR[]
                           ELSE string_split_regex(trim(lower(text)), '\s+')
                      END AS ts
               FROM documents
-            ), shng AS (
+            ), seglists AS (
               SELECT doc_id,
-                     CASE WHEN len(ts) >= 3
-                          THEN list_distinct(list_transform(range(0, len(ts)-2),
-                               i -> ts[i+1] || ' ' || ts[i+2] || ' ' || ts[i+3]))
-                          ELSE [array_to_string(ts, ' ')] END AS ss
+                     list_transform(
+                         range(0, CAST(ceil(len(ts) / 10.0) AS BIGINT)),
+                         i -> array_to_string(ts[i*10+1 : i*10+10], ' ')
+                     ) AS sl
               FROM toks
-            ), hv AS (
+            ), segs AS (
               SELECT doc_id,
-                     list_transform(ss, s ->
-                         (('0x'||substr(md5(s),1,16))::UBIGINT
-                          & 4294967295)::HUGEINT) AS hs
-              FROM shng
-            ), sig AS (
+                     generate_subscripts(sl, 1) - 1 AS seg_idx,
+                     unnest(sl) AS seg
+              FROM seglists
+            ), ranked AS (
+              SELECT doc_id, seg_idx, seg,
+                     row_number() OVER (PARTITION BY seg
+                                        ORDER BY doc_id, seg_idx) AS rn
+              FROM segs
+            ), rebuilt AS (
               SELECT doc_id,
-                     list_transform(range(0, 64), k ->
-                         CAST(list_min(list_transform(hs,
-                              h -> (__MINHASH_A__[k+1]::HUGEINT * h
-                                    + __MINHASH_B__[k+1]) % 4294967311))
-                              AS BIGINT)) AS sg
-              FROM hv
-            ), bnd AS (
-              SELECT doc_id, sg, b,
-                     ('0x'||substr(md5(array_to_string(
-                          list_transform(sg[b*4+1 : b*4+4], v -> v::VARCHAR),
-                          ',')),1,15))::BIGINT AS bh
-              FROM sig, range(0, 16) t(b)
-            ), cand AS (
-              SELECT DISTINCT x.doc_id AS id_a, y.doc_id AS id_b
-              FROM bnd x
-              JOIN bnd y ON x.b = y.b AND x.bh = y.bh AND x.doc_id < y.doc_id
+                     string_agg(seg, ' ' ORDER BY seg_idx) AS clean_text,
+                     count(*) AS n_kept_segments
+              FROM ranked WHERE rn = 1 GROUP BY doc_id
             )
-            SELECT id_a, id_b
-            FROM cand
-            JOIN sig sa ON sa.doc_id = id_a
-            JOIN sig sb ON sb.doc_id = id_b
-            WHERE list_sum(list_transform(range(1, 65),
-                  i -> CASE WHEN sa.sg[i] = sb.sg[i] THEN 1 ELSE 0 END)) >= 32
-        """.replace("__MINHASH_A__", _a_lit).replace("__MINHASH_B__", _b_lit),
+            SELECT d.doc_id,
+                   coalesce(r.clean_text, '') AS clean_text,
+                   coalesce(r.n_kept_segments, 0) AS n_kept_segments
+            FROM documents d LEFT JOIN rebuilt r USING (doc_id)
+        """,
+        # unigram-LM quality: corpus-MLE token probabilities, per-doc
+        # mean -log2 p, rounded at 6 decimals on both sides
+        "unigram_logprob": r"""
+            WITH tok_rows AS (
+              SELECT doc_id, t.tok
+              FROM (
+                SELECT doc_id,
+                       CASE WHEN text IS NULL OR trim(text) = ''
+                            THEN []::VARCHAR[]
+                            ELSE string_split_regex(trim(lower(text)), '\s+')
+                       END AS ts
+                FROM documents
+              ), unnest(ts) t(tok)
+              WHERE t.tok <> ''
+            ), vocab AS (
+              SELECT tok, count(*) AS tc FROM tok_rows GROUP BY tok
+            ), tot AS (
+              SELECT count(*) AS tt FROM tok_rows
+            ), scored AS (
+              SELECT doc_id, count(*) AS n_tokens,
+                     round(avg(-log2(CAST(tc AS DOUBLE) / tt)), 6)
+                         AS avg_neg_log2p
+              FROM tok_rows JOIN vocab USING (tok), tot
+              GROUP BY doc_id
+            )
+            SELECT d.doc_id,
+                   coalesce(s.n_tokens, 0) AS n_tokens,
+                   coalesce(s.avg_neg_log2p, 0.0) AS avg_neg_log2p
+            FROM documents d LEFT JOIN scored s USING (doc_id)
+        """,
         "ann_topk": """
             SELECT a.vec_id AS query_id, b.vec_id AS neighbor_id,
                    row_number() OVER (
@@ -2113,13 +2227,6 @@ w AS MATERIALIZED (
                      ELSE ui_key END AS localized
             FROM d
         """,
-        "o2_truncate": """
-            SELECT doc_id,
-                   CASE WHEN length(text) > 200
-                        THEN substr(text, 1, 200) || '...'
-                        ELSE text END AS tooltip
-            FROM documents
-        """,
         "a7_per_kind_counter": """
             SELECT event_id, user_id, event_type,
                    row_number() OVER (PARTITION BY user_id, event_type
@@ -2132,13 +2239,34 @@ w AS MATERIALIZED (
             ORDER BY ts DESC, event_id
             LIMIT 20
         """,
-        "s9_base64": """
-            SELECT doc_id, to_base64(encode(substr(text, 1, 48))) AS b64
-            FROM documents
-        """,
-        "p6_empty_guard": """
+        # four per-doc scalar batteries in one driver slot (see
+        # q_scalar_battery): O2 truncation, S9 base64, P6 empty guard,
+        # §2.9 language-code normalization — all value-checked
+        "scalar_battery": """
             SELECT doc_id,
-                   CASE WHEN trim(text) = '' THEN '' ELSE text END AS out
+                   CASE WHEN length(text) > 200
+                        THEN substr(text, 1, 200) || '...'
+                        ELSE text END AS tooltip,
+                   to_base64(encode(substr(text, 1, 48))) AS b64,
+                   CASE WHEN trim(text) = '' THEN '' ELSE text END AS out,
+                   CASE lower(lang)
+                        WHEN 'en' THEN 'English'   WHEN 'ko' THEN 'Korean'
+                        WHEN 'ja' THEN 'Japanese'  WHEN 'zh' THEN 'Chinese'
+                        WHEN 'fr' THEN 'French'    WHEN 'de' THEN 'German'
+                        WHEN 'es' THEN 'Spanish'   WHEN 'ru' THEN 'Russian'
+                        WHEN 'it' THEN 'Italian'   WHEN 'pt' THEN 'Portuguese'
+                        WHEN 'ar' THEN 'Arabic'    WHEN 'hi' THEN 'Hindi'
+                        WHEN 'auto' THEN 'the source language'
+                        ELSE lang END AS lang_name,
+                   CASE WHEN lang IS NULL OR lower(lang) = '' THEN NULL
+                        WHEN lower(lang) = 'en' THEN 'EN'
+                        WHEN lower(lang) = 'en-us' THEN 'EN-US'
+                        WHEN lower(lang) = 'en-gb' THEN 'EN-GB'
+                        WHEN lower(lang) = 'ko' THEN 'KO'
+                        WHEN lower(lang) = 'ja' THEN 'JA'
+                        WHEN lower(lang) = 'zh' THEN 'ZH'
+                        WHEN contains(lower(lang), '-') THEN upper(lang)
+                        ELSE upper(substr(lower(lang), 1, 2)) END AS deepl_code
             FROM documents
         """,
         "s7_render_html": """
@@ -2220,28 +2348,6 @@ w AS MATERIALIZED (
         """.replace("__DOC_HEADER__", _doc_header_lit).replace(
             "__DOC_FOOTER__", _doc_footer_lit
         ),
-        "lang_codes": """
-            SELECT doc_id,
-                   CASE lower(lang)
-                        WHEN 'en' THEN 'English'   WHEN 'ko' THEN 'Korean'
-                        WHEN 'ja' THEN 'Japanese'  WHEN 'zh' THEN 'Chinese'
-                        WHEN 'fr' THEN 'French'    WHEN 'de' THEN 'German'
-                        WHEN 'es' THEN 'Spanish'   WHEN 'ru' THEN 'Russian'
-                        WHEN 'it' THEN 'Italian'   WHEN 'pt' THEN 'Portuguese'
-                        WHEN 'ar' THEN 'Arabic'    WHEN 'hi' THEN 'Hindi'
-                        WHEN 'auto' THEN 'the source language'
-                        ELSE lang END AS lang_name,
-                   CASE WHEN lang IS NULL OR lower(lang) = '' THEN NULL
-                        WHEN lower(lang) = 'en' THEN 'EN'
-                        WHEN lower(lang) = 'en-us' THEN 'EN-US'
-                        WHEN lower(lang) = 'en-gb' THEN 'EN-GB'
-                        WHEN lower(lang) = 'ko' THEN 'KO'
-                        WHEN lower(lang) = 'ja' THEN 'JA'
-                        WHEN lower(lang) = 'zh' THEN 'ZH'
-                        WHEN contains(lower(lang), '-') THEN upper(lang)
-                        ELSE upper(substr(lower(lang), 1, 2)) END AS deepl_code
-            FROM documents
-        """,
         "w_window_agg": """
             SELECT date_trunc('hour', ts) AS window_start,
                    count(*) AS n_events,

@@ -505,3 +505,88 @@ def connected_components(
             break
     e.unpersist()
     return labels
+
+
+# --- C4-style duplicate-segment removal ---
+
+
+def dedup_segments(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    seg_words: int = 10,
+) -> DataFrame:
+    """Corpus-wide duplicate-SEGMENT removal, the C4 recipe (Raffel et
+    al. 2020 §2.2 discard repeated three-sentence spans; the reference's
+    in-document analog is the sentence-set dedup at ``src/core.py:453``).
+    Whole-doc dedup misses boilerplate repeated INSIDE otherwise-unique
+    pages — licence footers, nav blocks, cookie banners — which at
+    100 TB is most of the duplication by volume.
+
+    Each document is cut into consecutive ``seg_words``-word segments
+    (a deterministic stand-in for sentence spans — this corpus has no
+    punctuation); a segment occurring in several places survives only at
+    its globally-first occurrence (min ``(id, seg_idx)``), everywhere
+    else it is dropped. Returns one row per input doc: ``clean_text``
+    (surviving segments rejoined in order, '' when everything was
+    dropped) and ``n_kept_segments``.
+
+    Scale shape — two agg-shaped shuffles, NO joins on the dup key:
+    the global arg-min per segment is ``groupBy(seg).agg(min(struct))``,
+    whose map-side partial aggregation collapses a boilerplate segment
+    occurring 10^8 times to one row per map task BEFORE the exchange —
+    the classic hot-key case that would melt a window/rank plan (a
+    window must sort every occurrence of the hot segment in one task).
+    The winner rows ARE the surviving occurrences, so reassembly is a
+    direct second groupBy on the winner's doc id — no join back against
+    the exploded rows. Per-doc ``collect_list`` is bounded by document
+    size, not corpus size.
+    """
+    txt = F.trim(F.lower(F.coalesce(F.col(text_col), F.lit(""))))
+    toks = F.split(txt, r"\s+")
+    n_segs = F.ceil(F.size(toks) / F.lit(seg_words)).cast("int")
+    # empty/NULL text guarded BEFORE sequence(): sequence(0, -1) walks
+    # backwards in Spark instead of yielding an empty range
+    segs = F.when(txt == "", F.array().cast("array<string>")).otherwise(
+        F.transform(
+            F.sequence(F.lit(0), n_segs - 1),
+            lambda i: F.array_join(
+                F.slice(toks, i * seg_words + 1, seg_words), " "
+            ),
+        )
+    )
+    seg_rows = df.select(F.col(id_col).alias("_did"), segs.alias("_segs")).select(
+        "_did", F.posexplode("_segs").alias("seg_idx", "seg")
+    )
+    winners = seg_rows.groupBy("seg").agg(
+        F.min(F.struct(F.col("_did"), F.col("seg_idx"))).alias("w")
+    )
+    rebuilt = (
+        winners.select(
+            F.col("w._did").alias("_did"),
+            F.col("w.seg_idx").alias("seg_idx"),
+            "seg",
+        )
+        .groupBy("_did")
+        .agg(
+            F.array_join(
+                F.transform(
+                    F.array_sort(F.collect_list(F.struct("seg_idx", "seg"))),
+                    lambda s: s["seg"],
+                ),
+                " ",
+            ).alias("clean_text"),
+            F.count("*").cast("long").alias("n_kept_segments"),
+        )
+    )
+    return (
+        df.select(F.col(id_col).alias("_did"))
+        .join(rebuilt, "_did", "left")
+        .select(
+            F.col("_did").alias(id_col),
+            F.coalesce(F.col("clean_text"), F.lit("")).alias("clean_text"),
+            F.coalesce(F.col("n_kept_segments"), F.lit(0).cast("long")).alias(
+                "n_kept_segments"
+            ),
+        )
+    )

@@ -318,3 +318,59 @@ def winnow_overlap_pairs(
         .agg(F.count("*").alias("n_shared"))
         .filter(F.col("n_shared") >= min_shared)
     )
+
+
+def unigram_logprob(
+    df: DataFrame, id_col: str = "doc_id", text_col: str = "text"
+) -> DataFrame:
+    """CCNet-style unigram language-model quality score (Wenzek et al.
+    2020 train a LM and rank documents by perplexity; with no external
+    model available the LM here is the corpus's own unigram MLE — the
+    deterministic, self-contained variant). Per document:
+    ``n_tokens`` and ``avg_neg_log2p`` = mean over tokens of
+    −log2(count(token)/total_tokens), rounded to 6 decimals (higher =
+    rarer vocabulary; boilerplate and keyword-stuffed spam score low).
+
+    Scale shape: one explode, then two agg-shaped shuffles (vocab counts
+    and the per-doc mean) plus one shuffle join token→count. The vocab
+    aggregation has map-side partial combine, so hot tokens ('the')
+    collapse per map task; the token join's build side is the vocab
+    table, which AQE broadcasts when it is small and shuffle-joins (with
+    skew split) when it is not — nothing here assumes the vocab fits
+    anywhere. The corpus-total is a 1-row aggregate attached via
+    broadcast crossJoin, not a driver collect. Rounding at 6 decimals
+    keeps the mean stable across summation orders (double error after a
+    per-doc mean is ~1e-15 relative).
+    """
+    tok_rows = (
+        df.select(
+            F.col(id_col).alias("_did"),
+            F.explode(
+                F.split(F.trim(F.lower(F.coalesce(F.col(text_col), F.lit("")))), r"\s+")
+            ).alias("tok"),
+        )
+        .filter(F.col("tok") != "")
+        .persist()  # three consumers: vocab, total, and the scoring join
+    )
+    vocab = tok_rows.groupBy("tok").agg(F.count("*").alias("_tc"))
+    total = tok_rows.groupBy().agg(F.count("*").alias("_tt"))
+    scored = (
+        tok_rows.join(vocab, "tok")
+        .crossJoin(F.broadcast(total))
+        .groupBy("_did")
+        .agg(
+            F.count("*").alias("n_tokens"),
+            F.round(
+                F.avg(-F.log2(F.col("_tc") / F.col("_tt"))), 6
+            ).alias("avg_neg_log2p"),
+        )
+    )
+    return (
+        df.select(F.col(id_col).alias("_did"))
+        .join(scored, "_did", "left")
+        .select(
+            F.col("_did").alias(id_col),
+            F.coalesce(F.col("n_tokens"), F.lit(0).cast("long")).alias("n_tokens"),
+            F.coalesce(F.col("avg_neg_log2p"), F.lit(0.0)).alias("avg_neg_log2p"),
+        )
+    )

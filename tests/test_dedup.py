@@ -140,3 +140,41 @@ def test_connected_components_path_graph_converges(spark):
     )
     got = {r["id"]: r["comp"] for r in connected_components(pairs).collect()}
     assert got == {i: 0 for i in range(n + 1)}
+
+
+def test_dedup_segments_c4_keep_first(spark):
+    """Duplicate 10-word segments survive only at the globally-first
+    (doc_id, seg_idx) occurrence; empty/NULL docs come back as '' rows."""
+    from docling_translate_spark.operators.dedup import dedup_segments
+
+    seg_a = "a b c d e f g h i j"
+    seg_b = "k l m n o p q r s t"
+    df = spark.createDataFrame(
+        [
+            (1, f"{seg_a} {seg_b}"),  # first occurrence of both segments
+            (2, f"{seg_a} x y z"),    # seg_a dropped, tail kept
+            (3, seg_b),               # fully deduped
+            (4, ""),
+            (5, None),
+        ],
+        "doc_id long, text string",
+    )
+    got = {r["doc_id"]: (r["clean_text"], r["n_kept_segments"])
+           for r in dedup_segments(df).collect()}
+    assert got == {
+        1: (f"{seg_a} {seg_b}", 2),
+        2: ("x y z", 1),
+        3: ("", 0),
+        4: ("", 0),
+        5: ("", 0),
+    }
+
+
+def test_dedup_segments_within_doc_repeat(spark):
+    """A segment repeated INSIDE one doc keeps only its first index."""
+    from docling_translate_spark.operators.dedup import dedup_segments
+
+    seg = "a b c d e f g h i j"
+    df = spark.createDataFrame([(1, f"{seg} {seg}")], "doc_id long, text string")
+    (row,) = dedup_segments(df).collect()
+    assert row["clean_text"] == seg and row["n_kept_segments"] == 1

@@ -168,3 +168,35 @@ def test_winnow_overlap_pairs(spark):
     }
     assert (0, 1) in pairs and pairs[(0, 1)] >= 3
     assert all(2 not in p for p in pairs)
+
+
+def test_unigram_logprob_mle(spark):
+    """Corpus-MLE unigram scoring: p(token) = corpus count / total, per
+    doc the mean of -log2 p; empty/NULL docs score (0, 0.0)."""
+    import math
+
+    from docling_translate_spark.operators.text_analysis import unigram_logprob
+
+    # corpus: a a a b  -> p(a)=3/4, p(b)=1/4
+    df = spark.createDataFrame(
+        [(1, "a a a"), (2, "b"), (3, ""), (4, None)],
+        "doc_id long, text string",
+    )
+    got = {r["doc_id"]: (r["n_tokens"], r["avg_neg_log2p"])
+           for r in unigram_logprob(df).collect()}
+    assert got[1] == (3, round(-math.log2(3 / 4), 6))
+    assert got[2] == (1, round(-math.log2(1 / 4), 6))
+    assert got[3] == (0, 0.0) and got[4] == (0, 0.0)
+
+
+def test_unigram_logprob_rare_scores_higher(spark):
+    """Rare-vocabulary docs must outscore boilerplate-heavy docs."""
+    from docling_translate_spark.operators.text_analysis import unigram_logprob
+
+    common = " ".join(["the"] * 50)
+    rare = "zyx wvu tsr qpo nml"
+    df = spark.createDataFrame(
+        [(1, common), (2, rare)], "doc_id long, text string"
+    )
+    got = {r["doc_id"]: r["avg_neg_log2p"] for r in unigram_logprob(df).collect()}
+    assert got[2] > got[1]
