@@ -215,3 +215,35 @@ def test_minhash_band_join_exchange_is_slim(spark, transcript_path):
         assert "signature" not in blk, blk
     # the attach joins key on the pair ids (signature rides them only)
     assert "id_a" in plan and "id_b" in plan
+
+
+def test_dedup_segments_argmin_is_agg_not_window(spark):
+    """The global keep-first arg-min must plan as an aggregate with a
+    map-side partial (hot boilerplate segments collapse per map task
+    BEFORE the exchange) — never as a window/rank over the segment key,
+    which would sort every occurrence of a hot segment in one task."""
+    from docling_translate_spark.operators.dedup import dedup_segments
+
+    df = spark.createDataFrame(
+        [(i, "a b c d e f g h i j k l") for i in range(8)],
+        "doc_id long, text string",
+    )
+    plan = _plan(dedup_segments(df))
+    assert "partial_min" in plan, plan
+    assert "Window" not in plan, plan
+    assert "BatchEvalPython" not in plan, plan
+
+
+def test_unigram_logprob_stays_jvm_side(spark):
+    """Vocab counting and scoring are plain aggregates/joins — no
+    per-row Python, and the corpus total attaches via broadcast."""
+    from docling_translate_spark.operators.text_analysis import unigram_logprob
+
+    df = spark.createDataFrame(
+        [(i, "tok%d common" % (i % 3)) for i in range(8)],
+        "doc_id long, text string",
+    )
+    plan = _plan(unigram_logprob(df))
+    assert "partial_count" in plan, plan
+    assert "BatchEvalPython" not in plan, plan
+    assert "BroadcastExchange" in plan or "BroadcastNestedLoopJoin" in plan, plan
