@@ -913,6 +913,42 @@ def q_unigram_logprob(spark: SparkSession, sf_dir: str) -> DataFrame:
     return unigram_logprob(_docs(spark, sf_dir))
 
 
+def q_html_main_content(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Tag-ratio / text-density / link-density boilerplate classification
+    (jusText/Boilerpipe-style block heuristics — the docling-style HTML
+    main-content extraction the north rule names). Each doc is wrapped
+    in a deterministic HTML page — nav link farm, too-short heading,
+    genuine content paragraphs (one with inline markup + entities), a
+    link-dense related-links block, copyright footer — and the operator
+    must keep exactly the content blocks. Full DuckDB oracle: the same
+    page build + block classification in SQL list lambdas."""
+    from docling_translate_spark.operators.html_boiler import (
+        extract_main_content,
+    )
+
+    d = _docs(spark, sf_dir)
+    did = F.col("doc_id").cast("string")
+    body = F.coalesce(F.col("text"), F.lit(""))
+    html = F.concat(
+        F.lit(
+            '<nav><ul><li><a href="/">Home</a></li>'
+            '<li><a href="/docs">Docs</a></li>'
+            '<li><a href="/about">About</a></li></ul></nav>'
+        ),
+        F.lit("<h1>Doc "), did, F.lit("</h1>"),
+        F.lit("<p>"), body, F.lit("</p>"),
+        F.lit("<p>See the <b>spec &amp; notes</b> for doc "), did,
+        F.lit(" with <a href=\"/d/"), did, F.lit("\">one link</a> "),
+        F.lit("inside a longer paragraph of running text.</p>"),
+        F.lit(
+            '<div class="rel">Related: <a href="/a">a</a> '
+            '<a href="/b">b</a> <a href="/c">c</a></div>'
+        ),
+        F.lit("<footer>© 2026 Example Corp — All rights reserved</footer>"),
+    )
+    return extract_main_content(d.select("doc_id", html.alias("text")))
+
+
 def q_scalar_battery(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Scalar-function battery in ONE driver slot — the gate records only
     the first 50 ``queries()`` entries, so the four per-doc scalar
@@ -969,9 +1005,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "lang_id": q_lang_id,
         "quality_scores": q_quality_scores,
         "unigram_logprob": q_unigram_logprob,
+        "html_main_content": q_html_main_content,
         "token_counts": q_token_counts,
         "fingerprint": q_fingerprint,
-        "rolling_fingerprint": q_rolling_fingerprint,
         "winnow_pairs": q_winnow_pairs,
         "repetition": q_repetition,
         "hash_sample": q_hash_sample,
@@ -1006,7 +1042,102 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ann_topk_small": q_ann_topk_small,
         "winnow_fingerprints": q_winnow_fingerprints,
         "s8_embed_media": q_s8_embed_media,
+        "rolling_fingerprint": q_rolling_fingerprint,
     }
+
+
+def _html_main_oracle() -> str:
+    """DuckDB twin of ``q_html_main_content``: the deterministic page
+    build plus the jusText/Boilerpipe-style block classification in list
+    lambdas. The split/tag/link regexes and the line-boilerplate battery
+    are taken from the live operator module so the sides cannot drift.
+    DuckDB divergences handled: ``regexp_replace`` needs the ``'g'``
+    flag (Spark is global by default) and int/int division truncates
+    (cast to DOUBLE)."""
+    from docling_translate_spark.classify import BOILERPLATE_LINE_REGEX
+    from docling_translate_spark.operators.html_boiler import (
+        ANY_TAG_REGEX,
+        BLOCK_SPLIT_REGEX,
+        DEFAULT_MAX_LINK_DENSITY,
+        DEFAULT_MAX_TAG_RATIO,
+        DEFAULT_MIN_WORDS,
+        LINK_TEXT_REGEX,
+    )
+
+    def strip(expr: str) -> str:
+        return (
+            "trim(regexp_replace(replace(replace(replace(replace("
+            f"regexp_replace({expr}, '{ANY_TAG_REGEX}', ' ', 'g'), "
+            "'&nbsp;', ' '), '&lt;', '<'), '&gt;', '>'), '&amp;', '&'), "
+            r"'\s+', ' ', 'g'))"
+        )
+
+    words = (
+        "(CASE WHEN s.txt = '' THEN 0 "
+        r"ELSE len(string_split_regex(s.txt, '\s+')) END)"
+    )
+    return rf"""
+WITH page AS MATERIALIZED (
+  SELECT doc_id,
+         '<nav><ul><li><a href="/">Home</a></li>'
+         || '<li><a href="/docs">Docs</a></li>'
+         || '<li><a href="/about">About</a></li></ul></nav>'
+         || '<h1>Doc ' || CAST(doc_id AS VARCHAR) || '</h1>'
+         || '<p>' || coalesce(text, '') || '</p>'
+         || '<p>See the <b>spec &amp; notes</b> for doc '
+         || CAST(doc_id AS VARCHAR)
+         || ' with <a href="/d/' || CAST(doc_id AS VARCHAR)
+         || '">one link</a> '
+         || 'inside a longer paragraph of running text.</p>'
+         || '<div class="rel">Related: <a href="/a">a</a> '
+         || '<a href="/b">b</a> <a href="/c">c</a></div>'
+         || '<footer>© 2026 Example Corp — All rights reserved</footer>'
+         AS html
+  FROM documents
+), blk AS MATERIALIZED (
+  SELECT doc_id,
+         list_filter(list_transform(
+             regexp_split_to_array(html, '{BLOCK_SPLIT_REGEX}'),
+             b -> trim(b)), b -> b <> '') AS blocks
+  FROM page
+), info AS MATERIALIZED (
+  SELECT doc_id,
+         list_transform(blocks, b -> struct_pack(
+             txt := {strip('b')},
+             -- coalesce: DuckDB array_to_string([]) is NULL where
+             -- Spark's array_join([]) is ''
+             lc := length(coalesce(array_to_string(list_transform(
+                 regexp_extract_all(b, '{LINK_TEXT_REGEX}', 1),
+                 a -> {strip('a')}), ' '), '')),
+             nt := len(regexp_extract_all(b, '{ANY_TAG_REGEX}', 0))
+         )) AS infos
+  FROM blk
+), judged AS MATERIALIZED (
+  SELECT doc_id, len(infos) AS n_blocks,
+         list_transform(infos, s -> struct_pack(
+             txt := s.txt,
+             ok := {words} >= {DEFAULT_MIN_WORDS}
+                   AND CAST(s.lc AS DOUBLE)
+                       / greatest(length(s.txt), 1)
+                       < {DEFAULT_MAX_LINK_DENSITY}
+                   AND CAST(s.nt AS DOUBLE) / greatest({words}, 1)
+                       <= {DEFAULT_MAX_TAG_RATIO}
+                   AND NOT regexp_matches(s.txt,
+                       '{BOILERPLATE_LINE_REGEX}')
+         )) AS js
+  FROM info
+)
+SELECT doc_id,
+       coalesce(array_to_string(list_transform(list_filter(js, s -> s.ok),
+                                s -> s.txt), chr(10)), '') AS main_text,
+       CAST(n_blocks AS BIGINT) AS n_blocks,
+       CAST(len(list_filter(js, s -> s.ok)) AS BIGINT) AS n_content_blocks,
+       CASE WHEN n_blocks = 0 THEN 0.0
+            ELSE round(1 - CAST(len(list_filter(js, s -> s.ok)) AS DOUBLE)
+                           / n_blocks, 6)
+       END AS boilerplate_ratio
+FROM judged
+"""
 
 
 def _pii_oracle() -> str:
@@ -1739,6 +1870,7 @@ w AS MATERIALIZED (
         # counts measured on the same intermediate state as the kernel.
         # Generated from scrub._ORDERED so the two sides cannot drift.
         "pii_redact": _pii_oracle(),
+        "html_main_content": _html_main_oracle(),
         "curation_pipeline": _curation_oracle(),
         # decontamination: inverted 4-gram index join against the
         # md5-sampled eval set (same cutoff literal as hash_sample(0.05))

@@ -1,0 +1,84 @@
+"""HTML main-content extraction: tag-ratio / link-density / text-density
+block classification (jusText/Boilerpipe-style heuristics)."""
+
+from docling_translate_spark.operators.html_boiler import extract_main_content
+
+
+PAGE = (
+    '<nav><ul><li><a href="/">Home</a></li><li><a href="/x">X</a></li>'
+    "</ul></nav>"
+    "<h1>Short Title</h1>"
+    "<p>This paragraph is long enough to count as genuine running text "
+    "for the classifier.</p>"
+    '<p>Inline <b>markup &amp; entities</b> with <a href="/l">one link</a> '
+    "inside a long enough paragraph of prose.</p>"
+    '<div>Links: <a href="/a">aaa</a> <a href="/b">bbb</a> '
+    '<a href="/c">ccc</a></div>'
+    "<footer>© 2026 Example Corp — All rights reserved</footer>"
+)
+
+
+def test_block_classification(spark):
+    df = spark.createDataFrame([(1, PAGE)], "doc_id long, text string")
+    (row,) = extract_main_content(df).collect()
+    lines = row["main_text"].split("\n")
+    assert lines == [
+        "This paragraph is long enough to count as genuine running text "
+        "for the classifier.",
+        "Inline markup & entities with one link inside a long enough "
+        "paragraph of prose.",
+    ]
+    # nav link farm: each link is its own too-short block
+    assert row["n_content_blocks"] == 2
+    assert row["boilerplate_ratio"] > 0.5
+
+
+def test_plain_text_passes_through(spark):
+    """A markup-free turn is one block of running text — the operator is
+    safe over mixed HTML/plain corpora."""
+    txt = "plain prose with more than five words and no markup at all"
+    df = spark.createDataFrame([(1, txt)], "doc_id long, text string")
+    (row,) = extract_main_content(df).collect()
+    assert row["main_text"] == txt
+    assert (row["n_blocks"], row["n_content_blocks"]) == (1, 1)
+    assert row["boilerplate_ratio"] == 0.0
+
+
+def test_link_farm_and_copyright_dropped(spark):
+    """Long but link-dense blocks AND line-battery matches (© footers)
+    are boilerplate even when they clear the word-count bar."""
+    page = (
+        '<div><a href="/1">first link text</a> <a href="/2">second link '
+        'text</a> <a href="/3">third link text here</a></div>'
+        "<footer>© 2026 Example Corp — All rights reserved</footer>"
+        "<p>actual content paragraph with enough words to be kept</p>"
+    )
+    df = spark.createDataFrame([(1, page)], "doc_id long, text string")
+    (row,) = extract_main_content(df).collect()
+    assert row["main_text"] == (
+        "actual content paragraph with enough words to be kept"
+    )
+
+
+def test_empty_and_null(spark):
+    df = spark.createDataFrame(
+        [(1, ""), (2, None)], "doc_id long, text string"
+    )
+    got = {r["doc_id"]: (r["main_text"], r["n_blocks"], r["boilerplate_ratio"])
+           for r in extract_main_content(df).collect()}
+    assert got == {1: ("", 0, 0.0), 2: ("", 0, 0.0)}
+
+
+def test_zero_shuffle_jvm_plan(spark):
+    """The whole operator is one codegen projection: no exchange, no
+    Python."""
+    import contextlib
+    import io
+
+    df = spark.createDataFrame([(1, PAGE)], "doc_id long, text string")
+    buf = io.StringIO()
+    with contextlib.redirect_stdout(buf):
+        extract_main_content(df).explain("formatted")
+    plan = buf.getvalue()
+    assert "Exchange" not in plan, plan
+    assert "BatchEvalPython" not in plan, plan
