@@ -49,6 +49,11 @@ class CurationConfig:
     # PII scrubbing of the extracted text (opt-in; quality/token stats
     # then run over the redacted text, which is what actually ships)
     redact: bool = False
+    # HTML main-content pre-pass (opt-in): tag-ratio / link-density /
+    # text-density block classification (html_boiler) runs on the RAW
+    # turn text before segmentation, so nav/footer/link-farm blocks in
+    # web-scraped turns never reach the extraction kernel
+    html_strip: bool = False
     # benchmark decontamination n-gram size (used when an eval set is
     # passed to curate_turns)
     decontam_n: int = 8
@@ -75,6 +80,38 @@ def curate_turns(
     never itself a candidate pair (r2 verdict #6).
     """
     cfg = cfg or CurationConfig()
+
+    if cfg.html_strip:
+        from docling_translate_spark.operators.html_boiler import (
+            BLOCK_SPLIT_REGEX,
+            extract_main_content,
+        )
+
+        # Zero-shuffle projection. Replacement is GATED on the turn
+        # actually containing a block-level tag: the block classifier
+        # whitespace-normalizes inside blocks, which would flatten the
+        # \n\n paragraph structure the markdown/plaintext segmenters key
+        # on — non-HTML turns therefore pass through byte-identical and
+        # extraction parity is untouched.
+        stripped = extract_main_content(
+            transcripts.withColumn(
+                "_row", F.struct(*transcripts.columns)
+            ).select("_row", F.col("_row.text").alias("text")),
+            id_col="_row",
+        )
+        transcripts = stripped.select(
+            *[
+                F.col(f"_row.{c}").alias(c)
+                for c in transcripts.columns
+                if c != "text"
+            ],
+            F.when(
+                F.col("_row.text").rlike(BLOCK_SPLIT_REGEX),
+                F.col("main_text"),
+            )
+            .otherwise(F.col("_row.text"))
+            .alias("text"),
+        )
 
     ext = extract_turns_fused(transcripts, cfg.extract)
     docs = ext.filter(F.length("extracted_text") >= cfg.min_chars).withColumn(

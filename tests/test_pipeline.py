@@ -174,3 +174,41 @@ def test_curation_near_dup_chain_keeps_one(spark):
         df, CurationConfig(min_quality=0.0, near_dup_threshold=0.7)
     ).collect()
     assert [(r["conv_id"], r["turn_idx"]) for r in out] == [("nc", 0)]
+
+
+def test_curation_html_strip_gate(spark):
+    """html_strip drops nav/footer blocks from HTML turns but leaves
+    non-HTML turns byte-identical (paragraph structure preserved), so
+    extraction parity is untouched for the rest of the corpus."""
+    from docling_translate_spark.pipeline import CurationConfig, curate_turns
+
+    html_turn = (
+        '<nav><a href="/">Home</a> <a href="/x">More</a></nav>'
+        "<p>the quality content paragraph is long enough to pass every "
+        "gate in the battery today</p>"
+        "<footer>© 2026 Example Corp — All rights reserved</footer>"
+    )
+    plain_turn = (
+        "first paragraph is long enough to pass the gates today\n\n"
+        "second paragraph also long enough to pass the gates today"
+    )
+    t = spark.createDataFrame(
+        [("c1", 0, "user", html_turn, None, None),
+         ("c2", 0, "user", plain_turn, None, None)],
+        "conv_id string, turn_idx int, role string, text string, "
+        "tool string, ts timestamp",
+    )
+    cfg = CurationConfig(
+        min_quality=0.0, min_chars=5, near_dup=False, html_strip=True
+    )
+    got = {r["conv_id"]: r["extracted_text"]
+           for r in curate_turns(t, cfg).collect()}
+    assert "Home" not in got["c1"] and "All rights reserved" not in got["c1"]
+    assert "quality content paragraph" in got["c1"]
+    # plain turn: identical to html_strip=False output
+    cfg_off = CurationConfig(
+        min_quality=0.0, min_chars=5, near_dup=False, html_strip=False
+    )
+    got_off = {r["conv_id"]: r["extracted_text"]
+               for r in curate_turns(t, cfg_off).collect()}
+    assert got["c2"] == got_off["c2"]
