@@ -49,6 +49,18 @@ def main() -> None:
     docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
     packing = plan(pack_sequences(docs, 512))
     lsh = plan(lsh_ann_topk(emb, dim=64, k=3, n_planes=4, n_tables=4))
+
+    from docling_translate_spark.operators.dedup import dedup_segments
+    from docling_translate_spark.operators.html_boiler import (
+        extract_main_content,
+    )
+    from docling_translate_spark.operators.text_analysis import (
+        unigram_logprob,
+    )
+
+    segs = plan(dedup_segments(docs))
+    unigram = plan(unigram_logprob(docs))
+    html = plan(extract_main_content(docs))
     md = f"""# PLANS — physical plans of the extraction + headline scale operators
 
 Captured with `.explain("formatted")` over a parquet transcript table
@@ -117,6 +129,41 @@ never materialized or shuffled, and no vector is broadcast.
 
 ```
 {lsh}
+```
+
+## C4 duplicate-segment removal (`dedup_segments`)
+
+Two agg-shaped shuffles, NO join on the dup key: the global keep-first
+arg-min is `groupBy(seg).agg(min(struct))` whose map-side partial
+(`partial_min` below the exchange) collapses a hot boilerplate segment
+per map task, and the winner rows ARE the surviving occurrences, so
+reassembly groups them directly. A window/rank formulation would sort
+every occurrence of a hot segment in one task.
+
+```
+{segs}
+```
+
+## Unigram-LM quality (`unigram_logprob`)
+
+Vocab counts and per-doc means are plain aggregates with map-side
+combine; the token→count attach is an equi-join AQE can broadcast or
+skew-split; the corpus total rides a 1-row broadcast — no driver
+collect anywhere.
+
+```
+{unigram}
+```
+
+## HTML main-content extraction (`extract_main_content`)
+
+The whole block classifier — split at structural tags, per-block word/
+link/tag signals, boilerplate-battery match, filter + rejoin — is ONE
+codegen projection of higher-order column expressions: no exchange, no
+Python, parallelism = scan partitions.
+
+```
+{html}
 ```
 
 Notes:
