@@ -82,3 +82,37 @@ def test_zero_shuffle_jvm_plan(spark):
     plan = buf.getvalue()
     assert "Exchange" not in plan, plan
     assert "BatchEvalPython" not in plan, plan
+
+
+def test_tag_soup_fuzz_invariants(spark):
+    """Seeded tag-soup battery: on arbitrary (including malformed) HTML
+    the classifier must never crash, counts must be consistent, and
+    main_text must be exactly the concatenation of content blocks."""
+    import random
+
+    rng = random.Random(7)
+    frags = [
+        "<p>", "</p>", "<div>", "</div>", "<li>", "<br>", "<a href='/x'>",
+        "</a>", "<b>", "</b>", "<", ">", "&amp;", "&nbsp;", "word",
+        "longer text run with several words here", " ", "\n", "©",
+        "Page 3 of 12", "---", "<h1>", "</h1>", "<table>", "<td>",
+        "<a", "href=>", "<>", "</>",
+    ]
+    rows = [
+        (i, "".join(rng.choice(frags) for _ in range(rng.randint(0, 40))))
+        for i in range(120)
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    got = extract_main_content(df).collect()
+    assert len(got) == 120
+    for r in got:
+        assert 0 <= r["n_content_blocks"] <= r["n_blocks"]
+        assert 0.0 <= r["boilerplate_ratio"] <= 1.0
+        assert (r["main_text"] != "") == (r["n_content_blocks"] > 0)
+        if r["main_text"]:
+            # every emitted line is a non-empty, whitespace-normalized block
+            for line in r["main_text"].split("\n"):
+                assert line == line.strip() and "  " not in line
+    # deterministic
+    again = extract_main_content(df).collect()
+    assert sorted(map(tuple, got)) == sorted(map(tuple, again))
