@@ -3,11 +3,15 @@
 Runs the headline queries at ``$SPARK_GRAFT_SF_DIR`` (default
 /root/testdata/sf0.1) on ``local[$SPARK_GRAFT_CPUS]``, then evidences the
 north rule's N→4N scaling criterion by running the identical extraction
-job at two parallelism levels (cpus/4 and cpus), each in a FRESH process
-(fresh JVM — no JIT/page-cache bleed between levels), over the same
-pre-materialized parquet input. Each level does a full untimed warm-up run
-(python-worker spawn + JIT), then min-of-2 timed runs — throughput at
-both levels + scaling efficiency go to BENCH/BASELINE.md.
+job at two capacity-headroom parallelism levels (cpus/16 and cpus/4 —
+see the level-sizing comment in main()), each in a FRESH process (fresh
+JVM — no JIT/page-cache bleed between levels), over the same
+pre-materialized parquet input. Each level does a full untimed warm-up
+run (python-worker spawn + JIT) then timed runs (min-of-2 at the cheap
+high level, one at the 4×-costlier low level), interleaved over 8
+rounds with the per-level minima paired; absolute throughput at cpus/2
+is its own bracketing measurement. Everything goes to
+BENCH/BASELINE.md.
 
 Headline metric: turns-extracted/sec on a synthetic transcript table
 (~2.6×10^6 turns at sf0.1, deterministic, skewed conversation lengths) —

@@ -342,16 +342,17 @@ def unigram_logprob(
     keeps the mean stable across summation orders (double error after a
     per-doc mean is ~1e-15 relative).
     """
-    tok_rows = (
-        df.select(
-            F.col(id_col).alias("_did"),
-            F.explode(
-                F.split(F.trim(F.lower(F.coalesce(F.col(text_col), F.lit("")))), r"\s+")
-            ).alias("tok"),
-        )
-        .filter(F.col("tok") != "")
-        .persist()  # three consumers: vocab, total, and the scoring join
-    )
+    # Three consumers (vocab, total, scoring join) each re-derive this
+    # narrow explode from the scan — deliberately NOT persisted: the
+    # exploded token table is corpus-sized (bigger than the corpus), so
+    # materializing it at the 100 TB design point trades a cheap narrow
+    # recompute for a massive memory/disk-spill footprint.
+    tok_rows = df.select(
+        F.col(id_col).alias("_did"),
+        F.explode(
+            F.split(F.trim(F.lower(F.coalesce(F.col(text_col), F.lit("")))), r"\s+")
+        ).alias("tok"),
+    ).filter(F.col("tok") != "")
     vocab = tok_rows.groupBy("tok").agg(F.count("*").alias("_tc"))
     total = tok_rows.groupBy().agg(F.count("*").alias("_tt"))
     scored = (
