@@ -331,12 +331,17 @@ def q_embed_near_dup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def q_ann_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """LSH-bucketed approximate top-5 (rows-only; recall pinned by pytest)."""
+    """LSH-bucketed approximate top-5 — FULL value oracle (relational
+    bucket build + exact rescore in SQL). max_bucket is pinned above any
+    sandbox bucket size because the oracle models the unsharded
+    candidate set: the salt-split cap drops cross-shard pairs by design,
+    which the SQL twin does not reproduce (the capped path is pinned by
+    pytest instead: recall + >1-task hot bucket)."""
     from docling_translate_spark.operators.similarity import lsh_ann_topk
 
     return lsh_ann_topk(
         _emb(spark, sf_dir),
-        dim=64, k=5, n_planes=4, n_tables=24,
+        dim=64, k=5, n_planes=4, n_tables=24, max_bucket=1_000_000,
     ).select("query_id", "neighbor_id", F.col("rank").cast("long").alias("rank"))
 
 

@@ -295,16 +295,10 @@ def minhash_lsh_pairs(
     # band key = 60-bit md5 prefix of the comma-joined band slice: same
     # collision semantics as any hash of the slice, but portable — a SQL
     # oracle reproduces it exactly (F.hash is Spark-private murmur)
-    band_key = lambda sl: (  # noqa: E731
-        F.conv(
-            F.substring(
-                F.md5(F.array_join(F.transform(sl, lambda v: v.cast("string")), ",")),
-                1,
-                15,
-            ),
-            16,
-            10,
-        ).cast("long")
+    from docling_translate_spark.functions.hashing import md5_prefix60
+
+    band_key = lambda sl: md5_prefix60(  # noqa: E731
+        F.array_join(F.transform(sl, lambda v: v.cast("string")), ",")
     )
     banded = sig.select(
         "sid",
@@ -445,13 +439,18 @@ def connected_components(
     dedup pipelines ship. Without it, dropping ``id_b`` of each pair
     keeps both endpoints of a path like (1,3),(2,3).
 
-    Min-label propagation: every vertex starts as its own label; each
-    round every vertex takes the min label among itself and its
-    neighbors; fixpoint when a round changes nothing. Rounds needed =
-    graph diameter — near-dup components are short chains/cliques in
-    practice, and ``max_iter`` bounds the pathological path-graph. Each
-    round moves slim ``(id, label)`` rows through one equi-join +
-    min-aggregate — no payloads — and iteration state is
+    Min-label propagation WITH pointer jumping: every vertex starts as
+    its own label; each round every vertex takes (a) the min label among
+    itself and its neighbors, then (b) the label OF that label (path
+    halving). Neighbor-min alone needs diameter rounds — a sliding
+    near-dup chain of templated/paginated boilerplate can exceed any
+    fixed bound — while the jump step doubles the propagation horizon,
+    giving O(log diameter) convergence; fixpoint when a round changes
+    nothing, and the loop RAISES if ``max_iter`` is exhausted with
+    changes pending (silent non-convergence would ship duplicate
+    near-dup members and diverge from the exact recursive-CTE oracles).
+    Each round moves slim ``(id, label)`` rows through two equi-joins +
+    a min-aggregate — no payloads — and iteration state is
     ``localCheckpoint``-ed so the plan stays flat instead of nesting one
     join per round. The fixpoint is iteration-order independent, so
     results are deterministic at any cluster size / partitioning.
@@ -481,6 +480,7 @@ def connected_components(
         .localCheckpoint()
     )
     p.unpersist()
+    changed = 1
     for _ in range(max_iter):
         nbr_min = (
             e.join(labels.select(F.col("id").alias("dst"), "comp"), "dst")
@@ -488,14 +488,33 @@ def connected_components(
             .agg(F.min("comp").alias("_ncomp"))
             .withColumnRenamed("src", "id")
         )
+        stepped = labels.join(nbr_min, "id", "left").select(
+            "id",
+            F.least(
+                F.col("comp"), F.coalesce(F.col("_ncomp"), F.col("comp"))
+            ).alias("_scomp"),
+            F.col("comp").alias("_old"),
+        )
+        # pointer jump (path halving): follow _scomp to ITS label —
+        # labels are vertex ids of the same component, so the lookup
+        # stays in-component and the horizon doubles per round
         new_labels = (
-            labels.join(nbr_min, "id", "left")
+            stepped.join(
+                labels.select(
+                    F.col("id").alias("_scomp"), F.col("comp").alias("_jcomp")
+                ),
+                "_scomp",
+                "left",
+            )
             .select(
                 "id",
                 F.least(
-                    F.col("comp"), F.coalesce(F.col("_ncomp"), F.col("comp"))
+                    F.col("_scomp"), F.coalesce(F.col("_jcomp"), F.col("_scomp"))
                 ).alias("comp"),
-                (F.col("_ncomp") < F.col("comp")).alias("_chg"),
+                F.col("_old"),
+            )
+            .select(
+                "id", "comp", (F.col("comp") < F.col("_old")).alias("_chg")
             )
             .localCheckpoint()
         )
@@ -504,6 +523,11 @@ def connected_components(
         if changed == 0:
             break
     e.unpersist()
+    if changed != 0:
+        raise RuntimeError(
+            f"connected_components did not converge in {max_iter} rounds; "
+            "raise max_iter (component diameter exceeds 2^rounds growth)"
+        )
     return labels
 
 

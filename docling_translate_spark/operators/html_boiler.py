@@ -42,8 +42,11 @@ BLOCK_SPLIT_REGEX = (
     r"(?:\s[^>]*)?>"
 )
 ANY_TAG_REGEX = r"<[^>]+>"
-# [\s\S] instead of DOTALL: portable across Java regex and RE2
-LINK_TEXT_REGEX = r"(?i)<a[^>]*>([\s\S]*?)</a>"
+# [\s\S] instead of DOTALL: portable across Java regex and RE2.
+# '<a(?:\s[^>]*)?>' not '<a[^>]*>': the latter also matches abbr/
+# address/audio/area openings, mis-anchoring link text over genuine
+# content and inflating its link density past the drop threshold.
+LINK_TEXT_REGEX = r"(?i)<a(?:\s[^>]*)?>([\s\S]*?)</a>"
 
 DEFAULT_MIN_WORDS = 5
 DEFAULT_MAX_LINK_DENSITY = 0.33
@@ -117,14 +120,25 @@ def extract_main_content(
             text.alias("text"), is_content.alias("is_content")
         )
 
-    infos = F.transform(blocks, info)
-    content = F.filter(infos, lambda s: s["is_content"])
-    n_blocks = F.size(infos).cast("long")
-    n_content = F.size(content).cast("long")
-    return df.select(
+    # The per-block regex battery is materialized ONCE in its own
+    # projection: higher-order functions are interpreted (no codegen
+    # CSE), so referencing the `infos` expression from each of the four
+    # output columns would re-run the whole battery 3-4x per row. A
+    # multi-referenced non-cheap expression blocks CollapseProject, so
+    # the staged projections survive optimization (same pattern and
+    # measured lesson as shingle_df, dedup.py).
+    staged = df.select(F.col(id_col), F.transform(blocks, info).alias("_infos"))
+    staged = staged.select(
+        id_col,
+        "_infos",
+        F.filter("_infos", lambda s: s["is_content"]).alias("_content"),
+    )
+    n_blocks = F.size("_infos").cast("long")
+    n_content = F.size("_content").cast("long")
+    return staged.select(
         id_col,
         F.array_join(
-            F.transform(content, lambda s: s["text"]), "\n"
+            F.transform("_content", lambda s: s["text"]), "\n"
         ).alias("main_text"),
         n_blocks.alias("n_blocks"),
         n_content.alias("n_content_blocks"),

@@ -112,10 +112,9 @@ def mix_sources(
         weight * F.lit(float(token_budget)) / F.col("_stoks").cast("double"),
     )
     cutoff = F.floor(frac * F.lit(float(1 << 60))).cast("long")
-    key = (
-        F.conv(F.substring(F.md5(F.col(id_col).cast("string")), 1, 15), 16, 10)
-        .cast("long")
-    )
+    from docling_translate_spark.functions.hashing import md5_prefix60
+
+    key = md5_prefix60(F.col(id_col).cast("string"))
     return (
         df.join(F.broadcast(totals), strata_col)  # one row per source: tiny
         # least() ignores NULLs, so an absent weight must be rejected

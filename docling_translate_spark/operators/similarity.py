@@ -512,10 +512,10 @@ def lsh_ann_topk(
     # window task itself is linear in bucket size — the quadratic GEMM is
     # what the cap bounds.
     wb = Window.partitionBy("table", "bucket")
+    from docling_translate_spark.functions.hashing import md5_prefix60
+
     shard = F.pmod(
-        F.conv(F.substring(F.md5(F.col("sid").cast("string")), 1, 15), 16, 10).cast(
-            "long"
-        ),
+        md5_prefix60(F.col("sid").cast("string")),
         F.greatest(
             F.lit(1).cast("long"),
             F.ceil(F.count("*").over(wb) / F.lit(int(max_bucket))).cast("long"),

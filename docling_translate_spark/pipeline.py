@@ -153,19 +153,11 @@ def curate_turns(
         # the composed pipeline carry a full value oracle. The id also
         # decides WHICH component member survives (the min), so it must
         # be engine-reproducible, not Spark-private.
+        from docling_translate_spark.functions.hashing import md5_prefix60
+
         keyed = kept.withColumn(
             "_nid",
-            F.conv(
-                F.substring(
-                    F.md5(
-                        F.concat_ws(":", F.col("conv_id"), F.col("turn_idx"))
-                    ),
-                    1,
-                    15,
-                ),
-                16,
-                10,
-            ).cast("long"),
+            md5_prefix60(F.concat_ws(":", F.col("conv_id"), F.col("turn_idx"))),
         )
         # `keyed` feeds TWO consumers (LSH pair generation and the
         # anti-join probe side); without a persist the whole upstream

@@ -178,3 +178,17 @@ def test_dedup_segments_within_doc_repeat(spark):
     df = spark.createDataFrame([(1, f"{seg} {seg}")], "doc_id long, text string")
     (row,) = dedup_segments(df).collect()
     assert row["clean_text"] == seg and row["n_kept_segments"] == 1
+
+
+def test_connected_components_long_chain_pointer_jumping(spark):
+    """A 60-edge path converges well inside default max_iter: pointer
+    jumping gives O(log diameter) rounds (plain neighbor-min would need
+    60 and previously returned silently-wrong labels past max_iter)."""
+    from docling_translate_spark.operators.dedup import connected_components
+
+    n = 60
+    pairs = spark.createDataFrame(
+        [(i, i + 1) for i in range(n)], ["id_a", "id_b"]
+    )
+    got = {r["id"]: r["comp"] for r in connected_components(pairs).collect()}
+    assert got == {i: 0 for i in range(n + 1)}

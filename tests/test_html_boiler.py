@@ -116,3 +116,17 @@ def test_tag_soup_fuzz_invariants(spark):
     # deterministic
     again = extract_main_content(df).collect()
     assert sorted(map(tuple, got)) == sorted(map(tuple, again))
+
+
+def test_non_anchor_a_tags_do_not_count_as_links(spark):
+    """<abbr>/<address>/<audio> must not anchor link-text extraction —
+    the r3 review found '<a[^>]*>' swallowed whole content blocks."""
+    page = (
+        '<p><abbr title="HyperText Markup Language">HTML</abbr> is a web '
+        'standard used everywhere, see <a href="/d">docs</a> for all the '
+        "details about it</p>"
+    )
+    df = spark.createDataFrame([(1, page)], "doc_id long, text string")
+    (row,) = extract_main_content(df).collect()
+    assert row["n_content_blocks"] == 1
+    assert "web standard" in row["main_text"]
