@@ -80,3 +80,59 @@ def redact_pii(
         "n_pii",
         sum(F.col(f"n_{name}") for name, _, _ in _ORDERED).cast("long"),
     )
+
+
+# --- URL / domain blocklist filtering (C4-style) ---
+
+URL_RE = r"(?i)\bhttps?://([A-Za-z0-9.-]+)(?::\d+)?(?:/[^\s]*)?"
+
+
+def extract_domains(df: DataFrame, text_col: str = "text") -> DataFrame:
+    """Adds ``domains``: distinct lowercased registrable hostnames of
+    every http(s) URL in the text (pure column exprs, zero shuffle)."""
+    hosts = F.transform(
+        F.regexp_extract_all(F.col(text_col), F.lit(URL_RE), F.lit(1)),
+        lambda h: F.lower(h),
+    )
+    return df.withColumn("domains", F.array_distinct(hosts))
+
+
+def filter_blocked_domains(
+    df: DataFrame,
+    blocklist: DataFrame,
+    text_col: str = "text",
+    domain_col: str = "domain",
+) -> DataFrame:
+    """C4-recipe URL filtering (Raffel et al. 2020 §2.2 drop pages from
+    a blocklist): rows citing ANY blocklisted domain are removed.
+
+    Scale shape: domains explode to slim (row, domain) pairs; the
+    blocklist is the tiny build side of the probe join (AQE broadcasts
+    it), flagged rows dedup by a map-side-combinable aggregation, and
+    the final removal is a left-anti join keyed on the row's own
+    columns' hash — no text column ever shuffles. Subdomain matches
+    count (``ads.example.com`` hits a blocked ``example.com``) via an
+    equi-join on the suffix-expanded domain rows, not a contains-scan.
+    """
+    keyed = extract_domains(df, text_col).withColumn(
+        "_rid", F.md5(F.concat_ws("\x00", *[F.col(c) for c in df.columns]))
+    )
+    # suffix expansion: a.b.c -> [a.b.c, b.c] (registrable tail pairs),
+    # so subdomain hits stay an equi-join instead of a per-pair LIKE
+    suffixes = lambda d: F.transform(  # noqa: E731
+        F.sequence(F.lit(0), F.greatest(F.size(F.split(d, r"\.")) - 2, F.lit(0))),
+        lambda i: F.array_join(
+            F.slice(F.split(d, r"\."), i + 1, F.size(F.split(d, r"\."))), "."
+        ),
+    )
+    dom_rows = keyed.select(
+        "_rid", F.explode_outer("domains").alias("domain")
+    ).select("_rid", F.explode_outer(suffixes(F.col("domain"))).alias("dsuf"))
+    blocked = blocklist.select(F.lower(F.col(domain_col)).alias("dsuf")).distinct()
+    flagged = (
+        dom_rows.join(F.broadcast(blocked), "dsuf").select("_rid").distinct()
+    )
+    return (
+        keyed.join(flagged, "_rid", "left_anti")
+        .drop("_rid", "domains")
+    )

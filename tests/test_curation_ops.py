@@ -161,3 +161,44 @@ def test_redact_pii_dates_versions_ips_precision(spark):
     assert got[2]["n_phone"] == 2
     # dash date: middle group is 2 digits, phone needs 3-4 — untouched
     assert got[3]["clean_text"] == rows[3][1] and got[3]["n_pii"] == 0
+
+
+def test_filter_blocked_domains(spark):
+    """C4-style URL filtering: subdomain citations of a blocked domain
+    drop the row; clean and URL-free rows survive unchanged."""
+    from docling_translate_spark.operators.scrub import filter_blocked_domains
+
+    df = spark.createDataFrame(
+        [
+            (1, "see https://ads.example.com/x for offers"),
+            (2, "docs at http://docs.python.org/3 are fine"),
+            (3, "no urls at all here"),
+            (4, "mixed https://ok.org/a and https://example.com home"),
+            (5, ""),
+        ],
+        "doc_id long, text string",
+    )
+    block = spark.createDataFrame([("example.com",), ("spam.net",)], ["domain"])
+    kept = sorted(
+        r["doc_id"] for r in filter_blocked_domains(df, block).collect()
+    )
+    assert kept == [2, 3, 5]
+
+
+def test_filter_blocked_domains_no_python_no_text_shuffle(spark):
+    """The probe join is broadcast and the text column never shuffles."""
+    import contextlib
+    import io
+
+    from docling_translate_spark.operators.scrub import filter_blocked_domains
+
+    df = spark.createDataFrame(
+        [(1, "x https://a.example.com y")], "doc_id long, text string"
+    )
+    block = spark.createDataFrame([("example.com",)], ["domain"])
+    buf = io.StringIO()
+    with contextlib.redirect_stdout(buf):
+        filter_blocked_domains(df, block).explain("formatted")
+    plan = buf.getvalue()
+    assert "BatchEvalPython" not in plan, plan
+    assert "BroadcastExchange" in plan, plan
