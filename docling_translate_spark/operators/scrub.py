@@ -114,9 +114,17 @@ def filter_blocked_domains(
     count (``ads.example.com`` hits a blocked ``example.com``) via an
     equi-join on the suffix-expanded domain rows, not a contains-scan.
     """
-    keyed = extract_domains(df, text_col).withColumn(
-        "_rid", F.md5(F.concat_ws("\x00", *[F.col(c) for c in df.columns]))
+    # row id = md5 over every column, cast to string with an explicit
+    # NULL marker: concat_ws SKIPS nulls (("a",NULL) would collide with
+    # (NULL,"a")) and rejects non-string types (timestamps, arrays)
+    row_repr = F.concat_ws(
+        "\x00",
+        *[
+            F.coalesce(F.col(c).cast("string"), F.lit("\x01"))
+            for c in df.columns
+        ],
     )
+    keyed = extract_domains(df, text_col).withColumn("_rid", F.md5(row_repr))
     # suffix expansion: a.b.c -> [a.b.c, b.c] (registrable tail pairs),
     # so subdomain hits stay an equi-join instead of a per-pair LIKE
     suffixes = lambda d: F.transform(  # noqa: E731

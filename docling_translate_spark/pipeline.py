@@ -64,6 +64,7 @@ def curate_turns(
     transcripts: DataFrame,
     cfg: CurationConfig | None = None,
     eval_set: DataFrame | None = None,
+    blocklist: DataFrame | None = None,
 ) -> DataFrame:
     """Run the full curation flow; returns kept turns with quality/token
     metadata. Deterministic: near-dup removal keeps the smallest
@@ -73,6 +74,10 @@ def curate_turns(
     decontamination: turns sharing ≥ ``cfg.decontam_min_hits`` distinct
     ``cfg.decontam_n``-grams with any eval document are dropped via a
     left-anti join on the flagged set.
+
+    ``blocklist`` (column ``domain``) enables C4-style URL filtering:
+    turns citing any blocklisted domain (subdomains included) are
+    dropped right after extraction, before the quality gates.
 
     Near-dup removal is component-wise: LSH pairs are treated as edges
     and ONE member per connected component survives (the min-id one).
@@ -117,6 +122,12 @@ def curate_turns(
     docs = ext.filter(F.length("extracted_text") >= cfg.min_chars).withColumn(
         "text", F.col("extracted_text")
     )
+    if blocklist is not None:
+        from docling_translate_spark.operators.scrub import (
+            filter_blocked_domains,
+        )
+
+        docs = filter_blocked_domains(docs, blocklist)
     if cfg.redact:
         from docling_translate_spark.operators.scrub import redact_pii
 

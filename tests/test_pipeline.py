@@ -212,3 +212,24 @@ def test_curation_html_strip_gate(spark):
     got_off = {r["conv_id"]: r["extracted_text"]
                for r in curate_turns(t, cfg_off).collect()}
     assert got["c2"] == got_off["c2"]
+
+
+def test_curation_blocklist_drops_citing_turns(spark):
+    """blocklist= drops turns citing blocked domains (subdomains too)
+    right after extraction; clean turns survive."""
+    from docling_translate_spark.pipeline import CurationConfig, curate_turns
+
+    t = spark.createDataFrame(
+        [("c1", 0, "user",
+          "spam offer at https://ads.example.com/x with enough words "
+          "to pass the gates in this battery today", None, None),
+         ("c2", 0, "user",
+          "a clean turn with enough words to pass the gates in this "
+          "battery today", None, None)],
+        "conv_id string, turn_idx int, role string, text string, "
+        "tool string, ts timestamp",
+    )
+    block = spark.createDataFrame([("example.com",)], ["domain"])
+    cfg = CurationConfig(min_quality=0.0, min_chars=5, near_dup=False)
+    kept = {r["conv_id"] for r in curate_turns(t, cfg, blocklist=block).collect()}
+    assert kept == {"c2"}
