@@ -864,20 +864,30 @@ def q_s10_history_parse(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 def q_w_window_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Tumbling event-time window aggregation (batch form of the
-    streaming metrics windows, streaming/extract_stream.py)."""
+    streaming metrics windows, streaming/extract_stream.py).
+
+    Output is hash-robust by construction: the driver's value hash is
+    type/representation sensitive (BIGINT-vs-HUGEINT and DECIMAL-width
+    divergences break it — see tools/check_oracle.py), and this query
+    previously emitted TIMESTAMP + DECIMAL together, the only one that
+    did. Emit the window start as a formatted STRING (tz-free on the
+    TIMESTAMP_NTZ events column — an epoch cast would route through the
+    session timezone) and the sum as BIGINT integer cents (floor() on
+    IEEE doubles is rounding-mode-free, immune to double->decimal
+    HALF_UP ties)."""
     e = _events(spark, sf_dir)
     return (
         e.groupBy(F.window("ts", "1 hour").alias("win"))
         .agg(
             F.count("*").alias("n_events"),
-            F.sum(F.col("value").cast("decimal(18,2)")).alias("total_value"),
+            F.sum(F.floor(F.col("value") * 100)).alias("cents"),
         )
         .select(
-            F.col("win.start").alias("window_start"),
+            F.date_format(F.col("win.start"), "yyyy-MM-dd HH:mm:ss").alias(
+                "window_start"
+            ),
             "n_events",
-            # sum over DECIMAL(18,2) widens to (28,2) in Spark but (38,2)
-            # in DuckDB — re-narrow so the gate's type-sensitive hash agrees
-            F.col("total_value").cast("decimal(18,2)").alias("total_value"),
+            F.col("cents").cast("long").alias("total_value_cents"),
         )
     )
 
@@ -2486,10 +2496,15 @@ w AS MATERIALIZED (
             "__DOC_FOOTER__", _doc_footer_lit
         ),
         "w_window_agg": """
-            SELECT date_trunc('hour', ts) AS window_start,
+            -- STRING window start + BIGINT integer cents: keep
+            -- TIMESTAMP/DECIMAL away from the gate's type-sensitive value
+            -- hash. DuckDB sum(BIGINT) widens to HUGEINT, so the outer
+            -- CAST back to BIGINT matters.
+            SELECT strftime(date_trunc('hour', ts), '%Y-%m-%d %H:%M:%S')
+                       AS window_start,
                    count(*) AS n_events,
-                   CAST(sum(CAST(value AS DECIMAL(18,2)))
-                        AS DECIMAL(18,2)) AS total_value
+                   CAST(sum(CAST(floor(value * 100) AS BIGINT)) AS BIGINT)
+                       AS total_value_cents
             FROM events
             GROUP BY date_trunc('hour', ts)
         """,

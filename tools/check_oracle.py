@@ -126,8 +126,18 @@ def main():
                 diff_d = list((dm - sm).items())[:3]
                 msgs.append(f"values spark-only={diff_s} duck-only={diff_d}")
         if ok:
+            # Driver parity: the gate's value-hash is type-sensitive
+            # (BIGINT vs HUGEINT, DECIMAL widths — and round 3 proved a
+            # value-equal TIMESTAMP+DECIMAL result can still hash-FAIL),
+            # so physical dtype drift is a FAILURE here, not a warning.
+            # Only the coarse timestamp tz/unit class stays normalized —
+            # timestamp-emitting queries have passed every driver round.
             warns = dtype_warnings(fn(spark, SF_DIR), con.execute(oracles[name]))
-            if warns:
+            hard = [w for w in warns if not w.startswith("dtype-check skipped")]
+            if hard:
+                ok = False
+                msgs.append("dtype-drift " + "; ".join(hard))
+            elif warns:
                 msgs.append("WARN " + "; ".join(warns))
         status = "OK " if ok else "FAIL"
         print(f"{name:28s} {status} spark={len(srows)} duck={len(drows)} {'; '.join(msgs)}")
