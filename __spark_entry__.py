@@ -1310,9 +1310,10 @@ feat AS MATERIALIZED (
                                ORDER BY conv_id, turn_idx) AS fp_rank
   FROM scored WHERE quality_score >= 0.3
 ), keyed AS MATERIALIZED (
+  -- full 32-hex md5 key (not a 60-bit prefix): survivor selection is
+  -- the lexicographic min, identical in both engines
   SELECT conv_id, turn_idx, text, pred_lang, quality_score, ws_tokens,
-         ('0x' || substr(md5(conv_id || ':' || CAST(turn_idx AS VARCHAR)),
-                         1, 15))::BIGINT AS nid
+         md5(conv_id || ':' || CAST(turn_idx AS VARCHAR)) AS nid
   FROM gated WHERE fp_rank = 1
 ), mtoks AS MATERIALIZED (
   SELECT nid,

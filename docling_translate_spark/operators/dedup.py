@@ -213,11 +213,16 @@ def _md5_hash64(strings) -> np.ndarray:
     md5 is already avalanche-mixed AND portable — any SQL engine can
     reproduce it (``('0x' || substr(md5(t), 1, 16))::UBIGINT`` in
     DuckDB), which is what lets the SimHash / MinHash queries carry full
-    value oracles instead of rows-only checks."""
+    value oracles instead of rows-only checks.
+
+    ``int.from_bytes(digest()[:8])`` is bit-identical to
+    ``int(hexdigest()[:16], 16)`` (big-endian first 8 bytes) and skips
+    the hex round-trip — ~1.7x on the per-token hot path."""
     import hashlib
 
+    md5 = hashlib.md5
     return np.fromiter(
-        (int(hashlib.md5(s.encode()).hexdigest()[:16], 16) for s in strings),
+        (int.from_bytes(md5(s.encode()).digest()[:8], "big") for s in strings),
         dtype=np.uint64,
         count=len(strings) if hasattr(strings, "__len__") else -1,
     )
@@ -235,33 +240,81 @@ def minhash_signatures(
 
     Narrow: one mapInPandas pass, no shuffle. Signature length 128 gives
     ±0.09 jaccard estimation error; band layout decides precision/recall.
-    """
+
+    Kernel shape (r3 verdict #4 — the per-shingle ``hashlib.md5`` Python
+    genexpr was the CPU floor under the LSH queries): shingles of the
+    whole Arrow batch are flattened, hashed ONCE per distinct string
+    (boilerplate-heavy corpora repeat shingles heavily across docs) via
+    the digest fast path, gathered back, and the k×|shingles| universal-
+    hash outer product + per-doc min runs as one numpy expression with
+    ``minimum.reduceat`` over doc boundaries. Per-doc duplicate shingles
+    are NOT pre-deduped — min() is multiplicity-blind, so signatures are
+    bit-identical to the set-based definition the oracles reproduce.
+    Sub-chunked so the k×chunk matrix stays ~128 MB regardless of Arrow
+    batch size.
+
+    ``sid`` keeps the input id column's type (LONG doc ids and the
+    curation pipeline's full-md5 STRING keys both work)."""
     a_params, b_params = _hash_params(num_hashes, seed)
+    id_type = df.schema[id_col].dataType
     out_schema = StructType(
         [
-            StructField("sid", LongType(), False),
+            StructField("sid", id_type, False),
             StructField("signature", ArrayType(LongType()), False),
         ]
     )
+    # cap the flattened outer-product width: num_hashes * chunk * 8 B
+    chunk_shingles = max(1, (128 << 20) // (num_hashes * 8))
 
     def gen(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        mask32 = np.uint64(0xFFFFFFFF)
+        p = np.uint64(_MINHASH_P)
         for pdf in batches:
-            ids, sigs = [], []
-            for sid, text in zip(pdf[id_col], pdf[text_col]):
+            ids = pdf[id_col].tolist()
+            flat: list[str] = []
+            counts: list[int] = []
+            for text in pdf[text_col]:
                 toks = str(text or "").lower().split()
                 if len(toks) >= n:
-                    sh = {" ".join(toks[i : i + n]) for i in range(len(toks) - n + 1)}
+                    join = " ".join
+                    flat.extend(
+                        join(toks[i : i + n]) for i in range(len(toks) - n + 1)
+                    )
+                    counts.append(len(toks) - n + 1)
                 else:
-                    sh = {" ".join(toks)}
-                hv = _md5_hash64(list(sh)) & np.uint64(0xFFFFFFFF)
-                # k x |sh| permutation mins, computed as one outer product
-                sig = (
-                    (a_params[:, None] * hv[None, :] + b_params[:, None])
-                    % np.uint64(_MINHASH_P)
-                ).min(axis=1).astype(np.int64)
-                ids.append(int(sid))
-                sigs.append(sig.tolist())
-            yield pd.DataFrame({"sid": ids, "signature": sigs})
+                    flat.append(" ".join(toks))
+                    counts.append(1)
+            if not counts:
+                yield pd.DataFrame({"sid": [], "signature": []})
+                continue
+            uniq, inv = np.unique(np.asarray(flat, dtype=object), return_inverse=True)
+            hv = (_md5_hash64(uniq) & mask32)[inv]
+            ends = np.cumsum(counts)
+            starts = ends - np.asarray(counts)
+            ndocs = len(counts)
+            sig_cols = []
+            d0 = 0
+            while d0 < ndocs:
+                # widest run of whole docs fitting the chunk budget (a
+                # single over-budget doc goes alone)
+                d1 = max(
+                    int(
+                        np.searchsorted(
+                            ends, starts[d0] + chunk_shingles, side="right"
+                        )
+                    ),
+                    d0 + 1,
+                )
+                lo, hi = int(starts[d0]), int(ends[d1 - 1])
+                m = (
+                    a_params[:, None] * hv[None, lo:hi] + b_params[:, None]
+                ) % p
+                sig_cols.append(
+                    np.minimum.reduceat(m, starts[d0:d1] - lo, axis=1)
+                )
+                d0 = d1
+            sigs = np.concatenate(sig_cols, axis=1).astype(np.int64)
+            yield pd.DataFrame({"sid": ids, "signature": list(sigs.T)})
 
     return df.select(id_col, text_col).mapInPandas(gen, out_schema)
 
@@ -367,12 +420,19 @@ def simhash_signatures(
                     ids.append(int(sid))
                     hashes.append(0)
                     continue
-                hv = _md5_hash64(toks)
+                # hash unique tokens only, weight votes by multiplicity —
+                # identical to hashing every token (md5 is deterministic)
+                uniq, cnt = np.unique(
+                    np.asarray(toks, dtype=object), return_counts=True
+                )
+                hv = _md5_hash64(uniq)
                 bits = (hv[:, None] >> bit_idx[None, :]) & np.uint64(1)
                 # signed vote math: uint64 sum * 2 - n wraps negative
                 # margins to huge positives (NEP-50 keeps the uint64
                 # dtype), which silently sets every non-tied bit
-                votes = bits.sum(axis=0).astype(np.int64) * 2 - len(toks)
+                votes = (
+                    (bits * cnt.astype(np.uint64)[:, None]).sum(axis=0)
+                ).astype(np.int64) * 2 - len(toks)
                 sh = int(((votes > 0).astype(np.uint64) << bit_idx).sum())
                 ids.append(int(sid))
                 hashes.append(sh - (1 << 64) if sh >= (1 << 63) else sh)

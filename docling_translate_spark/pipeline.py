@@ -20,7 +20,6 @@ from __future__ import annotations
 from dataclasses import dataclass
 
 from pyspark.sql import DataFrame, functions as F
-from pyspark.sql.window import Window
 
 from docling_translate_spark.operators.dedup import (
     connected_components,
@@ -149,26 +148,39 @@ def curate_turns(
     if cfg.keep_langs:
         kept = kept.filter(F.col("pred_lang").isin(*cfg.keep_langs))
 
-    # exact dedup: first (conv_id, turn_idx) per fingerprint survives
-    w_rank = F.row_number().over(
-        Window.partitionBy("fingerprint").orderBy("conv_id", "turn_idx")
+    # exact dedup: first (conv_id, turn_idx) per fingerprint survives.
+    # Global arg-min via groupBy + semi-join, NOT a row_number window: a
+    # hot fingerprint (a viral template repeated 10^8 times at 10^12
+    # turns) collapses to one row per map task in the partial aggregate
+    # BEFORE the exchange, while a window would sort every occurrence in
+    # ONE task (the exact shape dedup_segments' docstring warns about).
+    # The semi-join keys include (conv_id, turn_idx), so the probe-side
+    # shuffle of a hot fingerprint's rows still spreads across tasks.
+    fp_winners = kept.groupBy("fingerprint").agg(
+        F.min(F.struct("conv_id", "turn_idx")).alias("_w")
+    ).select(
+        "fingerprint",
+        F.col("_w.conv_id").alias("conv_id"),
+        F.col("_w.turn_idx").alias("turn_idx"),
     )
-    kept = kept.withColumn("_fp_rank", w_rank).filter(F.col("_fp_rank") == 1).drop(
-        "_fp_rank"
+    kept = kept.join(
+        fp_winners, ["fingerprint", "conv_id", "turn_idx"], "left_semi"
     )
 
     if cfg.near_dup:
-        # stable int id for pair generation: 60-bit md5 prefix of
-        # "conv_id:turn_idx" — avalanche-mixed like xxhash64, but
-        # portable (any SQL engine reproduces it), which is what lets
-        # the composed pipeline carry a full value oracle. The id also
-        # decides WHICH component member survives (the min), so it must
-        # be engine-reproducible, not Spark-private.
-        from docling_translate_spark.functions.hashing import md5_prefix60
-
+        # stable id for pair generation: the FULL 32-hex md5 of
+        # "conv_id:turn_idx" — portable (any SQL engine reproduces it),
+        # which is what lets the composed pipeline carry a full value
+        # oracle. The id also decides WHICH component member survives
+        # (the lexicographic min), so it must be engine-reproducible,
+        # not Spark-private — and full-width: a 60-bit prefix has ~0.2
+        # expected collisions at the 10^9-doc design point (n^2/2^61),
+        # and a collision either merges unrelated docs into one
+        # component or drops a non-duplicate turn via the losers
+        # anti-join.
         keyed = kept.withColumn(
             "_nid",
-            md5_prefix60(F.concat_ws(":", F.col("conv_id"), F.col("turn_idx"))),
+            F.md5(F.concat_ws(":", F.col("conv_id"), F.col("turn_idx"))),
         )
         # `keyed` feeds TWO consumers (LSH pair generation and the
         # anti-join probe side); without a persist the whole upstream
@@ -199,9 +211,13 @@ def curate_turns(
         from docling_translate_spark.operators.dedup import decontaminate
 
         # two consumers again (flag generation + anti-join probe):
-        # persist, same reasoning as the near-dup stage above
+        # persist, same reasoning as the near-dup stage above. Full md5
+        # key for the same collision-width reason as _nid (xxhash64's 64
+        # bits give ~0.03 expected collisions at 10^9 docs, each one an
+        # innocent row silently dropped by the anti-join).
         keyed2 = kept.withColumn(
-            "_did", F.xxhash64("conv_id", "turn_idx")
+            "_did",
+            F.md5(F.concat_ws(":", F.col("conv_id"), F.col("turn_idx"))),
         ).persist()
         flagged = decontaminate(
             keyed2,

@@ -141,8 +141,9 @@ def test_curation_near_dup_chain_keeps_one(spark):
     ]
     df = spark.createDataFrame(rows, TRANSCRIPT_SCHEMA)
 
+    # full 32-hex md5 keys (lexicographic min = survivor selection)
     ids = {
-        c: int(hashlib.md5(f"{c}:0".encode()).hexdigest()[:15], 16)
+        c: hashlib.md5(f"{c}:0".encode()).hexdigest()
         for c in ("na", "nb", "nc")
     }
     assert ids["na"] == max(ids.values()) and ids["nc"] == min(ids.values())
@@ -152,13 +153,7 @@ def test_curation_near_dup_chain_keeps_one(spark):
 
     keyed = df.withColumn(
         "_nid",
-        F.conv(
-            F.substring(
-                F.md5(F.concat_ws(":", F.col("conv_id"), F.col("turn_idx"))),
-                1, 15,
-            ),
-            16, 10,
-        ).cast("long"),
+        F.md5(F.concat_ws(":", F.col("conv_id"), F.col("turn_idx"))),
     )
     pairs = {
         (r["id_a"], r["id_b"])

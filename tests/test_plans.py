@@ -234,6 +234,25 @@ def test_dedup_segments_argmin_is_agg_not_window(spark):
     assert "BatchEvalPython" not in plan, plan
 
 
+def test_curation_exact_dedup_is_argmin_not_window(spark, transcript_path):
+    """curate_turns' exact-dedup stage must plan as the arg-min groupBy
+    + semi-join (map-side partial collapses a hot fingerprint BEFORE the
+    exchange), never as a row_number window partitioned by fingerprint —
+    the exact hot-key shape dedup_segments' docstring warns would melt
+    (a viral template repeated 10^8 times sorts in ONE task under a
+    window). r3 verdict #2."""
+    from docling_translate_spark.pipeline import CurationConfig, curate_turns
+
+    df = spark.read.parquet(transcript_path)
+    plan = _plan(
+        curate_turns(df, CurationConfig(min_quality=0.0, near_dup=False))
+    )
+    assert "Window" not in plan, plan
+    assert "partial_min" in plan, plan
+    # the winner rows come back via a semi-join, not a rank filter
+    assert "LeftSemi" in plan, plan
+
+
 def test_unigram_logprob_stays_jvm_side(spark):
     """Vocab counting and scoring are plain aggregates/joins — no
     per-row Python, and the corpus total attaches via broadcast."""
