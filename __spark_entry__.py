@@ -755,9 +755,14 @@ def q_embed_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 def q_curation_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Composed training-data curation flow through the REAL operators:
-    extraction → PII redaction → quality/lang gates → exact dedup →
-    MinHash-LSH near-dup with connected-component removal → benchmark
-    decontamination → token accounting.
+    extraction → C4 URL/domain blocklist filter → PII redaction →
+    quality/lang gates → exact dedup → MinHash-LSH near-dup with
+    connected-component removal → benchmark decontamination → token
+    accounting. The blocklist branch is value-checked here (r3 verdict
+    #6): every 17th doc cites a blocked subdomain with a sentence-final
+    '.' (pinning the trailing-dot host strip), every 19th a benign URL
+    that must survive; the oracle's bflag CTE is the declarative twin
+    of the suffix-expansion anti-join.
 
     Full DuckDB oracle (r2 verdict #7) via the s28 sanitized-body trick:
     each turn is a guaranteed single plaintext paragraph, so the fused
@@ -797,6 +802,18 @@ def q_curation_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.when(
             F.col("doc_id") % 5 == 0, F.lit(" call +1 555-123-4567 ok")
         ).otherwise(F.lit("")),
+        # URL decorations drive the C4 blocklist branch (r3 verdict #6):
+        # a subdomain citation of a blocked domain, ending in a
+        # sentence-final '.' to pin the trailing-dot host strip, plus a
+        # benign URL that must survive
+        F.when(
+            F.col("doc_id") % 17 == 0,
+            F.lit(" via https://ads.blocked-site.com. end"),
+        ).otherwise(F.lit("")),
+        F.when(
+            F.col("doc_id") % 19 == 0,
+            F.lit(" via https://docs.ok-site.org/guide here"),
+        ).otherwise(F.lit("")),
     )
 
     def branch(filt, idx_off: int, tail: str) -> DataFrame:
@@ -816,10 +833,14 @@ def q_curation_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
         .unionAll(branch(F.col("doc_id") % 13 == 0, 2_000_000, ""))
     )
     eval_set = hash_sample(docs, 0.02).select("doc_id", "text")
+    blocklist = spark.createDataFrame(
+        [("blocked-site.com",), ("spam-ads.net",)], ["domain"]
+    )
     out = curate_turns(
         t,
         CurationConfig(min_quality=0.3, min_chars=10, redact=True, decontam_n=6),
         eval_set=eval_set,
+        blocklist=blocklist,
     )
     return out.select(
         "conv_id",
@@ -1212,7 +1233,9 @@ def _curation_oracle() -> str:
     against the md5-sampled eval set. Hash params and regexes are taken
     from the live operators, so the two sides cannot drift apart."""
     from docling_translate_spark.operators.dedup import _MINHASH_P, _hash_params
-    from docling_translate_spark.operators.scrub import _ORDERED
+    from docling_translate_spark.operators.scrub import _ORDERED, URL_RE
+
+    url_lit = URL_RE.replace("'", "''")
 
     a128, b128 = _hash_params(128, 7)
     a_lit = "[" + ",".join(str(int(x)) for x in a128) + "]"
@@ -1241,7 +1264,12 @@ WITH RECURSIVE base AS MATERIALIZED (
                  THEN ' contact user' || CAST(doc_id AS VARCHAR)
                       || '@example.com now' ELSE '' END
          || CASE WHEN doc_id % 5 = 0
-                 THEN ' call +1 555-123-4567 ok' ELSE '' END AS extracted
+                 THEN ' call +1 555-123-4567 ok' ELSE '' END
+         || CASE WHEN doc_id % 17 = 0
+                 THEN ' via https://ads.blocked-site.com. end' ELSE '' END
+         || CASE WHEN doc_id % 19 = 0
+                 THEN ' via https://docs.ok-site.org/guide here' ELSE '' END
+         AS extracted
   FROM documents
 ), turns AS MATERIALIZED (
   SELECT conv_id, CAST(doc_id AS INTEGER) AS turn_idx, extracted FROM base
@@ -1251,9 +1279,26 @@ WITH RECURSIVE base AS MATERIALIZED (
   UNION ALL
   SELECT conv_id, CAST(doc_id + 2000000 AS INTEGER), extracted
   FROM base WHERE doc_id % 13 = 0
-), r0 AS MATERIALIZED (
+), rpre AS MATERIALIZED (
   SELECT conv_id, turn_idx, extracted AS t0 FROM turns
   WHERE length(extracted) >= 10
+), bflag AS MATERIALIZED (
+  -- C4 blocklist twin: hosts of every URL, trailing './-' stripped,
+  -- flagged when any registrable suffix is blocked (exact or
+  -- subdomain) — the LIKE form is the declarative equivalent of the
+  -- engine's suffix-expansion equi-join
+  SELECT DISTINCT conv_id, turn_idx FROM (
+    SELECT conv_id, turn_idx,
+           regexp_replace(lower(unnest(
+               regexp_extract_all(t0, '{url_lit}', 1))), '[.-]+$', '') AS h
+    FROM rpre
+  )
+  WHERE h IN ('blocked-site.com', 'spam-ads.net')
+     OR h LIKE '%.blocked-site.com' OR h LIKE '%.spam-ads.net'
+), r0 AS MATERIALIZED (
+  SELECT r.* FROM rpre r
+  WHERE NOT EXISTS (SELECT 1 FROM bflag b
+                    WHERE b.conv_id = r.conv_id AND b.turn_idx = r.turn_idx)
 ), {redact_block},
 feat AS MATERIALIZED (
   SELECT conv_id, turn_idx, t{n_r} AS text,

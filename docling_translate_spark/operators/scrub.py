@@ -26,13 +26,17 @@ EMAIL_RE = r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}"
 CARD_RE = r"\b\d(?:[ -]?\d){12,18}\b"
 # Three precision-leaning shapes (r2 ADVICE: the old dot-separated form
 # swallowed dotted dates '15.08.2026' and numeric tuples '3.14.159'):
-#   1. international — leading '+' anchor, any separators
+#   1. international — leading '+' anchor; the FIRST separator is
+#      REQUIRED and separators are space/dash only (r3 ADVICE: with
+#      both separators optional, any '+' + 7-11 digit run matched, so
+#      signed decimals '+3.14159' and bare ids '+12345678' were
+#      redacted)
 #   2. parenthesized area code — '(' anchor, any separators
 #   3. bare groups — space/dash separators ONLY (dot-separated bare
 #      runs are more often dates/versions than phones); the 3-4 digit
 #      middle group rejects dd-mm-yyyy too
 PHONE_RE = (
-    r"\+\d{1,3}[ .-]?\(?\d{2,4}\)?[ .-]?\d{3,4}(?:[ .-]\d{3,4})?\b"
+    r"\+\d{1,3}[ -]\(?\d{2,4}\)?[ -]?\d{3,4}(?:[ -]\d{3,4})?\b"
     r"|\(\d{2,4}\)[ .-]?\d{3,4}[ .-]\d{3,4}\b"
     r"|\b\d{2,4}[ -]\d{3,4}[ -]\d{3,4}\b"
 )
@@ -89,10 +93,16 @@ URL_RE = r"(?i)\bhttps?://([A-Za-z0-9.-]+)(?::\d+)?(?:/[^\s]*)?"
 
 def extract_domains(df: DataFrame, text_col: str = "text") -> DataFrame:
     """Adds ``domains``: distinct lowercased registrable hostnames of
-    every http(s) URL in the text (pure column exprs, zero shuffle)."""
+    every http(s) URL in the text (pure column exprs, zero shuffle).
+
+    Trailing '.'/'-' are stripped from each captured host (r3 ADVICE):
+    the host class is greedy, so a sentence-final URL like
+    'https://spam.example.com.' captured 'spam.example.com.' whose
+    suffix expansion ('example.com.', 'com.') never equi-joined a
+    blocked 'example.com' — the row silently escaped the filter."""
     hosts = F.transform(
         F.regexp_extract_all(F.col(text_col), F.lit(URL_RE), F.lit(1)),
-        lambda h: F.lower(h),
+        lambda h: F.regexp_replace(F.lower(h), r"[.-]+$", ""),
     )
     return df.withColumn("domains", F.array_distinct(hosts))
 
@@ -114,15 +124,20 @@ def filter_blocked_domains(
     count (``ads.example.com`` hits a blocked ``example.com``) via an
     equi-join on the suffix-expanded domain rows, not a contains-scan.
     """
-    # row id = md5 over every column, cast to string with an explicit
-    # NULL marker: concat_ws SKIPS nulls (("a",NULL) would collide with
-    # (NULL,"a")) and rejects non-string types (timestamps, arrays)
-    row_repr = F.concat_ws(
-        "\x00",
+    # row id = md5 over a FIXED-WIDTH per-column encoding: each column
+    # contributes 'n' (NULL) or 'v' + md5(value) — 33 chars of a fixed
+    # alphabet — so the combined string parses unambiguously and the
+    # encoding is injective (r3 ADVICE: separator-joined raw values are
+    # not — ('a\x00','b') and ('a','\x00b') collided, and scraped web
+    # text can contain NUL bytes, so a flagged row could drag an
+    # innocent _rid twin into the anti-join)
+    row_repr = F.concat(
         *[
-            F.coalesce(F.col(c).cast("string"), F.lit("\x01"))
+            F.when(F.col(c).isNull(), F.lit("n")).otherwise(
+                F.concat(F.lit("v"), F.md5(F.col(c).cast("string")))
+            )
             for c in df.columns
-        ],
+        ]
     )
     keyed = extract_domains(df, text_col).withColumn("_rid", F.md5(row_repr))
     # suffix expansion: a.b.c -> [a.b.c, b.c] (registrable tail pairs),

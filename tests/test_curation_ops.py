@@ -163,6 +163,65 @@ def test_redact_pii_dates_versions_ips_precision(spark):
     assert got[3]["clean_text"] == rows[3][1] and got[3]["n_pii"] == 0
 
 
+def test_redact_pii_signed_decimals_and_bare_ids_untouched(spark):
+    """r3 ADVICE: the '+' phone alternative made BOTH separators
+    optional, so any '+' + 7-11 digit run matched — signed decimals
+    ('+3.14159') and bare ids ('+12345678') were mangled. The first
+    separator is now required (space/dash only); real international
+    shapes still redact."""
+    rows = [
+        (0, "pi is +3.14159 here"),
+        (1, "order id +12345678 shipped"),
+        (2, "call +1 555-123-4567 ok"),
+        (3, "or +82 10-1234-5678 works"),
+    ]
+    df = spark.createDataFrame(rows, "doc_id int, text string")
+    got = {r["doc_id"]: r for r in redact_pii(df).collect()}
+    assert got[0]["clean_text"] == rows[0][1] and got[0]["n_pii"] == 0
+    assert got[1]["clean_text"] == rows[1][1] and got[1]["n_pii"] == 0
+    assert got[2]["clean_text"] == "call [PHONE] ok"
+    assert got[3]["clean_text"] == "or [PHONE] works"
+
+
+def test_filter_blocked_domains_sentence_final_dot(spark):
+    """r3 ADVICE (medium): a sentence-final URL captured its host with
+    the trailing '.' ('spam.example.com.'), whose suffix expansion never
+    equi-joined the blocked 'example.com' — the row silently escaped.
+    Trailing './-' runs are now stripped from the captured host."""
+    from docling_translate_spark.operators.scrub import filter_blocked_domains
+
+    df = spark.createDataFrame(
+        [
+            (1, "spam at https://spam.example.com. Next sentence."),
+            (2, "fine at https://docs.python.org. Next sentence."),
+        ],
+        "doc_id long, text string",
+    )
+    block = spark.createDataFrame([("example.com",)], ["domain"])
+    kept = [r["doc_id"] for r in filter_blocked_domains(df, block).collect()]
+    assert kept == [2]
+
+
+def test_filter_blocked_domains_rid_injective_on_nul_bytes(spark):
+    """r3 ADVICE: the old separator-joined row hash was not injective —
+    ('hi\\x00<url> ...', 'm') and ('hi', '<url> ...\\x00m') produced the
+    same _rid, so the innocent NUL-bearing twin of a flagged row was
+    removed too. The fixed-width per-column encoding keeps them apart;
+    scraped web text does contain NUL bytes."""
+    from docling_translate_spark.operators.scrub import filter_blocked_domains
+
+    df = spark.createDataFrame(
+        [
+            ("hi\x00visit https://spam.net now", "m"),
+            ("hi", "visit https://spam.net now\x00m"),
+        ],
+        "text string, meta string",
+    )
+    block = spark.createDataFrame([("spam.net",)], ["domain"])
+    kept = [r["text"] for r in filter_blocked_domains(df, block).collect()]
+    assert kept == ["hi"]
+
+
 def test_filter_blocked_domains(spark):
     """C4-style URL filtering: subdomain citations of a blocked domain
     drop the row; clean and URL-free rows survive unchanged."""
