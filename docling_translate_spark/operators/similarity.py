@@ -501,29 +501,37 @@ def lsh_ann_topk(
     argument LSH already rests on. The split is content-keyed (md5 of
     the id), so results are reproducible at any cluster size.
     """
-    sig = hyperplane_signatures(corpus, dim, n_planes, n_tables, id_col, vec_col, seed)
+    # cached: sizes + the pack both read it, and the signature kernel
+    # must run once (see dedup.py's module-level caching note)
+    sig = hyperplane_signatures(
+        corpus, dim, n_planes, n_tables, id_col, vec_col, seed
+    ).cache()
     vec = corpus.select(F.col(id_col).alias("sid"), F.col(vec_col).alias("_v"))
-    # Bucket size via a window count on the SAME (table, bucket) keys the
-    # pack groups on: the pack's HashAggregate keys are a superset of the
-    # window's partitioning, so Catalyst reuses the exchange — the capped
-    # plan shuffles exactly as much as the uncapped one did, and the
-    # signature kernel still runs once. The shard key is pure column
-    # arithmetic (md5 of the id), deterministic at any cluster size. The
-    # window task itself is linear in bucket size — the quadratic GEMM is
-    # what the cap bounds.
-    wb = Window.partitionBy("table", "bucket")
+    # Bucket sizes on SLIM (table, bucket) keys BEFORE vectors attach
+    # (r3 verdict #5): the old window count ran after the `_v` join, so
+    # a mega-bucket's full vector payload colocated in ONE window task.
+    # As a groupBy over ~24-byte sig rows the hot key collapses in the
+    # map-side partial; the size join-back also moves slim rows only,
+    # and the vector join keys on sid, which spreads a hot bucket across
+    # tasks. The shard key is pure column arithmetic (md5 of the id),
+    # deterministic at any cluster size. The pack's exchange then keys
+    # on (table, bucket, _shard) — already split. The quadratic GEMM is
+    # what the cap bounds; every per-task payload here is linear and
+    # bounded by max_bucket.
     from docling_translate_spark.functions.hashing import md5_prefix60
 
+    sizes = sig.groupBy("table", "bucket").agg(F.count("*").alias("_bsize"))
     shard = F.pmod(
         md5_prefix60(F.col("sid").cast("string")),
         F.greatest(
             F.lit(1).cast("long"),
-            F.ceil(F.count("*").over(wb) / F.lit(int(max_bucket))).cast("long"),
+            F.ceil(F.col("_bsize") / F.lit(int(max_bucket))).cast("long"),
         ),
     )
     packed = (
-        sig.join(vec, "sid")
+        sig.join(sizes, ["table", "bucket"])
         .withColumn("_shard", shard)
+        .join(vec, "sid")
         .groupBy("table", "bucket", "_shard")
         .agg(F.collect_list(F.struct("sid", "_v")).alias("_members"))
     )

@@ -161,16 +161,24 @@ def test_lsh_rescore_is_distributed_jvm(spark):
     from docling_translate_spark.operators.similarity import lsh_ann_topk
 
     emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
-    plan = _plan(
-        lsh_ann_topk(emb, dim=64, k=3, n_planes=4, n_tables=4), "simple"
-    )
+    df = lsh_ann_topk(emb, dim=64, k=3, n_planes=4, n_tables=4)
+    plan = _plan(df, "simple")
     assert "Window" in plan, plan
-    # Python crossings: only the signature kernel, planned once per side
-    # of the bucket self-join — rescoring itself must add none
-    assert plan.count("MapInPandas") == 2, plan
+    # Python crossings: the signature kernel (cached — its subtree
+    # prints under both InMemoryTableScan sites) and the bucket GEMM;
+    # rescoring itself must add none
+    assert plan.count("MapInPandas") == 3, plan
+    assert "BatchEvalPython" not in plan, plan
     for line in plan.splitlines():
         if "BroadcastExchange" in line:
             assert "embedding" not in line, plan
+    # r3 verdict #5: bucket sizes are computed on slim (table, bucket)
+    # keys BEFORE the vector join — no Window partition may carry the
+    # vector column (a mega-bucket's payload would colocate in one task)
+    fplan = _plan(df, "formatted")
+    for blk in fplan.split("\n\n"):
+        if "Window" in blk.split("\n")[0]:
+            assert "_v#" not in blk, blk
 
 
 def test_classifier_stays_jvm_side(spark, transcript_path):
