@@ -108,10 +108,19 @@ def main() -> None:
         ).parquet(tpath)
         n_turns = spark.read.parquet(tpath).count()
 
+        # min-of-2 per query (r3 verdict #7: ann_ivf doubled with no code
+        # change — single-shot timings can't tell host noise from plan
+        # drift). clearCache() between runs: several operators cache
+        # intermediates, and the second identical plan would otherwise
+        # measure cached re-execution, not the query.
         for name, fn in entrymod.queries().items():
-            t0 = time.time()
-            fn(spark, SF_DIR).write.format("noop").mode("overwrite").save()
-            queries_sec[name] = round(time.time() - t0, 3)
+            secs = []
+            for _ in range(2):
+                spark.catalog.clearCache()
+                t0 = time.time()
+                fn(spark, SF_DIR).write.format("noop").mode("overwrite").save()
+                secs.append(time.time() - t0)
+            queries_sec[name] = round(min(secs), 3)
         spark.stop()
 
         # --- scaling: identical job at N and 4N cores, fresh JVM each.
@@ -308,7 +317,8 @@ throughput: 731.7 chars/sec at 8 workers vs this engine's
 {h['turns_per_sec']} turns/sec ≈ """
         + f"""{int(h['turns_per_sec'] * 300)} chars/sec equivalent).
 
-## Per-query seconds (local[{CPUS}] session, sf dir)
+## Per-query seconds (local[{CPUS}] session, sf dir; min of 2 runs,
+## cache cleared between them)
 
 | query | sec |
 |---|---|
