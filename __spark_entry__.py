@@ -2642,8 +2642,6 @@ w AS MATERIALIZED (
                             '%Y-%m-%d %H:%M:%S') AS ts_display
             FROM parsed WHERE ts_raw <> ''
         """,
-        # rows-only (non-SQL-expressible): a6_extraction_rollup,
-        # extract_turns, dedup_minhash_lsh, dedup_simhash,
-        # dedup_ngram_jaccard, ann_lsh, media_features, t8_sentences,
-        # s1_format_detect
+        # rows-only (non-SQL-expressible): ann_ivf — iterative k-means
+        # training. Everything else in queries() has an oracle above.
     }

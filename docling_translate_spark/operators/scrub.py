@@ -26,17 +26,23 @@ EMAIL_RE = r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}"
 CARD_RE = r"\b\d(?:[ -]?\d){12,18}\b"
 # Three precision-leaning shapes (r2 ADVICE: the old dot-separated form
 # swallowed dotted dates '15.08.2026' and numeric tuples '3.14.159'):
-#   1. international — leading '+' anchor; the FIRST separator is
-#      REQUIRED and separators are space/dash only (r3 ADVICE: with
+#   1. international, grouped — leading '+' anchor; the FIRST separator
+#      is REQUIRED and separators are space/dash only (r3 ADVICE: with
 #      both separators optional, any '+' + 7-11 digit run matched, so
 #      signed decimals '+3.14159' and bare ids '+12345678' were
 #      redacted)
-#   2. parenthesized area code — '(' anchor, any separators
-#   3. bare groups — space/dash separators ONLY (dot-separated bare
+#   2. international, E.164-ish — '+' then cc + a >=9-digit bare tail
+#      (>=10 digits total): machine-readable '+15551234567' and
+#      '+44 2071234567' shapes are real phones that the grouped form
+#      can't reach (its contiguous tail tops out at 8 digits), while
+#      short bare ids like '+12345678' still pass through
+#   3. parenthesized area code — '(' anchor, any separators
+#   4. bare groups — space/dash separators ONLY (dot-separated bare
 #      runs are more often dates/versions than phones); the 3-4 digit
 #      middle group rejects dd-mm-yyyy too
 PHONE_RE = (
     r"\+\d{1,3}[ -]\(?\d{2,4}\)?[ -]?\d{3,4}(?:[ -]\d{3,4})?\b"
+    r"|\+\d{1,3}[ -]?\d{9,12}\b"
     r"|\(\d{2,4}\)[ .-]?\d{3,4}[ .-]\d{3,4}\b"
     r"|\b\d{2,4}[ -]\d{3,4}[ -]\d{3,4}\b"
 )
@@ -139,7 +145,18 @@ def filter_blocked_domains(
             for c in df.columns
         ]
     )
-    keyed = extract_domains(df, text_col).withColumn("_rid", F.md5(row_repr))
+    # keyed feeds TWO consumers (the flag build side and the anti-join
+    # probe); without a persist the whole upstream lineage — in the
+    # curation pipeline that is the fused extraction kernel — executes
+    # once per consumer (measured 2x MapInPandas, ~18 s of the composed
+    # query at sf0.1). At cluster scale this is where you'd stage the
+    # post-extraction set to a table; persist is the single-job
+    # equivalent (lazy, session-lifetime — same contract as dedup.py).
+    keyed = (
+        extract_domains(df, text_col)
+        .withColumn("_rid", F.md5(row_repr))
+        .persist()
+    )
     # suffix expansion: a.b.c -> [a.b.c, b.c] (registrable tail pairs),
     # so subdomain hits stay an equi-join instead of a per-pair LIKE
     suffixes = lambda d: F.transform(  # noqa: E731

@@ -156,6 +156,24 @@ def curate_turns(
     # ONE task (the exact shape dedup_segments' docstring warns about).
     # The semi-join keys include (conv_id, turn_idx), so the probe-side
     # shuffle of a hot fingerprint's rows still spreads across tasks.
+    #
+    # dropDuplicates first: if the input violates the (conv_id,
+    # turn_idx)-is-a-key contract (a doubled upstream join), the
+    # semi-join alone would keep EVERY copy of the winning key — the
+    # one-row-per-fingerprint guarantee must not depend on input
+    # hygiene. Its keys equal the semi-join keys (the cached output is
+    # already partitioned on them for the probe side), and the
+    # well-spread triple key can't hot-key: a viral fingerprint still
+    # collapses in the partial aggregate, per map task, before the
+    # exchange.
+    #
+    # persist: fp_winners (build) and the probe are TWO consumers of
+    # the whole extraction + gate lineage — without it the fused
+    # kernel and every gate run twice (the near-dup/decontam stages
+    # persist at their own fan-outs for the same reason).
+    kept = kept.dropDuplicates(
+        ["fingerprint", "conv_id", "turn_idx"]
+    ).persist()
     fp_winners = kept.groupBy("fingerprint").agg(
         F.min(F.struct("conv_id", "turn_idx")).alias("_w")
     ).select(

@@ -183,6 +183,26 @@ def test_redact_pii_signed_decimals_and_bare_ids_untouched(spark):
     assert got[3]["clean_text"] == "or [PHONE] works"
 
 
+def test_redact_pii_e164_bare_numbers(spark):
+    """r4 review: requiring the first separator leaked separator-free
+    E.164 numbers ('+15551234567') — the canonical machine-readable
+    phone shape in scraped text. The E.164-ish alternative redacts
+    '+' + cc + a >=9-digit bare tail while short bare ids stay put."""
+    rows = [
+        (0, "call +15551234567 now"),
+        (1, "or +44 2071234567 works"),
+        (2, "order id +12345678 shipped"),
+        (3, "ref +123456789 pending"),
+    ]
+    df = spark.createDataFrame(rows, "doc_id int, text string")
+    got = {r["doc_id"]: r for r in redact_pii(df).collect()}
+    assert got[0]["clean_text"] == "call [PHONE] now"
+    assert got[1]["clean_text"] == "or [PHONE] works"
+    # 8- and 9-digit bare '+' runs: more often ids than phones
+    assert got[2]["clean_text"] == rows[2][1] and got[2]["n_pii"] == 0
+    assert got[3]["clean_text"] == rows[3][1] and got[3]["n_pii"] == 0
+
+
 def test_filter_blocked_domains_sentence_final_dot(spark):
     """r3 ADVICE (medium): a sentence-final URL captured its host with
     the trailing '.' ('spam.example.com.'), whose suffix expansion never

@@ -63,6 +63,20 @@ def test_curation_no_near_dup(spark, transcripts):
     assert keys == [("c1", 0), ("c2", 0), ("c5", 0)]
 
 
+def test_curation_exact_dedup_survives_doubled_input(spark, transcripts):
+    """r4 review: the arg-min semi-join alone kept EVERY copy of the
+    winning (conv_id, turn_idx) key when the input violated the
+    key contract (e.g. a doubled upstream join) — the old row_number
+    window kept exactly one. The dropDuplicates pre-pass restores
+    one-row-per-fingerprint under any input."""
+    out = curate_turns(
+        transcripts.union(transcripts),
+        CurationConfig(min_quality=0.8, near_dup=False),
+    ).collect()
+    keys = sorted((r["conv_id"], r["turn_idx"]) for r in out)
+    assert keys == [("c1", 0), ("c2", 0), ("c5", 0)]
+
+
 def test_curation_lang_gate(spark, transcripts):
     out = curate_turns(
         transcripts, CurationConfig(keep_langs=("fr",), near_dup=False)

@@ -12,6 +12,7 @@ from __future__ import annotations
 
 import decimal
 import math
+import os
 import sys
 from collections import Counter
 
@@ -20,6 +21,9 @@ import duckdb
 sys.path.insert(0, "/root/repo")
 
 SF_DIR = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.01"
+# optional comma-separated query-name filter for focused re-checks,
+# e.g. SPARK_GRAFT_ONLY=pii_redact,curation_pipeline
+ONLY = {q for q in os.environ.get("SPARK_GRAFT_ONLY", "").split(",") if q}
 
 TABLES = (
     "region nation customer supplier part orders lineitem events "
@@ -98,6 +102,8 @@ def main():
     oracles = entrymod.oracle_sql()
     failures = []
     for name, fn in qs.items():
+        if ONLY and name not in ONLY:
+            continue
         sdf = fn(spark, SF_DIR)
         srows = sdf.collect()
         scols = sdf.columns
