@@ -61,6 +61,17 @@ def main() -> None:
     segs = plan(dedup_segments(docs))
     unigram = plan(unigram_logprob(docs))
     html = plan(extract_main_content(docs))
+
+    from docling_translate_spark.pipeline import CurationConfig, curate_turns
+
+    blocklist = spark.createDataFrame([("blocked.example",)], ["domain"])
+    curation = plan(
+        curate_turns(
+            df,
+            CurationConfig(near_dup=False, min_chars=5),
+            blocklist=blocklist,
+        )
+    )
     md = f"""# PLANS — physical plans of the extraction + headline scale operators
 
 Captured with `.explain("formatted")` over a parquet transcript table
@@ -125,10 +136,30 @@ single-task window runs over the tiny partials relation.
 Signature kernel (one `MapInPandas`), bucket packing via
 `collect_list`, one numpy GEMM per (table, bucket) cell emitting only
 per-member top-k, then a max-dedup + window merge. Candidate PAIRS are
-never materialized or shuffled, and no vector is broadcast.
+never materialized or shuffled, and no vector is broadcast. Hot-bucket
+salt-split shard counts come from a groupBy over the slim ~24-byte
+(table, bucket) signature rows BEFORE the embedding column attaches —
+no Window partition ever carries a vector (a mega-bucket's payload
+would otherwise colocate in one task; `tests/test_plans.py` pins it).
 
 ```
 {lsh}
+```
+
+## Curation exact dedup + blocklist (`curate_turns`, near-dup off)
+
+The composed extraction → blocklist → gates → exact-dedup flow. Both
+flag-then-anti-join fan-outs read an `InMemoryRelation` staged at the
+fan-out point (at cluster scale: a staging table), so the fused
+extraction kernel executes once. Exact dedup is the arg-min
+`groupBy(fingerprint).agg(min(struct))` + semi-join — `partial_min`
+below the exchange collapses a viral fingerprint per map task; there
+is NO Window over fingerprint anywhere in the plan, and a
+`dropDuplicates` on the semi-join keys keeps the one-row guarantee
+independent of input hygiene.
+
+```
+{curation}
 ```
 
 ## C4 duplicate-segment removal (`dedup_segments`)
