@@ -1334,7 +1334,8 @@ feat AS MATERIALIZED (
          length(t{n_r}) AS n_chars,
          CASE WHEN trim(t{n_r}) = '' THEN 0
               ELSE len(regexp_split_to_array(trim(t{n_r}), '\s+')) END AS n_words,
-         len(regexp_extract_all(t{n_r}, '[^\w\s]')) AS n_punct,
+         len(regexp_extract_all(t{n_r}, '[^\w\s一-鿿぀-ヿ가-힯]')) AS n_punct,
+         len(regexp_extract_all(t{n_r}, '[一-鿿぀-ヿ가-힯]')) AS n_cjk,
          len(regexp_extract_all(lower(t{n_r}),
              '\b(the|and|of|to|is|in|that|it|for|was)\b')) AS n_stop,
          len(regexp_extract_all(lower(t{n_r}),
@@ -1352,15 +1353,20 @@ feat AS MATERIALIZED (
   SELECT conv_id, turn_idx, text, fingerprint,
          CASE WHEN trim(text) = '' THEN 0
               ELSE CAST(n_words AS BIGINT) END AS ws_tokens,
-         (CASE WHEN n_words > 0
-               AND CAST(n_chars AS DOUBLE) / n_words >= 3.0
-               AND CAST(n_chars AS DOUBLE) / n_words <= 12.0
+         (CASE WHEN CASE WHEN n_chars > 0
+                         AND CAST(n_cjk AS DOUBLE) / n_chars >= 0.3
+                    THEN n_chars >= 10
+                    ELSE n_words > 0
+                         AND CAST(n_chars AS DOUBLE) / n_words >= 3.0
+                         AND CAST(n_chars AS DOUBLE) / n_words <= 12.0 END
                THEN CAST(0.4 AS DOUBLE) ELSE CAST(0.0 AS DOUBLE) END
           + CASE WHEN n_chars = 0
                  OR CAST(n_punct AS DOUBLE) / n_chars <= 0.2
                  THEN CAST(0.3 AS DOUBLE) ELSE CAST(0.0 AS DOUBLE) END
-          + CASE WHEN n_words > 0
-                 AND CAST(n_stop AS DOUBLE) / n_words >= 0.05
+          + CASE WHEN (n_chars > 0
+                       AND CAST(n_cjk AS DOUBLE) / n_chars >= 0.3)
+                 OR (n_words > 0
+                     AND CAST(n_stop AS DOUBLE) / n_words >= 0.05)
                  THEN CAST(0.3 AS DOUBLE) ELSE CAST(0.0 AS DOUBLE) END)
          AS quality_score,
          CASE WHEN greatest(h_de, n_stop, h_es, h_fr, h_ja, h_ko, h_zh) = 0
@@ -2181,12 +2187,15 @@ w AS MATERIALIZED (
                            ELSE [array_to_string(tk, ' ')] END) AS shingle
                 FROM toks
             ),
-            sizes AS (SELECT doc_id, count(*) AS sz FROM sh GROUP BY doc_id),
             freq AS (SELECT shingle, count(*) AS df FROM sh GROUP BY shingle),
             rare AS (
                 SELECT s.doc_id, s.shingle
                 FROM sh s JOIN freq f USING (shingle) WHERE f.df <= 20
             ),
+            -- informative (post-stop-shingle) set sizes: Jaccard drops
+            -- hot shingles from BOTH intersection and union, so
+            -- identical docs score 1.0 regardless of stop-shingle mass
+            sizes AS (SELECT doc_id, count(*) AS sz FROM rare GROUP BY doc_id),
             common AS (
                 SELECT a.doc_id AS id_a, b.doc_id AS id_b,
                        count(*) AS nc
@@ -2229,34 +2238,43 @@ w AS MATERIALIZED (
                         ELSE 'zh' END AS pred_lang
             FROM g
         """,
+        # CJK-aware (mirrors text_analysis.quality_features): RE2's \w is
+        # ASCII like Java's, so CJK chars are excluded from punctuation
+        # explicitly and mostly-CJK docs take char-band + script-coherence
+        # score terms. The class literals are the SAME characters the
+        # Spark side's CJK_RANGES constant holds.
         "quality_scores": r"""
             WITH q AS (
                 SELECT doc_id,
                     length(text) AS n_chars,
                     CASE WHEN trim(text) = '' THEN 0
                          ELSE len(regexp_split_to_array(trim(text), '\s+')) END AS n_words,
-                    len(regexp_extract_all(text, '[^\w\s]')) AS n_punct,
+                    len(regexp_extract_all(text, '[^\w\s一-鿿぀-ヿ가-힯]')) AS n_punct,
+                    len(regexp_extract_all(text, '[一-鿿぀-ヿ가-힯]')) AS n_cjk,
                     len(regexp_extract_all(lower(text),
                         '\b(the|and|of|to|is|in|that|it|for|was)\b')) AS n_stop
                 FROM documents
             ), r AS (
-                SELECT doc_id, n_words,
+                SELECT doc_id, n_words, n_chars,
                     CASE WHEN n_chars > 0
                          THEN CAST(n_punct AS DOUBLE) / n_chars ELSE 0.0 END AS punct_ratio,
                     CASE WHEN n_words > 0
                          THEN CAST(n_stop AS DOUBLE) / n_words ELSE 0.0 END AS stop_ratio,
                     CASE WHEN n_words > 0
-                         THEN CAST(n_chars AS DOUBLE) / n_words ELSE 0.0 END AS mean_wlen
+                         THEN CAST(n_chars AS DOUBLE) / n_words ELSE 0.0 END AS mean_wlen,
+                    CASE WHEN n_chars > 0
+                         THEN CAST(n_cjk AS DOUBLE) / n_chars ELSE 0.0 END AS cjk_ratio
                 FROM q
             )
             SELECT doc_id,
                    CAST(n_words AS BIGINT) AS n_words,
                    punct_ratio, stop_ratio,
-                   (CASE WHEN mean_wlen >= 3.0 AND mean_wlen <= 12.0
+                   (CASE WHEN CASE WHEN cjk_ratio >= 0.3 THEN n_chars >= 10
+                              ELSE mean_wlen >= 3.0 AND mean_wlen <= 12.0 END
                          THEN CAST(0.4 AS DOUBLE) ELSE CAST(0.0 AS DOUBLE) END
                     + CASE WHEN punct_ratio <= 0.2
                            THEN CAST(0.3 AS DOUBLE) ELSE CAST(0.0 AS DOUBLE) END
-                    + CASE WHEN stop_ratio >= 0.05
+                    + CASE WHEN cjk_ratio >= 0.3 OR stop_ratio >= 0.05
                            THEN CAST(0.3 AS DOUBLE) ELSE CAST(0.0 AS DOUBLE) END)
                    AS quality_score
             FROM r

@@ -104,37 +104,41 @@ def ngram_jaccard_pairs(
 ) -> DataFrame:
     """Exact n-gram Jaccard near-dup pairs via an inverted shingle index.
 
-    Candidate pairs = documents sharing ≥1 shingle; hot shingles (shared
-    by more than ``max_bucket`` docs) are dropped from candidate
-    generation — they are stop-shingles that would create a quadratic
-    bucket (standard trick; at 1000 executors a single hot shingle would
-    otherwise serialize the join).
+    Hot shingles (shared by more than ``max_bucket`` docs) are
+    stop-shingles: they would create a quadratic candidate bucket (at
+    1000 executors a single hot shingle would otherwise serialize the
+    join), so they are dropped from BOTH the intersection and the union
+    — Jaccard over the INFORMATIVE shingle sets. Dropping them from
+    candidate generation only (while keeping full-set sizes in the
+    denominator) deflates every pair that contains a hot shingle: two
+    byte-identical docs sharing one stop-shingle out of five would score
+    4/(5+5-4) = 0.667 and silently miss a 0.8 threshold. With consistent
+    filtering, identical docs score 1.0 regardless of stop-shingle mass.
     """
     sh = shingle_df(df, text_col, id_col, n).cache()
 
     freq = sh.groupBy("shingle").agg(F.count("*").alias("df_"))
-    # cache rare too: it feeds BOTH sides of the pair self-join, and
-    # without it the freq join re-executes once per side
+    # cache rare: it feeds the pair self-join (both sides) AND the
+    # per-doc size aggregate; without it the freq join re-executes
     rare = sh.join(freq.filter(F.col("df_") <= max_bucket), "shingle").cache()
 
-    # set_size travels on every shingle row (computed pre-explode, free),
-    # so union size falls out of the pair aggregation itself — no per-doc
-    # sizes table to join, and in particular nothing per-doc to broadcast
-    # (a broadcast of a |docs|-row aggregate is a planner-forced OOM at
-    # 10^9 docs)
-    a = rare.select(F.col("sid").alias("id_a"), "shingle",
-                    F.col("set_size").alias("size_a"))
-    b = rare.select(F.col("sid").alias("id_b"), "shingle",
-                    F.col("set_size").alias("size_b"))
-    return (
+    # per-doc INFORMATIVE set size (post-filter): a slim (sid, size)
+    # aggregate with map-side combine, attached to the (few) surviving
+    # pairs — never broadcast (a |docs|-row broadcast is a planner-forced
+    # OOM at 10^9 docs), never riding the string shingle rows
+    rsz = rare.groupBy("sid").agg(F.count("*").alias("rsz"))
+
+    a = rare.select(F.col("sid").alias("id_a"), "shingle")
+    b = rare.select(F.col("sid").alias("id_b"), "shingle")
+    pairs = (
         a.join(b, "shingle")
         .filter(F.col("id_a") < F.col("id_b"))
         .groupBy("id_a", "id_b")
-        .agg(
-            F.count("*").alias("n_common"),
-            F.min("size_a").alias("size_a"),
-            F.min("size_b").alias("size_b"),
-        )
+        .agg(F.count("*").alias("n_common"))
+    )
+    return (
+        pairs.join(rsz.select(F.col("sid").alias("id_a"), F.col("rsz").alias("size_a")), "id_a")
+        .join(rsz.select(F.col("sid").alias("id_b"), F.col("rsz").alias("size_b")), "id_b")
         .withColumn(
             "jaccard",
             F.col("n_common")
@@ -328,6 +332,7 @@ def minhash_lsh_pairs(
     bands: int = 32,
     threshold: float = 0.8,
     seed: int = 7,
+    max_bucket: int | None = None,
 ) -> DataFrame:
     """Near-dup pairs via banded MinHash LSH + signature-estimate verify.
 
@@ -341,6 +346,15 @@ def minhash_lsh_pairs(
     row per side: tens of TB of shuffle at 10^9 docs). Signatures
     attach to the deduped candidate pairs afterwards via two equi-joins
     (the ``cosine_near_dup_pairs`` pattern, similarity.py).
+
+    ``max_bucket``: a band bucket shared by B docs emits B²/2 candidate
+    rows — 10⁶ copies of one template would materialize ~10¹²·bands/2
+    pairs. Pass a cap to drop oversized buckets from candidate
+    generation (their members are near-identical and still pair through
+    the exact-dedup stage + their other, finer bands). Default ``None``
+    is all-pairs (exact banding semantics — what the value oracles
+    model); in the curation pipeline exact dedup runs FIRST, so
+    byte-identical template copies are already collapsed before LSH.
     """
     rows = num_hashes // bands
     sig = minhash_signatures(df, text_col, id_col, n, num_hashes, seed).cache()
@@ -366,6 +380,15 @@ def minhash_lsh_pairs(
         ).alias("bb"),
     ).select("sid", F.col("bb.band").alias("band"), F.col("bb.bh").alias("bh"))
 
+    if max_bucket is not None:
+        # bucket sizes on the slim (band, bh) keys — map-side combine
+        # collapses a hot bucket before the exchange (ann_lsh pattern)
+        sizes = banded.groupBy("band", "bh").agg(F.count("*").alias("_bsz"))
+        banded = (
+            banded.join(sizes, ["band", "bh"])
+            .filter(F.col("_bsz") <= max_bucket)
+            .drop("_bsz")
+        )
     a = banded.select(F.col("sid").alias("id_a"), "band", "bh")
     b = banded.select(F.col("sid").alias("id_b"), "band", "bh")
     pairs = (
@@ -388,7 +411,7 @@ def minhash_lsh_pairs(
             F.zip_with("sig_a", "sig_b", lambda x, y: (x == y).cast("int")),
             lambda v: v == 1,
         )
-    ) / F.lit(float(len(_hash_params(num_hashes, seed)[0])))
+    ) / F.lit(float(num_hashes))  # fraction of matching signature slots
     return (
         cands.withColumn("est_jaccard", est)
         .filter(F.col("est_jaccard") >= threshold)
@@ -449,21 +472,33 @@ def simhash_pairs(
     id_col: str = "doc_id",
     max_hamming: int = 3,
 ) -> DataFrame:
-    """Near-dup pairs with hamming(simhash) ≤ k via 4-band blocking.
+    """Near-dup pairs with hamming(simhash) ≤ k via (k+1)-band blocking.
 
-    Pigeonhole: distance ≤ 3 ⇒ at least one of four 16-bit bands equal —
-    candidates join on (band, 16-bit chunk), verified by exact popcount.
+    Pigeonhole: distance ≤ k with k+1 disjoint bands covering all 64
+    bits ⇒ at least one band is untouched and equal — candidates join on
+    (band, chunk), verified by exact popcount. The band count DERIVES
+    from ``max_hamming`` (a fixed 4-band split would silently lose
+    recall for k > 3); the default k=3 gives the classic 4×16-bit
+    layout.
     """
+    n_bands = max_hamming + 1
+    width = 64 // n_bands
+
+    def _chunk(b: int) -> F.Column:
+        shifted = F.shiftrightunsigned(F.col("simhash"), b * width)
+        # last band takes the leftover high bits; a full-width mask
+        # (k=0: one 64-bit band) is the identity and would overflow a
+        # long literal
+        bits = 64 - b * width if b == n_bands - 1 else width
+        if bits >= 64:
+            return shifted
+        return shifted.bitwiseAND(F.lit((1 << bits) - 1))
+
     sig = simhash_signatures(df, text_col, id_col)
     chunks = F.array(
         *[
-            F.struct(
-                F.lit(b).alias("band"),
-                F.shiftrightunsigned(F.col("simhash"), b * 16)
-                .bitwiseAND(F.lit(0xFFFF))
-                .alias("chunk"),
-            )
-            for b in range(4)
+            F.struct(F.lit(b).alias("band"), _chunk(b).alias("chunk"))
+            for b in range(n_bands)
         ]
     )
     banded = sig.select("sid", "simhash", F.explode(chunks).alias("c")).select(

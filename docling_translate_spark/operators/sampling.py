@@ -96,7 +96,10 @@ def mix_sources(
     The cutoff arithmetic is plain double×double→floor, exactly
     reproducible in a SQL oracle.
     """
-    txt = F.col(text_col)
+    # coalesce: size(split(NULL)) is -1 under Spark's default
+    # legacy.sizeOfNull, and the trim=='' guard passes NULL through —
+    # a NULL-text row would deflate the source's token total by 1
+    txt = F.coalesce(F.col(text_col), F.lit(""))
     toks = (
         F.when(F.trim(txt) == "", F.lit(0))
         .otherwise(F.size(F.split(F.trim(txt), r"\s+")))
@@ -152,7 +155,9 @@ def pack_sequences(
     split). Requires an integral id column; pass ``n_buckets=1`` to get
     the plain one-window-per-stratum plan.
     """
-    txt = F.col(text_col)
+    # coalesce: NULL text would otherwise contribute -1 (sizeOfNull) to
+    # the cumulative offsets, shifting every later doc's seq_bin
+    txt = F.coalesce(F.col(text_col), F.lit(""))
     # long, not int: the driver gate hashes type-sensitively and any SQL
     # oracle's len()/sum() yields 64-bit — plus per-stratum cumulative
     # counts overflow int32 long before 100 TB

@@ -124,8 +124,6 @@ def brute_force_topk_blas(
 
     def gen(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         cids, cmat = b_ids.value, b_mat.value
-        # tie-break on neighbor id: stable argsort over (-cosine, id)
-        order_ids = np.argsort(cids, kind="stable")
         for pdf in batches:
             if not len(pdf):
                 continue
@@ -602,6 +600,9 @@ def _kmeans(mat: np.ndarray, n_cells: int, iters: int = 10, seed: int = 17) -> n
     """Deterministic spherical k-means (numpy): seeded init, fixed
     iterations. Rows of ``mat`` must be L2-normalized."""
     rng = np.random.RandomState(seed)
+    # a corpus smaller than n_cells degrades to one cell per row instead
+    # of crashing rng.choice(replace=False)
+    n_cells = min(n_cells, len(mat))
     centroids = mat[rng.choice(len(mat), size=n_cells, replace=False)].copy()
     for _ in range(iters):
         assign = (mat @ centroids.T).argmax(axis=1)

@@ -62,24 +62,59 @@ def lang_id(df: DataFrame, text_col: str = "text") -> DataFrame:
     )
 
 
+# CJK codepoint ranges (Han + kana + hangul) — the SAME literal ranges
+# the lang-id markers use, written as real characters so the identical
+# class string drops into both Java regex (Spark) and RE2 (DuckDB
+# oracles). Needed because Java/RE2 '\\w' is ASCII: without these, every
+# CJK character counts as punctuation and whitespace-split word metrics
+# are meaningless, so a ko/zh/ja document scores exactly 0.0 and the
+# curation quality gate silently drops languages lang_id advertises.
+CJK_RANGES = "一-鿿぀-ヿ가-힯"
+CJK_RATIO_MIN = 0.3  # fraction of CJK chars at which a doc scores as CJK
+
+
 def quality_features(df: DataFrame, text_col: str = "text") -> DataFrame:
-    """Length, punctuation ratio, stopword ratio, mean word length, and a
-    combined [0,1] quality score (heuristic battery)."""
-    txt = F.col(text_col)
+    """Length, punctuation ratio, stopword ratio, mean word length, CJK
+    ratio, and a combined [0,1] quality score (heuristic battery).
+
+    CJK-aware: documents that are mostly CJK (``cjk_ratio >=
+    CJK_RATIO_MIN``) take the word-length and stopword score components
+    from CJK-appropriate signals (a character-length band and script
+    coherence) since whitespace words and English stopwords are
+    structurally absent; CJK characters never count as punctuation.
+    Latin-script documents score exactly as before (their CJK terms are
+    zero)."""
+    # coalesce: size(split(NULL)) = -1 under default sizeOfNull and the
+    # trim=='' guard passes NULL through — counts must never go negative
+    txt = F.coalesce(F.col(text_col), F.lit(""))
     n_chars = F.length(txt)
     words = F.split(F.trim(txt), r"\s+")
     n_words = F.when(F.trim(txt) == "", F.lit(0)).otherwise(F.size(words))
-    n_punct = F.size(F.regexp_extract_all(txt, F.lit(r"[^\w\s]"), F.lit(0)))
+    n_punct = F.size(
+        F.regexp_extract_all(txt, F.lit(rf"[^\w\s{CJK_RANGES}]"), F.lit(0))
+    )
+    n_cjk = F.size(
+        F.regexp_extract_all(txt, F.lit(f"[{CJK_RANGES}]"), F.lit(0))
+    )
     n_stop = _count_matches(txt, LANG_MARKERS["en"])
     mean_wlen = F.when(n_words > 0, n_chars.cast("double") / n_words).otherwise(F.lit(0.0))
     punct_ratio = F.when(n_chars > 0, n_punct.cast("double") / n_chars).otherwise(F.lit(0.0))
     stop_ratio = F.when(n_words > 0, n_stop.cast("double") / n_words).otherwise(F.lit(0.0))
+    cjk_ratio = F.when(n_chars > 0, n_cjk.cast("double") / n_chars).otherwise(F.lit(0.0))
+    is_cjk = cjk_ratio >= F.lit(CJK_RATIO_MIN)
 
-    # score: in-range word length + modest punctuation + some stopwords
+    # score: in-range word length (CJK: a character-length band — one
+    # CJK char ~ one word) + modest punctuation + some stopwords (CJK:
+    # script coherence stands in for stopword mass)
     score = (
-        F.when((mean_wlen >= 3.0) & (mean_wlen <= 12.0), F.lit(0.4)).otherwise(F.lit(0.0))
+        F.when(
+            F.when(is_cjk, n_chars >= 10).otherwise(
+                (mean_wlen >= 3.0) & (mean_wlen <= 12.0)
+            ),
+            F.lit(0.4),
+        ).otherwise(F.lit(0.0))
         + F.when(punct_ratio <= 0.2, F.lit(0.3)).otherwise(F.lit(0.0))
-        + F.when(stop_ratio >= 0.05, F.lit(0.3)).otherwise(F.lit(0.0))
+        + F.when(is_cjk | (stop_ratio >= 0.05), F.lit(0.3)).otherwise(F.lit(0.0))
     )
     return (
         df.withColumn("n_chars_q", n_chars)
@@ -87,13 +122,16 @@ def quality_features(df: DataFrame, text_col: str = "text") -> DataFrame:
         .withColumn("punct_ratio", punct_ratio)
         .withColumn("stop_ratio", stop_ratio)
         .withColumn("mean_word_len", mean_wlen)
+        .withColumn("cjk_ratio", cjk_ratio)
         .withColumn("quality_score", score)
     )
 
 
 def token_counts(df: DataFrame, text_col: str = "text") -> DataFrame:
     """Whitespace token count + BPE-ish regex token count."""
-    txt = F.col(text_col)
+    # coalesce: size(split(NULL)) = -1 under default sizeOfNull, and the
+    # trim=='' guard passes NULL through — counts must never go negative
+    txt = F.coalesce(F.col(text_col), F.lit(""))
     ws = F.when(F.trim(txt) == "", F.lit(0)).otherwise(
         F.size(F.split(F.trim(txt), r"\s+"))
     )

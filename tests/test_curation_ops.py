@@ -98,6 +98,27 @@ def test_decontaminate_flags_exact_and_partial_overlap(spark):
     assert strict == {0}
 
 
+def test_mix_sources_null_text_counts_zero(spark):
+    """r4 review: a NULL-text row contributed -1 (sizeOfNull) to its
+    source's token total, inflating the keep fraction. NULL now counts
+    as zero tokens — the totals match a two-doc corpus where one doc is
+    empty."""
+    rows = [("s", 1, None), ("s", 2, "four words right here")]
+    docs = spark.createDataFrame(rows, ["source", "doc_id", "text"])
+    # budget 2 of 4 tokens -> frac 0.5 exactly; with the -1 bug the
+    # total would be 3 and frac 2/3
+    out = mix_sources(docs, {"s": 1.0}, 2)
+    import hashlib
+
+    cutoff = int(0.5 * float(1 << 60))
+    expected = {
+        did
+        for did in (1, 2)
+        if int(hashlib.md5(str(did).encode()).hexdigest()[:15], 16) < cutoff
+    }
+    assert {r["doc_id"] for r in out.collect()} == expected
+
+
 def test_mix_sources_budget_and_determinism(spark):
     docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
     weights = {"src0": 0.5, "src1": 0.3, "src2": 0.2}

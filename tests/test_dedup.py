@@ -98,6 +98,80 @@ def test_simhash_banded_pairs(spark):
     assert (1, 2) in pairs
 
 
+def test_ngram_jaccard_hot_shingle_identical_docs(spark):
+    """r4 review: with intersection over rare shingles but union over
+    FULL set sizes, two identical docs sharing one stop-shingle scored
+    4/(5+5-4)=0.667 and missed a 0.8 threshold. Jaccard now drops hot
+    shingles from both sides: identical docs score 1.0 regardless of
+    stop-shingle mass."""
+    # every doc starts with the same 3 tokens -> one hot shingle shared
+    # by all; docs 0 and 1 are byte-identical
+    hot = "www example com"
+    rows = [
+        (0, f"{hot} alpha beta gamma delta epsilon"),
+        (1, f"{hot} alpha beta gamma delta epsilon"),
+        (2, f"{hot} zeta eta theta iota kappa"),
+        (3, f"{hot} one two three four five"),
+        (4, f"{hot} six seven eight nine ten"),
+    ]
+    df = spark.createDataFrame(rows, ["doc_id", "text"])
+    pairs = {
+        (r["id_a"], r["id_b"]): r["jaccard"]
+        for r in ngram_jaccard_pairs(df, threshold=0.8, max_bucket=4).collect()
+    }
+    assert pairs[(0, 1)] == 1.0
+    assert all(p == (0, 1) for p in pairs), pairs
+
+
+def test_minhash_lsh_max_bucket_drops_mega_buckets(spark, docs):
+    """max_bucket drops oversized band buckets from candidate
+    generation: with a cap of 1 every bucket with >1 member vanishes, so
+    no pairs emerge; with the default None the usual pairs return."""
+    assert minhash_lsh_pairs(docs, threshold=0.5, max_bucket=1).count() == 0
+    assert minhash_lsh_pairs(docs, threshold=0.5).count() > 0
+
+
+def test_simhash_bands_derive_from_max_hamming(spark):
+    """r4 review: a hard-coded 4-band split only guarantees recall for
+    hamming <= 3 — max_hamming=4 pairs differing in one bit per 16-bit
+    band were silently missed. Bands now derive from the parameter
+    (k+1 bands), so any hamming <= k pair shares an untouched band."""
+    from docling_translate_spark.operators.dedup import simhash_signatures
+
+    base = [f"tok{i}" for i in range(60)]
+    # craft a neighbor EXACTLY 4 bits away, one per 16-bit quarter:
+    # batch 400 single-token swaps through the kernel in ONE job and
+    # pick the first that lands; deterministic given the md5 token hash
+    cands = {s: base[:7] + [f"alt{s}"] + base[8:] for s in range(1, 401)}
+    rows = [(0, " ".join(base))] + [
+        (s, " ".join(c)) for s, c in cands.items()
+    ]
+    sigs = {
+        r["sid"]: r["simhash"]
+        for r in simhash_signatures(
+            spark.createDataFrame(rows, ["doc_id", "text"])
+        ).collect()
+    }
+    h0, target = sigs[0], None
+    for s in range(1, 401):
+        x = (h0 ^ sigs[s]) & ((1 << 64) - 1)
+        if bin(x).count("1") == 4 and all(
+            bin((x >> (16 * q)) & 0xFFFF).count("1") == 1 for q in range(4)
+        ):
+            target = cands[s]
+            break
+    if target is None:
+        import pytest
+
+        pytest.skip("no 4-bit-spread neighbor found in 400 swaps")
+    rows = [(0, " ".join(base)), (1, " ".join(target))]
+    df = spark.createDataFrame(rows, ["doc_id", "text"])
+    got3 = {(r["id_a"], r["id_b"]) for r in simhash_pairs(df, max_hamming=3).collect()}
+    got4 = {(r["id_a"], r["id_b"]) for r in simhash_pairs(df, max_hamming=4).collect()}
+    assert (0, 1) not in got3  # hamming 4 correctly above a k=3 cutoff
+    assert (0, 1) in got4      # and guaranteed found at k=4
+
+
 def test_simhash_empty_text(spark):
     df = spark.createDataFrame([(0, ""), (1, None)], ["doc_id", "text"])
     out = {r["sid"]: r["simhash"] for r in simhash_signatures(df).collect()}

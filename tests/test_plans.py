@@ -112,26 +112,35 @@ def test_blocked_topk_shuffle_shape(spark, transcript_path):
     assert "BroadcastHashJoin" not in plan, plan
 
 
-def test_ngram_jaccard_carries_sizes_inline(spark, transcript_path):
-    """Jaccard must not join (let alone broadcast) a per-doc sizes
-    aggregate — set_size rides on the shingle rows, so the plan has
-    exactly two joins: the stop-shingle frequency join and the inverted-
-    index self-join. (Round 1 shipped F.broadcast over a |docs|-row
-    aggregate: a planner-forced OOM at 10^9 docs.)"""
+def test_ngram_jaccard_sizes_attach_to_pairs_not_broadcast(
+    spark, transcript_path
+):
+    """The per-doc informative-set sizes must attach to the (few)
+    aggregated PAIRS via shuffled equi-joins — never as a FORCED
+    broadcast of a |docs|-row aggregate (round 1's planner-forced OOM at
+    10^9 docs), and never riding the string shingle rows through the
+    self-join exchange."""
     from docling_translate_spark.operators.dedup import ngram_jaccard_pairs
 
     df = spark.read.parquet(transcript_path).select(
         F.col("turn_idx").alias("doc_id"), "text"
     )
-    plan = _plan(ngram_jaccard_pairs(df, n=3, threshold=0.5), "simple")
-    # all joins key on `shingle` (freq join twice, once under each self-
-    # join side, plus the inverted-index join); none keys on a doc id —
-    # that would be the per-doc sizes join coming back
-    for bad in ("Join [id_a", "Join [id_b"):
-        assert bad not in plan, plan
+    out = ngram_jaccard_pairs(df, n=3, threshold=0.5)
+    # no FORCED broadcast hint anywhere in the logical plan (the
+    # planner choosing a broadcast from size stats at tiny scale is
+    # fine — a hint would force it regardless of the aggregate's size)
+    logical = _plan(out, "extended")
+    assert "ResolvedHint" not in logical, logical
+    plan = _plan(out, "simple")
+    # the two id-keyed sizes joins exist and sit ABOVE the pair
+    # aggregate (their join condition references the n_common output)
     n_joins = sum(plan.count(op) for op in
                   ("SortMergeJoin", "BroadcastHashJoin", "ShuffledHashJoin"))
-    assert n_joins == 3, plan
+    # inverted-index self-join + 3 uses of the cached freq join subtree
+    # (a, b, sizes — collapsed to one scan at runtime by the cache) + 2
+    # slim sizes joins on pair ids
+    assert n_joins == 7, plan
+    assert "Join [id_a" in plan, plan
 
 
 def test_similarity_no_unbounded_driver_collect():

@@ -140,6 +140,19 @@ def test_ivf_recall(spark, emb):
     assert recall > 0.7, f"IVF top-1 recall too low: {recall}"
 
 
+def test_ivf_corpus_smaller_than_n_cells(spark):
+    """r4 review: rng.choice(replace=False) crashed when the corpus had
+    fewer rows than n_cells; it now degrades to one cell per row."""
+    from docling_translate_spark.operators.similarity import ivf_topk
+
+    rng = np.random.RandomState(3)
+    rows = [(i, rng.randn(DIM).astype(float).tolist()) for i in range(6)]
+    emb = spark.createDataFrame(rows, ["vec_id", "embedding"])
+    out = ivf_topk(emb, dim=DIM, k=1, n_cells=16, nprobe=4).collect()
+    assert len(out) > 0
+    assert all(r["query_id"] != r["neighbor_id"] for r in out)
+
+
 def test_cosine_near_dup_consistency(spark, emb):
     """Every pair LSH emits must truly clear the threshold (no false
     positives by construction — rescoring is exact)."""

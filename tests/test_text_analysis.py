@@ -41,6 +41,46 @@ def test_quality(spark, texts):
     assert 0 < out[5]["punct_ratio"] < 0.2
 
 
+def test_quality_cjk_documents_score(spark):
+    """r4 review: \\w is ASCII in Java/RE2 regex, so every CJK char
+    counted as punctuation and whitespace word metrics were meaningless
+    — a ko/zh/ja doc scored exactly 0.0 and the curation quality gate
+    silently dropped languages lang_id advertises. Mostly-CJK docs now
+    take a char-length band + script coherence instead."""
+    rows = [
+        (0, "기계 학습 모델은 대규모 데이터 집합에서 패턴을 학습하여 예측을 수행합니다"),
+        (1, "机器学习模型从大规模数据集中学习模式并做出预测这是一个足够长的句子"),
+        (2, "これは機械学習モデルに関する十分に長い日本語の文章でありテストに使われます"),
+        (3, "the cat and the dog went to the park and it was good for them"),
+        (4, "短"),  # mostly-CJK but too short for the length band
+    ]
+    df = spark.createDataFrame(rows, ["doc_id", "text"])
+    out = {r["doc_id"]: r for r in quality_features(df).collect()}
+    for d in (0, 1, 2):
+        assert out[d]["cjk_ratio"] >= 0.3, out[d]
+        assert out[d]["quality_score"] >= 0.6, out[d]
+        # CJK chars are not punctuation
+        assert out[d]["punct_ratio"] <= 0.2, out[d]
+    # Latin prose scores exactly as before (CJK terms are zero)
+    assert out[3]["cjk_ratio"] == 0.0
+    assert out[3]["quality_score"] == 1.0
+    # a one-char CJK doc misses the length band but keeps coherence
+    assert out[4]["quality_score"] == 0.6
+
+
+def test_null_text_counts_are_zero_not_negative(spark):
+    """r4 review: size(split(NULL)) = -1 under default sizeOfNull and
+    the trim=='' guard passes NULL through — NULL-text rows corrupted
+    token sums (and packing offsets) by -1 per row."""
+    df = spark.createDataFrame([(0, None), (1, "two words")], ["doc_id", "text"])
+    toks = {r["doc_id"]: r for r in token_counts(df).collect()}
+    assert toks[0]["ws_tokens"] == 0 and toks[0]["bpe_tokens"] == 0
+    assert toks[1]["ws_tokens"] == 2
+    q = {r["doc_id"]: r for r in quality_features(df).collect()}
+    assert q[0]["n_words"] == 0 and q[0]["n_chars_q"] == 0
+    assert q[0]["quality_score"] == 0.3  # only the punct term passes
+
+
 def test_token_counts(spark, texts):
     out = {r["doc_id"]: r for r in token_counts(texts).collect()}
     assert out[0]["ws_tokens"] == 15
