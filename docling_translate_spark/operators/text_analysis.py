@@ -269,28 +269,35 @@ def winnowing_fingerprints(
         ]
     )
     base, mod = _RH_BASE, _RH_MOD
+    # the masking arithmetic below needs a power-of-two modulus
+    assert mod & (mod - 1) == 0, "_RH_MOD must be a power of two"
+    mask = mod - 1
+    # mod-reduced base powers: h[j] = Σ cps[j+i]·base^(k-1-i) (mod 2^40)
+    # — the direct polynomial equals the Rabin-Karp recurrence exactly.
+    # Each product is < 2^21 · 2^40 (codepoint × reduced power), each
+    # masked term < 2^40, and the k-term sum stays far under int64, so
+    # the whole window hash is three C-speed array ops instead of the
+    # per-character Python loop this replaced (bit-identical output —
+    # 300-trial fuzz vs the loop, incl. astral codepoints).
+    pows = np.array(
+        [pow(base, k - 1 - i, mod) for i in range(k)], dtype=np.int64
+    )
 
     def gen(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
-        topk = pow(base, k - 1, mod)
         for pdf in batches:
             sids, fps, poss = [], [], []
             for sid, text in zip(pdf[id_col], pdf[text_col]):
                 s = " ".join(str(text or "").lower().split())
-                cps = np.fromiter((ord(c) for c in s), dtype=np.int64, count=len(s))
+                # C-speed codepoint extraction (ord() per char is the
+                # other half of the old per-character floor)
+                cps = np.frombuffer(
+                    s.encode("utf-32-le"), dtype=np.uint32
+                ).astype(np.int64)
                 n = len(cps) - k + 1
                 if n <= 0:
                     continue
-                # rolling k-gram hashes, O(n)
-                h = np.empty(n, dtype=np.int64)
-                acc = 0
-                for j in range(k):
-                    acc = (acc * base + int(cps[j])) % mod
-                h[0] = acc
-                for j in range(1, n):
-                    acc = (
-                        (acc - int(cps[j - 1]) * topk) * base + int(cps[j + k - 1])
-                    ) % mod
-                    h[j] = acc
+                win = np.lib.stride_tricks.sliding_window_view(cps, k)
+                h = (((win * pows) & mask).sum(axis=1)) & mask
                 # winnowing: rightmost minimum of each window, dedup on
                 # consecutive repeats (the canonical selection rule)
                 if n <= window:
