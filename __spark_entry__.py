@@ -408,14 +408,30 @@ def q_lang_id(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def q_quality_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Quality features + combined score."""
+    """Quality features + combined score. Every 23rd doc is REPLACED by
+    deterministic Korean/Chinese text so the CJK scoring branch (char
+    band + script coherence + CJK-excluded punctuation) is value-checked
+    at the gate, not just pytest-pinned; the rest exercise the Latin
+    path byte-identically."""
     from docling_translate_spark.operators.text_analysis import quality_features
 
-    return quality_features(_docs(spark, sf_dir)).select(
+    d = _docs(spark, sf_dir).withColumn(
+        "text",
+        F.when(
+            F.col("doc_id") % 23 == 0,
+            F.concat(
+                F.lit("기계 학습 모델은 대규모 데이터 집합에서 패턴을 학습합니다 "),
+                F.lit("机器学习模型从大规模数据集中学习模式 文档 "),
+                F.col("doc_id").cast("string"),
+            ),
+        ).otherwise(F.col("text")),
+    )
+    return quality_features(d).select(
         "doc_id",
         F.col("n_words").cast("long").alias("n_words"),
         "punct_ratio",
         "stop_ratio",
+        F.col("cjk_ratio"),
         "quality_score",
     )
 
@@ -2244,7 +2260,15 @@ w AS MATERIALIZED (
         # score terms. The class literals are the SAME characters the
         # Spark side's CJK_RANGES constant holds.
         "quality_scores": r"""
-            WITH q AS (
+            WITH d AS (
+                SELECT doc_id,
+                    CASE WHEN doc_id % 23 = 0 THEN
+                        '기계 학습 모델은 대규모 데이터 집합에서 패턴을 학습합니다 '
+                        || '机器学习模型从大规模数据集中学习模式 文档 '
+                        || CAST(doc_id AS VARCHAR)
+                    ELSE text END AS text
+                FROM documents
+            ), q AS (
                 SELECT doc_id,
                     length(text) AS n_chars,
                     CASE WHEN trim(text) = '' THEN 0
@@ -2253,7 +2277,7 @@ w AS MATERIALIZED (
                     len(regexp_extract_all(text, '[一-鿿぀-ヿ가-힯]')) AS n_cjk,
                     len(regexp_extract_all(lower(text),
                         '\b(the|and|of|to|is|in|that|it|for|was)\b')) AS n_stop
-                FROM documents
+                FROM d
             ), r AS (
                 SELECT doc_id, n_words, n_chars,
                     CASE WHEN n_chars > 0
@@ -2268,7 +2292,7 @@ w AS MATERIALIZED (
             )
             SELECT doc_id,
                    CAST(n_words AS BIGINT) AS n_words,
-                   punct_ratio, stop_ratio,
+                   punct_ratio, stop_ratio, cjk_ratio,
                    (CASE WHEN CASE WHEN cjk_ratio >= 0.3 THEN n_chars >= 10
                               ELSE mean_wlen >= 3.0 AND mean_wlen <= 12.0 END
                          THEN CAST(0.4 AS DOUBLE) ELSE CAST(0.0 AS DOUBLE) END
