@@ -495,19 +495,44 @@ def q_repetition(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-def q_hash_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Deterministic Bernoulli-style sampling by md5 cutoff — shuffle-
-    free, reproducible across engines / cluster sizes / reruns."""
-    from docling_translate_spark.operators.sampling import hash_sample
+def q_sample_battery(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Three deterministic samplers in ONE gate slot (recorded-cap
+    discipline, same consolidation as scalar_battery): md5-cutoff
+    Bernoulli sampling, exact per-source quota sampling, and domain-
+    mixture budgeting, union-tagged by method. Every branch keeps its
+    original arithmetic, so each stays individually value-checked."""
+    from docling_translate_spark.operators.sampling import (
+        hash_sample,
+        mix_sources,
+        stratified_sample,
+    )
 
-    return hash_sample(_docs(spark, sf_dir), 0.25).select("doc_id", "source")
+    d = _docs(spark, sf_dir)
+    weights = {"src0": 0.4, "src1": 0.25, "src2": 0.2, "src3": 0.1, "src4": 0.05}
+    h = hash_sample(d, 0.25).select(
+        F.lit("hash").alias("method"), "source", "doc_id"
+    )
+    s = stratified_sample(d, 7).select(
+        F.lit("quota").alias("method"), "source", "doc_id"
+    )
+    m = mix_sources(d, weights, 3000).select(
+        F.lit("mixture").alias("method"), "source", "doc_id"
+    )
+    return h.unionByName(s).unionByName(m)
 
 
-def q_stratified_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Exact per-source quota sampling (hash-ordered row_number)."""
-    from docling_translate_spark.operators.sampling import stratified_sample
+def q_dsir_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """DSIR importance weights (Xie et al. 2023, NeurIPS): hashed
+    unigram+bigram likelihood ratio of a target corpus vs the raw
+    corpus, summed per raw document. Deterministic corpus split so the
+    model has a real target at every sf: target = doc_id % 11 == 0,
+    raw = the rest."""
+    from docling_translate_spark.operators.sampling import dsir_weights
 
-    return stratified_sample(_docs(spark, sf_dir), 7).select("source", "doc_id")
+    d = _docs(spark, sf_dir)
+    raw = d.filter(F.col("doc_id") % 11 != 0)
+    tgt = d.filter(F.col("doc_id") % 11 == 0)
+    return dsir_weights(raw, tgt).select("doc_id", "n_grams", "log_weight")
 
 
 def q_pack_sequences(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -707,18 +732,6 @@ def q_decontaminate(spark: SparkSession, sf_dir: str) -> DataFrame:
     eval_set = hash_sample(docs, 0.05)
     return decontaminate(docs, eval_set, n=4, min_hits=1).select(
         "train_id", "n_hits", "n_eval_docs"
-    )
-
-
-def q_mix_budget(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Domain-mixture budgeting: per-source keep fractions targeting
-    weight×budget tokens, realized as a per-source md5 cutoff — full
-    oracle (identical double arithmetic + 60-bit hash keyspace)."""
-    from docling_translate_spark.operators.sampling import mix_sources
-
-    weights = {"src0": 0.4, "src1": 0.25, "src2": 0.2, "src3": 0.1, "src4": 0.05}
-    return mix_sources(_docs(spark, sf_dir), weights, 3000).select(
-        "source", "doc_id"
     )
 
 
@@ -1091,8 +1104,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "fingerprint": q_fingerprint,
         "winnow_pairs": q_winnow_pairs,
         "repetition": q_repetition,
-        "hash_sample": q_hash_sample,
-        "stratified_sample": q_stratified_sample,
+        "sample_battery": q_sample_battery,
+        "dsir_weights": q_dsir_weights,
         "pack_sequences": q_pack_sequences,
         "i18n_localize": q_i18n_localize,
         "session_window": q_session_window,
@@ -1100,8 +1113,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # every newly-added or previously-failed query sits inside the
         # cap; queries whose SURVEY row has a SECOND driver-checked query
         # ride at the tail (a1 ← dedup_exact, ann_topk_small ← ann_topk,
-        # winnow_fingerprints ← winnow_pairs/fingerprint, s8_embed_media
-        # ← media_features + the battery's b64 column).
+        # rolling_fingerprint ← fingerprint/winnow_fingerprints,
+        # s8_embed_media ← media_features + the battery's b64 column).
+        # sample_battery consolidates hash/quota/mixture sampling in one
+        # slot, freeing room for dsir_weights + winnow_fingerprints.
         "w_window_agg": q_w_window_agg,
         "embed_near_dup": q_embed_near_dup,
         "s10_history_parse": q_s10_history_parse,
@@ -1116,12 +1131,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "s28_table_spans": q_s28_table_spans,
         "pii_redact": q_pii_redact,
         "decontaminate": q_decontaminate,
-        "mix_budget": q_mix_budget,
+        "winnow_fingerprints": q_winnow_fingerprints,
         "scalar_battery": q_scalar_battery,
         # --- entries 51+: recorded by `make oracle`, not the driver ---
         "a1_distinct_dedup": q_a1_distinct_dedup,
         "ann_topk_small": q_ann_topk_small,
-        "winnow_fingerprints": q_winnow_fingerprints,
         "s8_embed_media": q_s8_embed_media,
         "rolling_fingerprint": q_rolling_fingerprint,
     }
@@ -2043,35 +2057,6 @@ w AS MATERIALIZED (
             GROUP BY train_id
             HAVING count(DISTINCT t.shingle) >= 1
         """.replace("__EVAL_CUTOFF__", format(int(0.05 * (1 << 64)), "016x")),
-        # mixture budgeting: identical double arithmetic for the
-        # fraction and the 60-bit md5 keyspace for the cutoff compare
-        "mix_budget": r"""
-            WITH toks AS (
-              SELECT source, doc_id,
-                     CAST(CASE WHEN trim(text) = '' THEN 0
-                          ELSE len(string_split_regex(trim(text), '\s+'))
-                          END AS BIGINT) AS wt
-              FROM documents
-            ), tot AS (
-              SELECT source, CAST(sum(wt) AS BIGINT) AS stoks
-              FROM toks GROUP BY source
-            ), w(source, wgt) AS (
-              VALUES ('src0', 0.4), ('src1', 0.25), ('src2', 0.2),
-                     ('src3', 0.1), ('src4', 0.05)
-            ), f AS (
-              SELECT t.source,
-                     t.stoks,
-                     CAST(floor(least(1.0,
-                          w.wgt * 3000.0 / CAST(t.stoks AS DOUBLE))
-                          * 1152921504606846976.0) AS BIGINT) AS cutoff
-              FROM tot t JOIN w ON t.source = w.source
-            )
-            SELECT d.source, d.doc_id
-            FROM documents d JOIN f ON d.source = f.source
-            WHERE f.stoks > 0
-              AND ('0x' || substr(md5(CAST(d.doc_id AS VARCHAR)), 1, 15))::BIGINT
-                  < f.cutoff
-        """,
         # full value oracle for the T8 rule-based sentence tokenizer: the
         # kernel's boundary regex uses a lookahead (RE2 has none), so the
         # oracle splits at every candidate and re-applies the lookahead
@@ -2451,18 +2436,102 @@ w AS MATERIALIZED (
                         ELSE 0.0 END AS top_bigram_ratio
             FROM bg
         """,
-        "hash_sample": """
-            SELECT doc_id, source
+        # one slot, three samplers: each UNION branch is the original
+        # stand-alone oracle with a method tag
+        "sample_battery": r"""
+            WITH mixtoks AS (
+              SELECT source, doc_id,
+                     CAST(CASE WHEN trim(text) = '' THEN 0
+                          ELSE len(string_split_regex(trim(text), '\s+'))
+                          END AS BIGINT) AS wt
+              FROM documents
+            ), mixtot AS (
+              SELECT source, CAST(sum(wt) AS BIGINT) AS stoks
+              FROM mixtoks GROUP BY source
+            ), mixw(source, wgt) AS (
+              VALUES ('src0', 0.4), ('src1', 0.25), ('src2', 0.2),
+                     ('src3', 0.1), ('src4', 0.05)
+            ), mixf AS (
+              SELECT t.source,
+                     t.stoks,
+                     CAST(floor(least(1.0,
+                          w.wgt * 3000.0 / CAST(t.stoks AS DOUBLE))
+                          * 1152921504606846976.0) AS BIGINT) AS cutoff
+              FROM mixtot t JOIN mixw w ON t.source = w.source
+            )
+            SELECT 'hash' AS method, source, doc_id
             FROM documents
             WHERE md5(doc_id::VARCHAR) < '4000000000000000'
-        """,
-        "stratified_sample": """
-            SELECT source, doc_id
+            UNION ALL
+            SELECT 'quota' AS method, source, doc_id
             FROM documents
             QUALIFY row_number() OVER (
                 PARTITION BY source
                 ORDER BY md5(doc_id::VARCHAR), doc_id
             ) <= 7
+            UNION ALL
+            SELECT 'mixture' AS method, d.source, d.doc_id
+            FROM documents d JOIN mixf f ON d.source = f.source
+            WHERE f.stoks > 0
+              AND ('0x' || substr(md5(CAST(d.doc_id AS VARCHAR)), 1, 15))::BIGINT
+                  < f.cutoff
+        """,
+        # DSIR (Xie et al. 2023): hashed unigram+bigram bag-of-words
+        # likelihood ratio, add-one smoothed. Per-bucket log-ratios are
+        # quantized to integer nano-units and summed in exact BIGINT
+        # arithmetic (double sums are order-dependent; a round-at-the-
+        # end guard split 1 doc per 5k at the 6-decimal grid), then one
+        # exact division by 1e9. DuckDB lists are 1-based;
+        # generate_series(1, 0) is empty, so single-token docs get no
+        # bigrams on either engine.
+        "dsir_weights": r"""
+            WITH tk AS (
+              SELECT doc_id, doc_id % 11 = 0 AS is_tgt,
+                     list_filter(
+                         regexp_split_to_array(trim(lower(coalesce(text, ''))),
+                                               '\s+'),
+                         t -> t <> '') AS toks
+              FROM documents
+            ), grams AS (
+              SELECT doc_id, is_tgt,
+                     unnest(toks || list_transform(
+                         generate_series(1, len(toks) - 1),
+                         i -> toks[i] || ' ' || toks[i + 1])) AS g
+              FROM tk
+            ), rows_ AS (
+              SELECT doc_id, is_tgt,
+                     ('0x' || substr(md5(g), 1, 15))::BIGINT % 1024 AS b
+              FROM grams
+            ), rc AS (
+              SELECT b, CAST(count(*) AS BIGINT) AS rcnt
+              FROM rows_ WHERE NOT is_tgt GROUP BY b
+            ), tc AS (
+              SELECT b, CAST(count(*) AS BIGINT) AS tcnt
+              FROM rows_ WHERE is_tgt GROUP BY b
+            ), tot AS (
+              SELECT (SELECT coalesce(sum(rcnt), 0) FROM rc) AS rtot,
+                     (SELECT coalesce(sum(tcnt), 0) FROM tc) AS ttot
+            ), ratio AS (
+              SELECT rc.b,
+                     CAST(round((ln((coalesce(tc.tcnt, 0) + 1)::DOUBLE
+                              / (tot.ttot::DOUBLE + 1024.0))
+                         - ln((rc.rcnt + 1)::DOUBLE
+                              / (tot.rtot::DOUBLE + 1024.0)))
+                         * 1000000000.0) AS BIGINT) AS s
+              FROM rc LEFT JOIN tc ON rc.b = tc.b, tot
+            ), scored AS (
+              SELECT r.doc_id,
+                     CAST(count(*) AS BIGINT) AS n_grams,
+                     CAST(sum(ratio.s) AS DOUBLE) / 1000000000.0 AS log_weight
+              FROM rows_ r JOIN ratio ON r.b = ratio.b
+              WHERE NOT r.is_tgt
+              GROUP BY r.doc_id
+            )
+            SELECT d.doc_id,
+                   coalesce(s.n_grams, 0)::BIGINT AS n_grams,
+                   coalesce(s.log_weight, 0.0) AS log_weight
+            FROM documents d LEFT JOIN scored s ON d.doc_id = s.doc_id
+            WHERE d.doc_id % 11 <> 0
         """,
         "pack_sequences": r"""
             WITH toks AS (

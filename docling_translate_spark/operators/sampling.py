@@ -21,6 +21,14 @@ re-run incrementally.
                           token count, sequence id = starting offset
                           div budget (the standard pretraining packing
                           layout). One range-sort shuffle per stratum.
+* ``dsir_weights`` /
+  ``dsir_select``       — DSIR importance resampling (Xie et al. 2023,
+                          NeurIPS — "Data Selection for Language Models
+                          via Importance Resampling"): hashed-n-gram
+                          bag-of-words likelihood ratio between a small
+                          target corpus and the raw corpus, summed per
+                          document; deterministic top-k in place of the
+                          paper's Gumbel resample.
 """
 
 from __future__ import annotations
@@ -235,3 +243,151 @@ def pack_sequences(
         .withColumn("seq_bin", bin_of("_start"))
         .drop("_bkt", "_base", "_start")
     )
+
+
+def _dsir_gram_buckets(
+    df: DataFrame, id_col: str, text_col: str, m_buckets: int
+) -> DataFrame:
+    """(doc, hashed-feature-bucket) rows for DSIR: unigrams + bigrams of
+    the lowercased whitespace tokenization, bucketed by the portable
+    60-bit md5 prefix mod ``m_buckets`` (the paper hashes n-grams into
+    10k buckets; the hash function is immaterial as long as both model
+    fits use the same one — md5 keeps it SQL-oracle-reproducible).
+
+    Narrow end to end (no shuffle): tokens materialize once per row via
+    ``withColumn`` so the bigram lambda does not re-evaluate the split
+    per element, then one explode."""
+    from docling_translate_spark.functions.hashing import md5_prefix60
+
+    txt = F.trim(F.lower(F.coalesce(F.col(text_col), F.lit(""))))
+    toks = F.filter(F.split(txt, r"\s+"), lambda t: t != "")
+    d = df.select(F.col(id_col).alias("_did"), toks.alias("_toks"))
+    bigrams = F.when(
+        F.size("_toks") >= 2,
+        F.expr(
+            "transform(sequence(1, size(_toks) - 1),"
+            " i -> concat(_toks[i - 1], ' ', _toks[i]))"
+        ),
+    ).otherwise(F.expr("array()").cast("array<string>"))
+    return d.select(
+        "_did", F.explode(F.concat(F.col("_toks"), bigrams)).alias("_g")
+    ).select(
+        "_did", F.pmod(md5_prefix60(F.col("_g")), F.lit(m_buckets)).alias("_b")
+    )
+
+
+def dsir_weights(
+    raw_df: DataFrame,
+    target_df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    m_buckets: int = 1024,
+) -> DataFrame:
+    """Per-document DSIR log importance weight: how much more likely the
+    document is under a hashed bag-of-n-grams model of the TARGET corpus
+    than under the same model of the RAW corpus (Xie et al. 2023). Docs
+    that look like the target (high ``log_weight``) are kept by
+    :func:`dsir_select`; this is the standard pretraining-data selection
+    step when a small high-quality exemplar corpus exists.
+
+    Per raw document i with bucket counts c_ib:
+    ``log_weight_i = Σ_b c_ib · (ln p_b − ln q_b)`` with add-one
+    smoothed bucket probabilities ``p_b = (tc_b+1)/(T+m)`` (target) and
+    ``q_b = (rc_b+1)/(R+m)`` (raw). Each per-bucket log-ratio is
+    quantized to integer NANO-units (``round(term·1e9) → BIGINT``), the
+    per-doc sum runs in exact integer arithmetic — double summation is
+    order-dependent and a round-at-the-end guard still splits when a
+    doc's sum lands within FP noise of a grid boundary (observed: 1 doc
+    per 5k) — and one final division by 1e9 is IEEE-exact on identical
+    integers, so Spark and any SQL oracle agree bit-for-bit. Output:
+    one row per raw doc — ``(id, n_grams BIGINT, log_weight DOUBLE)``;
+    empty docs get (0, 0.0).
+
+    Scale shape: the gram explode is narrow and deliberately NOT
+    persisted (corpus-sized; cheap to recompute — same trade as
+    ``unigram_logprob``); bucket counts are agg-shaped with map-side
+    combine (hot buckets collapse per task); the likelihood-ratio table
+    is ≤ ``m_buckets`` rows and broadcasts to the scoring join, so the
+    only full shuffle is the final per-doc aggregation. No driver
+    collect; no per-row Python.
+    """
+    raw_rows = _dsir_gram_buckets(raw_df, id_col, text_col, m_buckets)
+    tgt_rows = _dsir_gram_buckets(target_df, id_col, text_col, m_buckets)
+
+    # ≤ m_buckets rows each — persisted because each feeds TWO consumers
+    # (its total and the ratio join); unpersisted, Spark would re-run
+    # the corpus-wide explode+agg upstream once per consumer (the
+    # two-consumer trap). Like winnow_overlap_pairs' index cache, the
+    # persist lives until session clearCache().
+    rc = raw_rows.groupBy("_b").agg(F.count("*").alias("_rc")).persist()
+    tc = tgt_rows.groupBy("_b").agg(F.count("*").alias("_tc")).persist()
+    # totals derive from the tiny bucket tables, not a second corpus pass
+    r_tot = rc.groupBy().agg(F.coalesce(F.sum("_rc"), F.lit(0)).alias("_R"))
+    t_tot = tc.groupBy().agg(F.coalesce(F.sum("_tc"), F.lit(0)).alias("_T"))
+
+    m = float(m_buckets)
+    ratio = (
+        rc.join(tc, "_b", "left")
+        .crossJoin(F.broadcast(t_tot))
+        .crossJoin(F.broadcast(r_tot))
+        .select(
+            "_b",
+            F.round(
+                (
+                    F.log(
+                        (F.coalesce(F.col("_tc"), F.lit(0)) + 1).cast("double")
+                        / (F.col("_T").cast("double") + F.lit(m))
+                    )
+                    - F.log(
+                        (F.col("_rc") + 1).cast("double")
+                        / (F.col("_R").cast("double") + F.lit(m))
+                    )
+                )
+                * F.lit(1e9),
+                0,
+            )
+            .cast("long")
+            .alias("_s"),
+        )
+    )
+    # BIGINT sum is exact and order-independent; |s| ≤ ~40·1e9 and docs
+    # hold ≤ ~1e5 grams, so the sum stays far inside 2^53 and the final
+    # double division is exact-rounded identically on every engine
+    scored = (
+        raw_rows.join(F.broadcast(ratio), "_b")
+        .groupBy("_did")
+        .agg(
+            F.count("*").alias("n_grams"),
+            (F.sum("_s").cast("double") / F.lit(1e9)).alias("log_weight"),
+        )
+    )
+    return (
+        raw_df.select(F.col(id_col).alias("_did"))
+        .join(scored, "_did", "left")
+        .select(
+            F.col("_did").alias(id_col),
+            F.coalesce(F.col("n_grams"), F.lit(0).cast("long")).alias("n_grams"),
+            F.coalesce(F.col("log_weight"), F.lit(0.0)).alias("log_weight"),
+        )
+    )
+
+
+def dsir_select(
+    raw_df: DataFrame,
+    target_df: DataFrame,
+    k: int,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    m_buckets: int = 1024,
+) -> DataFrame:
+    """Keep the ``k`` raw documents whose DSIR weight says they look
+    most like the target corpus. Deterministic substitute for the
+    paper's Gumbel-top-k resample: rank by ``(log_weight DESC, id)`` —
+    reproducible at any cluster size, and the id tiebreak makes the
+    order total.
+
+    ``orderBy().limit(k)`` plans as TakeOrderedAndProject: each task
+    keeps its local top-k and only k rows ever reach the driver —
+    bounded at any corpus size."""
+    w = dsir_weights(raw_df, target_df, id_col, text_col, m_buckets)
+    return w.orderBy(F.col("log_weight").desc(), F.col(id_col)).limit(k)

@@ -283,3 +283,25 @@ def test_unigram_logprob_stays_jvm_side(spark):
     assert "partial_count" in plan, plan
     assert "BatchEvalPython" not in plan, plan
     assert "BroadcastExchange" in plan or "BroadcastNestedLoopJoin" in plan, plan
+
+
+def test_dsir_ratio_broadcasts_and_stays_jvm(spark):
+    """DSIR's likelihood-ratio table (≤ m_buckets rows) must reach the
+    scoring join as a broadcast — a shuffle join there would hash the
+    corpus-sized gram table on bucket (m distinct keys: guaranteed hot
+    partitions). The whole operator is column-expression-only: no
+    Python UDF (BatchEvalPython/ArrowEvalPython) and no Window."""
+    from docling_translate_spark.operators.sampling import dsir_weights
+
+    raw = spark.createDataFrame(
+        [(i, f"alpha beta gamma {i}") for i in range(40)],
+        "doc_id long, text string",
+    )
+    tgt = spark.createDataFrame(
+        [(100 + i, f"alpha beta {i}") for i in range(10)],
+        "doc_id long, text string",
+    )
+    plan = _plan(dsir_weights(raw, tgt))
+    assert "BroadcastHashJoin" in plan
+    assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
+    assert "Window" not in plan

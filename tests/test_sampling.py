@@ -182,3 +182,60 @@ def test_pack_sequences_string_id_falls_back(spark, docs):
         .collect()
     }
     assert got and got == base
+
+
+# --- DSIR importance resampling ---------------------------------------
+
+
+@pytest.fixture(scope="module")
+def dsir_corpora(spark):
+    """Raw corpus = mostly 'legal' template docs + a few 'science' docs;
+    target corpus = science only. DSIR must rank the science-looking raw
+    docs above the legal ones."""
+    sci = "the quantum model predicts particle spin states under entanglement"
+    law = "the party of the first part shall indemnify the aforementioned party"
+    raw = [(i, sci if i % 10 == 0 else law) for i in range(100)]
+    tgt = [(1000 + i, f"quantum spin entanglement model predicts states {i}") for i in range(20)]
+    rdf = spark.createDataFrame(raw, "doc_id long, text string")
+    tdf = spark.createDataFrame(tgt, "doc_id long, text string")
+    return rdf, tdf
+
+
+def test_dsir_ranks_targetlike_docs_higher(spark, dsir_corpora):
+    from docling_translate_spark.operators.sampling import dsir_weights
+
+    raw, tgt = dsir_corpora
+    rows = {r["doc_id"]: r for r in dsir_weights(raw, tgt).collect()}
+    assert len(rows) == 100
+    sci_w = [rows[i]["log_weight"] for i in range(0, 100, 10)]
+    law_w = [rows[i]["log_weight"] for i in range(100) if i % 10 != 0]
+    assert min(sci_w) > max(law_w)
+
+
+def test_dsir_select_topk_deterministic(spark, dsir_corpora):
+    from docling_translate_spark.operators.sampling import dsir_select
+
+    raw, tgt = dsir_corpora
+    # exactly the 10 science docs look like the target
+    picked = {r["doc_id"] for r in dsir_select(raw, tgt, 10).collect()}
+    assert picked == {i for i in range(0, 100, 10)}
+    # partition-independent (content-keyed hashing, exact integer sums)
+    again = {
+        r["doc_id"] for r in dsir_select(raw.repartition(13), tgt, 10).collect()
+    }
+    assert again == picked
+
+
+def test_dsir_empty_and_single_token_docs(spark):
+    from docling_translate_spark.operators.sampling import dsir_weights
+
+    raw = spark.createDataFrame(
+        [(1, ""), (2, None), (3, "solo"), (4, "two tokens")],
+        "doc_id long, text string",
+    )
+    tgt = spark.createDataFrame([(9, "two tokens here")], "doc_id long, text string")
+    rows = {r["doc_id"]: r for r in dsir_weights(raw, tgt).collect()}
+    assert rows[1]["n_grams"] == 0 and rows[1]["log_weight"] == 0.0
+    assert rows[2]["n_grams"] == 0 and rows[2]["log_weight"] == 0.0
+    assert rows[3]["n_grams"] == 1  # unigram only — no bigram from one token
+    assert rows[4]["n_grams"] == 3  # 2 unigrams + 1 bigram
