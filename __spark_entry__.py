@@ -521,6 +521,19 @@ def q_sample_battery(spark: SparkSession, sf_dir: str) -> DataFrame:
     return h.unionByName(s).unionByName(m)
 
 
+def q_dsir_select(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic DSIR top-k selection (TakeOrderedAndProject — each
+    task keeps a local top-k, only k rows reach the driver). Total
+    order: (log_weight DESC, doc_id); weights are BIGINT-exact so the
+    ranking is engine-reproducible."""
+    from docling_translate_spark.operators.sampling import dsir_select
+
+    d = _docs(spark, sf_dir)
+    raw = d.filter(F.col("doc_id") % 11 != 0)
+    tgt = d.filter(F.col("doc_id") % 11 == 0)
+    return dsir_select(raw, tgt, 50).select("doc_id", "n_grams", "log_weight")
+
+
 def q_dsir_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
     """DSIR importance weights (Xie et al. 2023, NeurIPS): hashed
     unigram+bigram likelihood ratio of a target corpus vs the raw
@@ -1138,6 +1151,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ann_topk_small": q_ann_topk_small,
         "s8_embed_media": q_s8_embed_media,
         "rolling_fingerprint": q_rolling_fingerprint,
+        "dsir_select": q_dsir_select,
     }
 
 
@@ -1640,7 +1654,7 @@ w AS MATERIALIZED (
         "' +', ' ', 'g')))"
     )
 
-    return {
+    sql = {
         "extract_turns": f"""
             SELECT source AS conv_id,
                    CAST(doc_id AS INTEGER) AS turn_idx,
@@ -2756,3 +2770,12 @@ w AS MATERIALIZED (
         # rows-only (non-SQL-expressible): ann_ivf — iterative k-means
         # training. Everything else in queries() has an oracle above.
     }
+    # dsir_select = top-50 of dsir_weights under the total order
+    # (log_weight DESC, doc_id) — weights are BIGINT-exact, so the
+    # ranking cut is engine-reproducible; reuse the weights oracle
+    sql["dsir_select"] = (
+        "SELECT doc_id, n_grams, log_weight FROM ("
+        + sql["dsir_weights"]
+        + ") ORDER BY log_weight DESC, doc_id LIMIT 50"
+    )
+    return sql

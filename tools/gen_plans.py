@@ -62,6 +62,17 @@ def main() -> None:
     unigram = plan(unigram_logprob(docs))
     html = plan(extract_main_content(docs))
 
+    from pyspark.sql import functions as F
+
+    from docling_translate_spark.operators.sampling import dsir_weights
+
+    dsir = plan(
+        dsir_weights(
+            docs.filter(F.col("doc_id") % 11 != 0),
+            docs.filter(F.col("doc_id") % 11 == 0),
+        )
+    )
+
     from docling_translate_spark.pipeline import CurationConfig, curate_turns
 
     blocklist = spark.createDataFrame([("blocked.example",)], ["domain"])
@@ -195,6 +206,21 @@ Python, parallelism = scan partitions.
 
 ```
 {html}
+```
+
+## DSIR importance resampling (`dsir_weights`)
+
+Gram explode is narrow (array built per row, one `Generate`); bucket
+count tables (≤ m_buckets rows) are persisted `InMemoryRelation`s so
+their two consumers (totals, ratio) never re-run the corpus pass; the
+likelihood-ratio table reaches the corpus-sized scoring rows as a
+`BroadcastHashJoin` — a shuffle join there would hash every gram row
+onto m distinct keys (guaranteed hot partitions). Per-doc sums are
+BIGINT-exact (nano-unit quantization), so results are reproducible at
+any parallelism. No Python, no Window.
+
+```
+{dsir}
 ```
 
 Notes:
