@@ -548,6 +548,16 @@ def q_dsir_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
     return dsir_weights(raw, tgt).select("doc_id", "n_grams", "log_weight")
 
 
+def q_bm25_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """BM25 top-k retrieval (Robertson & Zaragoza 2009, Lucene idf
+    variant) for a fixed probe query over `documents` — zero-shuffle
+    row-local term frequencies, one broadcast stats row, TakeOrdered.
+    Scores are micro-unit BIGINT-exact (dsir_weights discipline)."""
+    from docling_translate_spark.operators.retrieval import bm25_topk
+
+    return bm25_topk(_docs(spark, sf_dir), "spark window hash stream", 100)
+
+
 def q_pack_sequences(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Concat-and-chunk sequence packing: seq_bin = starting token
     offset div budget, per source in stable id order."""
@@ -1129,7 +1139,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # rolling_fingerprint ← fingerprint/winnow_fingerprints,
         # s8_embed_media ← media_features + the battery's b64 column).
         # sample_battery consolidates hash/quota/mixture sampling in one
-        # slot, freeing room for dsir_weights + winnow_fingerprints.
+        # slot, freeing room for dsir_weights; winnow_fingerprints rides
+        # at the tail (its SURVEY row's winnow_pairs is recorded above)
+        # so the NEW bm25_topk sits inside the cap.
         "w_window_agg": q_w_window_agg,
         "embed_near_dup": q_embed_near_dup,
         "s10_history_parse": q_s10_history_parse,
@@ -1144,15 +1156,75 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "s28_table_spans": q_s28_table_spans,
         "pii_redact": q_pii_redact,
         "decontaminate": q_decontaminate,
-        "winnow_fingerprints": q_winnow_fingerprints,
+        "bm25_topk": q_bm25_topk,
         "scalar_battery": q_scalar_battery,
         # --- entries 51+: recorded by `make oracle`, not the driver ---
         "a1_distinct_dedup": q_a1_distinct_dedup,
         "ann_topk_small": q_ann_topk_small,
         "s8_embed_media": q_s8_embed_media,
         "rolling_fingerprint": q_rolling_fingerprint,
+        "winnow_fingerprints": q_winnow_fingerprints,
         "dsir_select": q_dsir_select,
     }
+
+
+def _bm25_oracle() -> str:
+    """DuckDB twin of ``q_bm25_topk``: identical tokenization (the
+    gate-proven ``\\s+`` split), the identical left-associative FP
+    expression tree per term, and micro-unit BIGINT term quantization
+    so the per-doc sum is order-free (see operators/retrieval.py for
+    the cross-engine argument). Constants are embedded via Python repr
+    so both engines parse the exact same doubles (k1+1 computed once
+    here, not re-derived in SQL)."""
+    terms = sorted("spark window hash stream".split())
+    k1v, bv = 1.2, 0.75
+    tf_cols = ",\n                     ".join(
+        f"len(list_filter(toks, t -> t = '{t}'))::BIGINT AS tf{i}"
+        for i, t in enumerate(terms)
+    )
+    df_cols = ",\n                     ".join(
+        f"sum(CASE WHEN tf{i} > 0 THEN 1 ELSE 0 END)::BIGINT AS df{i}"
+        for i in range(len(terms))
+    )
+    matched = " + ".join(
+        f"CASE WHEN b.tf{i} > 0 THEN 1 ELSE 0 END"
+        for i in range(len(terms))
+    )
+    micro = "\n                 + ".join(
+        f"CASE WHEN b.tf{i} > 0 AND s.sdl > 0 THEN CAST(round("
+        f"ln(1.0 + (s.n::DOUBLE - s.df{i}::DOUBLE + 0.5)"
+        f" / (s.df{i}::DOUBLE + 0.5))"
+        f" * ((b.tf{i}::DOUBLE * {k1v + 1.0!r})"
+        f" / (b.tf{i}::DOUBLE + {k1v!r} * ({1.0 - bv!r} + {bv!r}"
+        f" * (b.dl::DOUBLE / (s.sdl::DOUBLE / s.n::DOUBLE)))))"
+        f" * 1000000.0) AS BIGINT) ELSE 0 END"
+        for i in range(len(terms))
+    )
+    return rf"""
+        WITH tk AS (
+          SELECT doc_id,
+                 list_filter(
+                     regexp_split_to_array(trim(lower(coalesce(text, ''))),
+                                           '\s+'),
+                     t -> t <> '') AS toks
+          FROM documents
+        ), base AS (
+          SELECT doc_id, len(toks)::BIGINT AS dl,
+                     {tf_cols}
+          FROM tk
+        ), stats AS (
+          SELECT count(*)::BIGINT AS n,
+                 coalesce(sum(dl), 0)::BIGINT AS sdl,
+                     {df_cols}
+          FROM base
+        )
+        SELECT b.doc_id,
+               ({matched})::BIGINT AS matched,
+               CAST({micro} AS DOUBLE) / 1000000.0 AS score
+        FROM base b, stats s
+        ORDER BY score DESC, b.doc_id
+        LIMIT 100
+    """
 
 
 def _html_main_oracle() -> str:
@@ -2492,10 +2564,12 @@ w AS MATERIALIZED (
         """,
         # DSIR (Xie et al. 2023): hashed unigram+bigram bag-of-words
         # likelihood ratio, add-one smoothed. Per-bucket log-ratios are
-        # quantized to integer nano-units and summed in exact BIGINT
+        # quantized to integer micro-units and summed in exact BIGINT
         # arithmetic (double sums are order-dependent; a round-at-the-
         # end guard split 1 doc per 5k at the 6-decimal grid), then one
-        # exact division by 1e9. DuckDB lists are 1-based;
+        # exact division by 1e6. Micro (not nano) units keep the libm
+        # ln's 1-ulp wobble ~1e-8 grid units from any x.5 rounding
+        # boundary. DuckDB lists are 1-based;
         # generate_series(1, 0) is empty, so single-token docs get no
         # bigrams on either engine.
         "dsir_weights": r"""
@@ -2531,12 +2605,12 @@ w AS MATERIALIZED (
                               / (tot.ttot::DOUBLE + 1024.0))
                          - ln((rc.rcnt + 1)::DOUBLE
                               / (tot.rtot::DOUBLE + 1024.0)))
-                         * 1000000000.0) AS BIGINT) AS s
+                         * 1000000.0) AS BIGINT) AS s
               FROM rc LEFT JOIN tc ON rc.b = tc.b, tot
             ), scored AS (
               SELECT r.doc_id,
                      CAST(count(*) AS BIGINT) AS n_grams,
-                     CAST(sum(ratio.s) AS DOUBLE) / 1000000000.0 AS log_weight
+                     CAST(sum(ratio.s) AS DOUBLE) / 1000000.0 AS log_weight
               FROM rows_ r JOIN ratio ON r.b = ratio.b
               WHERE NOT r.is_tgt
               GROUP BY r.doc_id
@@ -2778,4 +2852,5 @@ w AS MATERIALIZED (
         + sql["dsir_weights"]
         + ") ORDER BY log_weight DESC, doc_id LIMIT 50"
     )
+    sql["bm25_topk"] = _bm25_oracle()
     return sql

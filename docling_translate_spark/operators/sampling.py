@@ -294,14 +294,21 @@ def dsir_weights(
     ``log_weight_i = Σ_b c_ib · (ln p_b − ln q_b)`` with add-one
     smoothed bucket probabilities ``p_b = (tc_b+1)/(T+m)`` (target) and
     ``q_b = (rc_b+1)/(R+m)`` (raw). Each per-bucket log-ratio is
-    quantized to integer NANO-units (``round(term·1e9) → BIGINT``), the
+    quantized to integer MICRO-units (``round(term·1e6) → BIGINT``), the
     per-doc sum runs in exact integer arithmetic — double summation is
     order-dependent and a round-at-the-end guard still splits when a
     doc's sum lands within FP noise of a grid boundary (observed: 1 doc
-    per 5k) — and one final division by 1e9 is IEEE-exact on identical
-    integers, so Spark and any SQL oracle agree bit-for-bit. Output:
-    one row per raw doc — ``(id, n_grams BIGINT, log_weight DOUBLE)``;
-    empty docs get (0, 0.0).
+    per 5k) — and one final division by 1e6 is a single correctly-
+    rounded IEEE op on identical integers, so Spark and a SQL oracle
+    agree whenever the quantized buckets agree. Residual cross-engine
+    risk: ``ln`` is not guaranteed correctly rounded in either libm, so
+    a bucket whose scaled term lands within ~1 ulp (≈1e-8 grid units at
+    the micro grid — the reason this is 1e6 and not 1e9, which sat
+    ~1000× closer to the boundary) of an x.5 boundary could quantize
+    differently; per-bucket, not per-doc, and never observed at any
+    tested scale. Output: one row per raw doc —
+    ``(id, n_grams BIGINT, log_weight DOUBLE)``; empty docs get
+    (0, 0.0).
 
     Scale shape: the gram explode is narrow and deliberately NOT
     persisted (corpus-sized; cheap to recompute — same trade as
@@ -326,8 +333,11 @@ def dsir_weights(
     t_tot = tc.groupBy().agg(F.coalesce(F.sum("_tc"), F.lit(0)).alias("_T"))
 
     m = float(m_buckets)
+    # tc is ≤ m_buckets rows but hides behind an aggregate (unknown
+    # stats to the planner) — without the hint this tiny build side
+    # plans as a sort-merge join, i.e. two pointless shuffles
     ratio = (
-        rc.join(tc, "_b", "left")
+        rc.join(F.broadcast(tc), "_b", "left")
         .crossJoin(F.broadcast(t_tot))
         .crossJoin(F.broadcast(r_tot))
         .select(
@@ -343,14 +353,14 @@ def dsir_weights(
                         / (F.col("_R").cast("double") + F.lit(m))
                     )
                 )
-                * F.lit(1e9),
+                * F.lit(1e6),
                 0,
             )
             .cast("long")
             .alias("_s"),
         )
     )
-    # BIGINT sum is exact and order-independent; |s| ≤ ~40·1e9 and docs
+    # BIGINT sum is exact and order-independent; |s| ≤ ~40·1e6 and docs
     # hold ≤ ~1e5 grams, so the sum stays far inside 2^53 and the final
     # double division is exact-rounded identically on every engine
     scored = (
@@ -358,7 +368,7 @@ def dsir_weights(
         .groupBy("_did")
         .agg(
             F.count("*").alias("n_grams"),
-            (F.sum("_s").cast("double") / F.lit(1e9)).alias("log_weight"),
+            (F.sum("_s").cast("double") / F.lit(1e6)).alias("log_weight"),
         )
     )
     return (

@@ -276,9 +276,11 @@ def winnowing_fingerprints(
     # — the direct polynomial equals the Rabin-Karp recurrence exactly.
     # Each product is < 2^21 · 2^40 (codepoint × reduced power), each
     # masked term < 2^40, and the k-term sum stays far under int64, so
-    # the whole window hash is three C-speed array ops instead of the
+    # the window hash is k shifted C-speed O(n) passes instead of the
     # per-character Python loop this replaced (bit-identical output —
-    # 300-trial fuzz vs the loop, incl. astral codepoints).
+    # fuzzed vs the loop, incl. astral codepoints). k separate passes,
+    # NOT an n×k windowed product: that temporary is O(n·k) memory and
+    # a single multi-MB document in a batch would balloon it.
     pows = np.array(
         [pow(base, k - 1 - i, mod) for i in range(k)], dtype=np.int64
     )
@@ -296,8 +298,10 @@ def winnowing_fingerprints(
                 n = len(cps) - k + 1
                 if n <= 0:
                     continue
-                win = np.lib.stride_tricks.sliding_window_view(cps, k)
-                h = (((win * pows) & mask).sum(axis=1)) & mask
+                h = np.zeros(n, dtype=np.int64)
+                for j in range(k):
+                    h += (cps[j : j + n] * pows[j]) & mask
+                h &= mask
                 # winnowing: rightmost minimum of each window, dedup on
                 # consecutive repeats (the canonical selection rule)
                 if n <= window:

@@ -3,6 +3,7 @@ shuffle counts — the plan properties the 100 TB design depends on."""
 
 import contextlib
 import io
+import re
 import tempfile
 
 import pytest
@@ -285,6 +286,31 @@ def test_unigram_logprob_stays_jvm_side(spark):
     assert "BroadcastExchange" in plan or "BroadcastNestedLoopJoin" in plan, plan
 
 
+def test_bm25_zero_shuffle_scoring(spark):
+    """BM25's short-query path: term frequencies are row-local array
+    reductions (no explode), corpus stats reduce to ONE broadcast row,
+    and the cut is a TakeOrdered — the only exchange in the whole plan
+    is the single-row stats aggregation. No shuffle joins, no Python,
+    no Window, no Generate (explode)."""
+    from docling_translate_spark.operators.retrieval import bm25_topk
+
+    df = spark.createDataFrame(
+        [(i, f"spark window alpha {i}") for i in range(30)],
+        "doc_id long, text string",
+    )
+    plan = _plan(bm25_topk(df, "spark window", 5))
+    assert "TakeOrderedAndProject" in plan
+    assert "BroadcastNestedLoopJoin" in plan or "BroadcastHashJoin" in plan
+    assert "SortMergeJoin" not in plan and "ShuffledHashJoin" not in plan
+    assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
+    assert "Window" not in plan
+    assert "Generate" not in plan  # no explode: tf is row-local
+    # the only allowed exchange is the single-row stats aggregation
+    # (Exchange SinglePartition); corpus rows are never repartitioned
+    assert "hashpartitioning" not in plan, plan
+    assert "rangepartitioning" not in plan, plan
+
+
 def test_dsir_ratio_broadcasts_and_stays_jvm(spark):
     """DSIR's likelihood-ratio table (≤ m_buckets rows) must reach the
     scoring join as a broadcast — a shuffle join there would hash the
@@ -303,5 +329,15 @@ def test_dsir_ratio_broadcasts_and_stays_jvm(spark):
     )
     plan = _plan(dsir_weights(raw, tgt))
     assert "BroadcastHashJoin" in plan
+    # "some broadcast join exists" is not enough: a tiny side-join can
+    # auto-broadcast even if the ratio→gram scoring join regresses to a
+    # shuffle. Ban shuffle joins keyed on the bucket column `_b`
+    # specifically (the final corpus-sized id-reattach join on `_did`
+    # is legitimately sort-merge). Formatted mode gives one detail
+    # block per node: "(n) SortMergeJoin\nLeft keys [...]...".
+    for block in re.split(r"\n\(\d+\) ", plan):
+        head = block.split("\n", 1)[0]
+        if "SortMergeJoin" in head or "ShuffledHashJoin" in head:
+            assert "_b" not in block, block
     assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
     assert "Window" not in plan
