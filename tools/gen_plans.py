@@ -73,6 +73,10 @@ def main() -> None:
         )
     )
 
+    from docling_translate_spark.operators.retrieval import bm25_topk
+
+    bm25 = plan(bm25_topk(docs, "spark window hash stream", 100))
+
     from docling_translate_spark.pipeline import CurationConfig, curate_turns
 
     blocklist = spark.createDataFrame([("blocked.example",)], ["domain"])
@@ -216,11 +220,26 @@ their two consumers (totals, ratio) never re-run the corpus pass; the
 likelihood-ratio table reaches the corpus-sized scoring rows as a
 `BroadcastHashJoin` — a shuffle join there would hash every gram row
 onto m distinct keys (guaranteed hot partitions). Per-doc sums are
-BIGINT-exact (nano-unit quantization), so results are reproducible at
+BIGINT-exact (micro-unit quantization), so results are reproducible at
 any parallelism. No Python, no Window.
 
 ```
 {dsir}
+```
+
+## BM25 top-k retrieval (`bm25_topk`)
+
+Short-query fast path: per-term frequencies are row-local array
+reductions inside one projection (no `Generate`, no per-token
+shuffle); the corpus statistics row (N, Σdl, per-term df) is the only
+exchange (`Exchange SinglePartition` under a partial aggregate) and
+re-attaches as a broadcast; the cut is `TakeOrderedAndProject` — each
+task keeps k rows. Corpus rows are never hash/range-repartitioned
+(`tests/test_plans.py` pins it). Scores are micro-unit BIGINT-exact,
+so the (score DESC, id) cut is reproducible at any parallelism.
+
+```
+{bm25}
 ```
 
 Notes:
