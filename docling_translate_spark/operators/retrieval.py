@@ -8,17 +8,24 @@ reference has no search surface at all). Useful in a curation pipeline
 for exemplar mining: pull the corpus documents most similar to a
 hand-written probe query before seeding DSIR's target set.
 
-Scale shape (the short-query fast path, len(terms) ≤ ~32): per-term
-term frequencies are row-local array reductions over the tokenized
-text — NO explode, NO per-token shuffle. Corpus statistics (N, Σdl,
-per-term document frequencies) reduce to ONE row via partial
-aggregation and re-attach as a broadcast nested-loop join of that
-single row, so the whole scoring plan is scan → project → tiny agg
-broadcast → TakeOrdered: zero wide shuffles of corpus rows. For
-hundred-term queries you would flip to the explode + filter-to-terms +
-groupBy((doc, term)) shape instead; at 1-32 terms the row-local battery
-is strictly cheaper (the per-row work is size(filter(toks, ·)) per
-term, all codegen).
+Scale shape — two paths sharing one scoring expression (bit-identical
+results, pinned by test_retrieval.py):
+
+* short queries (len(terms) ≤ 32, the default dispatch): per-term term
+  frequencies are row-local array reductions over the tokenized text —
+  NO explode, NO per-token shuffle. Corpus statistics (N, Σdl, per-term
+  document frequencies) reduce to ONE row via partial aggregation and
+  re-attach as a broadcast nested-loop join of that single row, so the
+  whole scoring plan is scan → project → tiny agg broadcast →
+  TakeOrdered: zero wide shuffles of corpus rows.
+* long queries (explode path, auto above 32 terms): tokens explode,
+  filter to the query vocabulary BEFORE the exchange (only query-term
+  hits shuffle — a vanishing fraction of the token stream), then
+  groupBy((doc, term)) with map-side combine; per-term df is a tiny agg
+  over the tf rows, broadcast back; doc length rides the tf rows (no
+  second corpus join); zero-score docs reattach via a slim (id)-keyed
+  left join. Per-row work is one array scan regardless of query size,
+  vs one scan per term on the row-local path.
 
 Cross-engine FP stability (same discipline as ``dsir_weights``): each
 per-(doc, term) partial score is quantized to integer MICRO-units
@@ -54,6 +61,27 @@ def _tf_of(term: str):
     return lambda t: t == F.lit(term)
 
 
+def _micro_term(tf_int, dl_int, df_int, n_int, sdl_int, k1: float, b: float):
+    """Quantized per-(doc, term) BM25 partial score — ONE expression
+    tree shared by both physical paths so their outputs are
+    bit-identical, and mirrored verbatim in the DuckDB oracle."""
+    n = n_int.cast("double")
+    # avgdl > 0 guard: an all-empty corpus keeps every tfnorm at 0
+    avgdl = F.when(sdl_int > 0, sdl_int.cast("double") / n)
+    tf = tf_int.cast("double")
+    dfreq = df_int.cast("double")
+    idf = F.log(F.lit(1.0) + (n - dfreq + F.lit(0.5)) / (dfreq + F.lit(0.5)))
+    tfnorm = (tf * F.lit(k1 + 1.0)) / (
+        tf
+        + F.lit(k1)
+        * (F.lit(1.0 - b) + F.lit(b) * (dl_int.cast("double") / avgdl))
+    )
+    return F.when(
+        (tf_int > 0) & avgdl.isNotNull(),
+        F.round(idf * tfnorm * F.lit(1e6), 0).cast("long"),
+    ).otherwise(F.lit(0).cast("long"))
+
+
 def bm25_topk(
     df: DataFrame,
     query: str,
@@ -62,6 +90,7 @@ def bm25_topk(
     text_col: str = "text",
     k1: float = 1.2,
     b: float = 0.75,
+    exploded: bool | None = None,
 ) -> DataFrame:
     """Top-``k`` documents for ``query`` under BM25, deterministic total
     order (score DESC, id ASC — ties at the cut are engine-stable
@@ -71,16 +100,34 @@ def bm25_topk(
     number of distinct query terms present in the doc. Documents
     matching no term score 0.0 and rank by id; an empty corpus or an
     all-empty corpus yields all-zero scores (no division by zero).
+
+    ``exploded=None`` auto-dispatches: the zero-shuffle row-local path
+    up to ``MAX_FAST_TERMS`` query terms, the explode + groupBy path
+    beyond. Both produce bit-identical output (shared scoring
+    expression, pinned by pytest).
     """
     terms = sorted({t for t in query.lower().split() if t})
     if not terms:
         raise ValueError("bm25_topk needs at least one query term")
-    if len(terms) > MAX_FAST_TERMS:
-        raise ValueError(
-            f"row-local BM25 path caps at {MAX_FAST_TERMS} terms; "
-            "use an explode+groupBy plan for long queries"
-        )
+    if exploded is None:
+        exploded = len(terms) > MAX_FAST_TERMS
+    if exploded:
+        scored = _bm25_scores_exploded(df, terms, id_col, text_col, k1, b)
+    else:
+        scored = _bm25_scores_local(df, terms, id_col, text_col, k1, b)
+    return scored.orderBy(F.col("score").desc(), F.col(id_col)).limit(k)
 
+
+def _bm25_scores_local(
+    df: DataFrame,
+    terms: list[str],
+    id_col: str,
+    text_col: str,
+    k1: float,
+    b: float,
+) -> DataFrame:
+    """Row-local path: one tf column per term, one broadcast stats row,
+    zero wide shuffles of corpus rows."""
     # tokens materialize in their own projection: 1 + len(terms)
     # consumers follow, and Catalyst keeps a multiply-referenced
     # non-cheap alias in its own project instead of re-inlining the
@@ -109,36 +156,85 @@ def bm25_topk(
     )
     scored = base.crossJoin(F.broadcast(stats))
 
-    n = F.col("_N").cast("double")
-    # avgdl > 0 guard: an all-empty corpus keeps every tfnorm at 0
-    avgdl = F.when(F.col("_sdl") > 0, F.col("_sdl").cast("double") / n)
-    micro_terms = []
-    for i in range(len(terms)):
-        tf = F.col(f"_tf{i}").cast("double")
-        dfreq = F.col(f"_df{i}").cast("double")
-        idf = F.log(
-            F.lit(1.0) + (n - dfreq + F.lit(0.5)) / (dfreq + F.lit(0.5))
+    micro_terms = [
+        _micro_term(
+            F.col(f"_tf{i}"),
+            F.col("_dl"),
+            F.col(f"_df{i}"),
+            F.col("_N"),
+            F.col("_sdl"),
+            k1,
+            b,
         )
-        tfnorm = (tf * F.lit(k1 + 1.0)) / (
-            tf
-            + F.lit(k1)
-            * (F.lit(1.0 - b) + F.lit(b) * (F.col("_dl").cast("double") / avgdl))
-        )
-        micro_terms.append(
-            F.when(
-                (F.col(f"_tf{i}") > 0) & avgdl.isNotNull(),
-                F.round(idf * tfnorm * F.lit(1e6), 0).cast("long"),
-            ).otherwise(F.lit(0).cast("long"))
-        )
-
+        for i in range(len(terms))
+    ]
     matched = reduce(
         lambda a, c: a + c,
         [(F.col(f"_tf{i}") > 0).cast("long") for i in range(len(terms))],
     )
     score_micro = reduce(lambda a, c: a + c, micro_terms)
-    out = scored.select(
+    return scored.select(
         F.col("_id").alias(id_col),
         matched.alias("matched"),
         (score_micro.cast("double") / F.lit(1e6)).alias("score"),
     )
-    return out.orderBy(F.col("score").desc(), F.col(id_col)).limit(k)
+
+
+def _bm25_scores_exploded(
+    df: DataFrame,
+    terms: list[str],
+    id_col: str,
+    text_col: str,
+    k1: float,
+    b: float,
+) -> DataFrame:
+    """Explode path for long queries: only query-term hits reach the
+    exchange (the isin filter sits under the explode's projection), tf
+    aggregates with map-side combine, doc length rides the tf rows so
+    there is no second corpus-wide join, and zero-score docs reattach
+    through a slim (id, dl) relation."""
+    tok = df.select(
+        F.col(id_col).alias("_id"), _tokenize(text_col).alias("_toks")
+    )
+    base = tok.select("_id", F.size("_toks").alias("_dl"), "_toks")
+    dls = base.select("_id", "_dl")
+
+    hits = (
+        base.select("_id", "_dl", F.explode("_toks").alias("_t"))
+        .filter(F.col("_t").isin(terms))
+    )
+    # _dl is functionally dependent on _id; keeping it a group key
+    # carries it through the one exchange instead of re-joining corpus
+    tf = hits.groupBy("_id", "_dl", "_t").agg(F.count("*").alias("_tf"))
+    dfreq = tf.groupBy("_t").agg(F.count("*").alias("_df"))  # ≤ |terms|
+    glob = base.agg(
+        F.count("*").alias("_N"),
+        F.coalesce(F.sum("_dl"), F.lit(0)).alias("_sdl"),
+    )
+
+    per_doc = (
+        tf.join(F.broadcast(dfreq), "_t")
+        .crossJoin(F.broadcast(glob))
+        .select(
+            "_id",
+            _micro_term(
+                F.col("_tf"),
+                F.col("_dl"),
+                F.col("_df"),
+                F.col("_N"),
+                F.col("_sdl"),
+                k1,
+                b,
+            ).alias("_s"),
+        )
+        .groupBy("_id")
+        .agg(F.count("*").alias("_m"), F.sum("_s").alias("_micro"))
+    )
+    return dls.join(per_doc, "_id", "left").select(
+        F.col("_id").alias(id_col),
+        F.coalesce(F.col("_m"), F.lit(0).cast("long")).alias("matched"),
+        (
+            F.coalesce(F.col("_micro"), F.lit(0).cast("long")).cast("double")
+            / F.lit(1e6)
+        ).alias("score"),
+    )

@@ -311,6 +311,25 @@ def test_bm25_zero_shuffle_scoring(spark):
     assert "rangepartitioning" not in plan, plan
 
 
+def test_bm25_exploded_filters_before_exchange(spark):
+    """Long-query BM25: the vocabulary filter must sit BELOW the tf
+    exchange so only query-term hits shuffle (the token stream never
+    does), and the whole path stays JVM-side."""
+    from docling_translate_spark.operators.retrieval import bm25_topk
+
+    df = spark.createDataFrame(
+        [(i, f"spark window alpha {i}") for i in range(30)],
+        "doc_id long, text string",
+    )
+    plan = _plan(bm25_topk(df, "spark window", 5, exploded=True))
+    assert "Generate" in plan  # the explode
+    assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
+    assert "Window" not in plan
+    # Generate → Filter(_t IN ...) → partial agg → Exchange: the filter
+    # and the map-side combine both appear under the exchange
+    assert "partial_count" in plan, plan
+
+
 def test_dsir_ratio_broadcasts_and_stays_jvm(spark):
     """DSIR's likelihood-ratio table (≤ m_buckets rows) must reach the
     scoring join as a broadcast — a shuffle join there would hash the

@@ -108,5 +108,34 @@ def test_bm25_case_and_duplicate_query_terms(spark):
 def test_bm25_input_validation(spark):
     with pytest.raises(ValueError):
         bm25_topk(_df(spark), "   ", 5)
-    with pytest.raises(ValueError):
-        bm25_topk(_df(spark), " ".join(f"t{i}" for i in range(40)), 5)
+
+
+def test_bm25_exploded_path_bit_identical(spark):
+    q = "spark window hash stream quick"
+    fast = bm25_topk(_df(spark), q, 8, exploded=False).collect()
+    slow = bm25_topk(_df(spark), q, 8, exploded=True).collect()
+    assert [(r.doc_id, r.matched, r.score) for r in fast] == [
+        (r.doc_id, r.matched, r.score) for r in slow
+    ]
+    # both equal the from-spec reference too
+    assert [(r.doc_id, r.matched, r.score) for r in slow] == _ref_bm25(
+        ROWS, q, 8
+    )
+
+
+def test_bm25_long_query_auto_dispatches_exploded(spark):
+    # 33 distinct terms (> MAX_FAST_TERMS) — four real, the rest absent
+    q = "spark window hash stream " + " ".join(f"zz{i}" for i in range(29))
+    got = bm25_topk(_df(spark), q, 8).collect()
+    assert [(r.doc_id, r.matched, r.score) for r in got] == _ref_bm25(
+        ROWS, q, 8
+    )
+
+
+def test_bm25_exploded_all_empty_corpus(spark):
+    rows = [(1, ""), (2, None)]
+    got = bm25_topk(_df(spark, rows), "spark", 2, exploded=True).collect()
+    assert [(r.doc_id, r.matched, r.score) for r in got] == [
+        (1, 0, 0.0),
+        (2, 0, 0.0),
+    ]
