@@ -548,6 +548,13 @@ def q_dsir_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
     return dsir_weights(raw, tgt).select("doc_id", "n_grams", "log_weight")
 
 
+# BM25 probe + parameters shared by q_bm25_topk and _bm25_oracle: one
+# definition, or the gate silently compares two different queries
+_BM25_PROBE = "spark window hash stream"
+_BM25_K1, _BM25_B = 1.2, 0.75
+_BM25_K = 100
+
+
 def q_bm25_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     """BM25 top-k retrieval (Robertson & Zaragoza 2009, Lucene idf
     variant) for a fixed probe query over `documents` — zero-shuffle
@@ -555,7 +562,9 @@ def q_bm25_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     Scores are micro-unit BIGINT-exact (dsir_weights discipline)."""
     from docling_translate_spark.operators.retrieval import bm25_topk
 
-    return bm25_topk(_docs(spark, sf_dir), "spark window hash stream", 100)
+    return bm25_topk(
+        _docs(spark, sf_dir), _BM25_PROBE, _BM25_K, k1=_BM25_K1, b=_BM25_B
+    )
 
 
 def q_pack_sequences(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -1124,7 +1133,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "unigram_logprob": q_unigram_logprob,
         "html_main_content": q_html_main_content,
         "token_counts": q_token_counts,
-        "fingerprint": q_fingerprint,
+        # fingerprint (r3-green, driver-recorded) rides at the tail this
+        # round: its fingerprinting row keeps TWO recorded winnowing
+        # queries below, and the cap rule sends never-yet-recorded
+        # queries (winnow_fingerprints, bm25_topk) inside first
+        "winnow_fingerprints": q_winnow_fingerprints,
         "winnow_pairs": q_winnow_pairs,
         "repetition": q_repetition,
         "sample_battery": q_sample_battery,
@@ -1139,9 +1152,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # rolling_fingerprint ← fingerprint/winnow_fingerprints,
         # s8_embed_media ← media_features + the battery's b64 column).
         # sample_battery consolidates hash/quota/mixture sampling in one
-        # slot, freeing room for dsir_weights; winnow_fingerprints rides
-        # at the tail (its SURVEY row's winnow_pairs is recorded above)
-        # so the NEW bm25_topk sits inside the cap.
+        # slot, freeing room for dsir_weights; the r3-green `fingerprint`
+        # rides at the tail so the never-yet-recorded winnow_fingerprints
+        # and bm25_topk both sit inside the cap.
         "w_window_agg": q_w_window_agg,
         "embed_near_dup": q_embed_near_dup,
         "s10_history_parse": q_s10_history_parse,
@@ -1163,7 +1176,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ann_topk_small": q_ann_topk_small,
         "s8_embed_media": q_s8_embed_media,
         "rolling_fingerprint": q_rolling_fingerprint,
-        "winnow_fingerprints": q_winnow_fingerprints,
+        "fingerprint": q_fingerprint,
         "dsir_select": q_dsir_select,
     }
 
@@ -1176,8 +1189,8 @@ def _bm25_oracle() -> str:
     the cross-engine argument). Constants are embedded via Python repr
     so both engines parse the exact same doubles (k1+1 computed once
     here, not re-derived in SQL)."""
-    terms = sorted("spark window hash stream".split())
-    k1v, bv = 1.2, 0.75
+    terms = sorted(set(_BM25_PROBE.lower().split()))
+    k1v, bv = _BM25_K1, _BM25_B
     tf_cols = ",\n                     ".join(
         f"len(list_filter(toks, t -> t = '{t}'))::BIGINT AS tf{i}"
         for i, t in enumerate(terms)
@@ -1223,7 +1236,7 @@ def _bm25_oracle() -> str:
                CAST({micro} AS DOUBLE) / 1000000.0 AS score
         FROM base b, stats s
         ORDER BY score DESC, b.doc_id
-        LIMIT 100
+        LIMIT {_BM25_K}
     """
 
 

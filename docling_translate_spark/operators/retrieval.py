@@ -101,10 +101,16 @@ def bm25_topk(
     matching no term score 0.0 and rank by id; an empty corpus or an
     all-empty corpus yields all-zero scores (no division by zero).
 
+    ``id_col`` must be UNIQUE (it is the document identity). Under
+    duplicate ids the paths legitimately diverge: the row-local path
+    scores each row independently, while the explode path merges term
+    frequencies per id and fans the merged score back — ranking over a
+    multiset of ids is ill-defined either way, so dedupe first.
+
     ``exploded=None`` auto-dispatches: the zero-shuffle row-local path
     up to ``MAX_FAST_TERMS`` query terms, the explode + groupBy path
-    beyond. Both produce bit-identical output (shared scoring
-    expression, pinned by pytest).
+    beyond. On unique ids both produce bit-identical output (shared
+    scoring expression, pinned by pytest).
     """
     terms = sorted({t for t in query.lower().split() if t})
     if not terms:
@@ -204,8 +210,13 @@ def _bm25_scores_exploded(
         .filter(F.col("_t").isin(terms))
     )
     # _dl is functionally dependent on _id; keeping it a group key
-    # carries it through the one exchange instead of re-joining corpus
-    tf = hits.groupBy("_id", "_dl", "_t").agg(F.count("*").alias("_tf"))
+    # carries it through the one exchange instead of re-joining corpus.
+    # tf feeds TWO consumers (dfreq and the scoring join) — without the
+    # persist the whole tokenize → explode → filter → partial-agg
+    # lineage executes once per consumer (the two-consumer trap); the
+    # hit rows are slim (id, dl, term, tf). Same session-lifetime cache
+    # convention as dsir_weights' rc/tc.
+    tf = hits.groupBy("_id", "_dl", "_t").agg(F.count("*").alias("_tf")).persist()
     dfreq = tf.groupBy("_t").agg(F.count("*").alias("_df"))  # ≤ |terms|
     glob = base.agg(
         F.count("*").alias("_N"),

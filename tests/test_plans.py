@@ -325,9 +325,26 @@ def test_bm25_exploded_filters_before_exchange(spark):
     assert "Generate" in plan  # the explode
     assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
     assert "Window" not in plan
-    # Generate → Filter(_t IN ...) → partial agg → Exchange: the filter
-    # and the map-side combine both appear under the exchange
+    # map-side combine under the tf exchange
     assert "partial_count" in plan, plan
+    # POSITIONAL check: formatted-mode node ids increase leaf → root,
+    # so the vocabulary Filter (condition `_t IN (...)`) sitting below
+    # the `_t`-keyed hashpartitioning Exchange means filter_id <
+    # exchange_id. If a refactor lifts the filter above the exchange,
+    # the whole token stream shuffles and this fails.
+    parts = re.split(r"\n\((\d+)\) ", plan)
+    vocab_filters, t_exchanges = [], []
+    for node_id, body in zip(parts[1::2], parts[2::2]):
+        head = body.split("\n", 1)[0]
+        if head.startswith("Filter") and "_t" in body and " IN " in body:
+            vocab_filters.append(int(node_id))
+        if head.startswith("Exchange") and "hashpartitioning" in body \
+                and "_t" in body:
+            t_exchanges.append(int(node_id))
+    assert vocab_filters and t_exchanges, plan
+    # the deepest `_t`-keyed exchange (the tf shuffle) must have a
+    # vocab filter below it; a lifted filter would number above it
+    assert min(vocab_filters) < min(t_exchanges), plan
 
 
 def test_dsir_ratio_broadcasts_and_stays_jvm(spark):
