@@ -567,6 +567,92 @@ def q_bm25_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_layout_order(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Layout-block reading order (north star: positioned PDF/layout
+    blocks → reading-order DOM with spans). Blocks are synthesized
+    deterministically from `documents` via md5 integer arithmetic (8
+    per doc: page, bbox, kind, text slice all h-derived) so the DuckDB
+    oracle rebuilds the identical block table; the operator then emits
+    role (body/furniture), simplified-XY-cut column + order, reference
+    `len+2` char spans, and figure/table caption attachment."""
+    from docling_translate_spark.functions.hashing import md5_prefix60
+    from docling_translate_spark.operators.layout import layout_reading_order
+
+    d = _docs(spark, sf_dir)
+    b = d.select(
+        "doc_id",
+        F.coalesce(F.col("text"), F.lit("")).alias("_txt"),
+        F.explode(F.sequence(F.lit(0), F.lit(7))).alias("_bid"),
+    ).withColumn(
+        "_h",
+        md5_prefix60(
+            F.concat_ws(":", F.col("doc_id"), F.col("_bid"))
+        ),
+    )
+    kinds = F.array(
+        *[F.lit(k) for k in ("text", "text", "text", "table", "figure", "caption")]
+    )
+    x0 = F.col("_h") % 400 + F.lit(500) * (F.expr("_h div 400") % 2)
+    y0 = F.expr("_h div 800") % 1000
+    blocks = b.select(
+        "doc_id",
+        F.col("_bid").cast("long").alias("block_id"),
+        (F.col("_bid") >= 4).cast("long").alias("page"),
+        x0.alias("x0"),
+        y0.alias("y0"),
+        F.least(
+            x0 + F.lit(80) + F.expr("_h div 13") % 500, F.lit(1000)
+        ).alias("x1"),
+        # y1 = y0 + a short h-derived height, page-capped
+        F.least(
+            y0 + F.lit(20) + F.expr("_h div 29") % 60, F.lit(1000)
+        ).alias("y1"),
+        F.element_at(kinds, (F.col("_h") % 6 + 1).cast("int")).alias("kind"),
+        F.expr("substring(_txt, CAST(1 + _h % 40 AS INT), 16)").alias("text"),
+    )
+    lo = layout_reading_order(blocks)
+    return lo.select(
+        "doc_id",
+        "block_id",
+        "page",
+        "kind",
+        "role",
+        F.col("col").cast("long").alias("col_idx"),
+        F.col("order_idx").cast("long").alias("order_idx"),
+        "char_start",
+        "char_end",
+        "caption_of",
+    )
+
+
+def q_dom_tokens(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """DOM token-sequence lexer (north star: "tokenizes raw turn text
+    into byte-stream/DOM token sequences"). Each doc is wrapped in a
+    deterministic page exercising every token kind — doctype decl,
+    open/close tags, a named and a numeric entity, a self-closing tag,
+    bare '<'/'&' literals — and the lexer emits the exploded ordered
+    (kind, tok, nbytes) stream. One codegen projection + narrow
+    posexplode; the DuckDB oracle replays the identical regex lexer."""
+    from docling_translate_spark.operators.dom_tokens import dom_tokens_flat
+
+    d = _docs(spark, sf_dir).filter(F.col("doc_id") % 5 == 0)
+    did = F.col("doc_id").cast("string")
+    body = F.coalesce(F.col("text"), F.lit(""))
+    html = F.concat(
+        F.lit(
+            '<!DOCTYPE html><nav><a href="/">Home</a> &middot; '
+            '<a href="/docs">Docs</a></nav><h1>Doc '
+        ),
+        did,
+        F.lit("</h1><p>"),
+        body,
+        F.lit('</p><p>spec &amp; notes &#169; <img src="/img/'),
+        did,
+        F.lit('.png"/> tail: a<b & AT&T</p><footer>fin</footer>'),
+    )
+    return dom_tokens_flat(d.select("doc_id", html.alias("text")))
+
+
 def q_pack_sequences(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Concat-and-chunk sequence packing: seq_bin = starting token
     offset div budget, per source in stable id order."""
@@ -1138,7 +1224,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # queries below, and the cap rule sends never-yet-recorded
         # queries (winnow_fingerprints, bm25_topk) inside first
         "winnow_fingerprints": q_winnow_fingerprints,
-        "winnow_pairs": q_winnow_pairs,
+        # winnow_pairs (r3-green) rides at the tail this round: the
+        # winnowing row keeps winnow_fingerprints recorded; the
+        # never-recorded dom_tokens takes the freed slot (below)
         "repetition": q_repetition,
         "sample_battery": q_sample_battery,
         "dsir_weights": q_dsir_weights,
@@ -1165,7 +1253,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "t8_sentences": q_t8_sentences,
         "s1_format_detect": q_s1_format_detect,
         "s7_render_html": q_s7_render_html,
-        "s7_render_document": q_s7_render_document,
+        # s7_render_document (r3-green) rides at the tail: its S7 row
+        # keeps s7_render_html recorded; the never-recorded
+        # layout_order takes the slot
+        "layout_order": q_layout_order,
+        "dom_tokens": q_dom_tokens,
         "s28_table_spans": q_s28_table_spans,
         "pii_redact": q_pii_redact,
         "decontaminate": q_decontaminate,
@@ -1173,10 +1265,12 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "scalar_battery": q_scalar_battery,
         # --- entries 51+: recorded by `make oracle`, not the driver ---
         "a1_distinct_dedup": q_a1_distinct_dedup,
+        "winnow_pairs": q_winnow_pairs,
         "ann_topk_small": q_ann_topk_small,
         "s8_embed_media": q_s8_embed_media,
         "rolling_fingerprint": q_rolling_fingerprint,
         "fingerprint": q_fingerprint,
+        "s7_render_document": q_s7_render_document,
         "dsir_select": q_dsir_select,
     }
 
@@ -1237,6 +1331,146 @@ def _bm25_oracle() -> str:
         FROM base b, stats s
         ORDER BY score DESC, b.doc_id
         LIMIT {_BM25_K}
+    """
+
+
+def _layout_oracle() -> str:
+    r"""DuckDB twin of ``q_layout_order``: rebuilds the identical
+    md5-derived block table (same ``('0x'||substr(md5(..),1,15))``
+    60-bit integers, same div/mod geometry), then mirrors the
+    operator's decisions — furniture split, per-(doc, page) two-column
+    windows, the (body DESC, page, col, y0, x0, block_id) reading
+    order, ``len+2`` prefix-sum spans, and the (gap, |dx|, id) arg-min
+    caption attachment. Every comparison is on exact integers."""
+    return r"""
+        WITH blk AS (
+          SELECT d.doc_id,
+                 g.bid::BIGINT AS block_id,
+                 (g.bid >= 4)::BIGINT AS page,
+                 ('0x' || substr(md5(d.doc_id::VARCHAR || ':'
+                                     || g.bid::VARCHAR), 1, 15))::BIGINT AS h,
+                 coalesce(d.text, '') AS dtxt
+          FROM documents d, (SELECT unnest(generate_series(0, 7)) AS bid) g
+        ), geo AS (
+          SELECT doc_id, block_id, page,
+                 h % 400 + 500 * ((h // 400) % 2) AS x0,
+                 (h // 800) % 1000 AS y0,
+                 least(h % 400 + 500 * ((h // 400) % 2)
+                       + 80 + (h // 13) % 500, 1000) AS x1,
+                 least((h // 800) % 1000 + 20 + (h // 29) % 60, 1000) AS y1,
+                 (['text','text','text','table','figure','caption'])
+                     [(h % 6)::INT + 1] AS kind,
+                 substr(dtxt, (1 + h % 40)::INT, 16) AS txt
+          FROM blk
+        ), rol AS (
+          SELECT *, CASE WHEN y0 >= 950 THEN 'furniture' ELSE 'body' END
+                    AS role
+          FROM geo
+        ), pg AS (
+          SELECT *,
+            coalesce(
+              max(CASE WHEN role = 'body' THEN x1 - x0 END)
+                  OVER (PARTITION BY doc_id, page) < 490
+              AND sum(CASE WHEN role = 'body' AND x0 < 500
+                           THEN 1 ELSE 0 END)
+                  OVER (PARTITION BY doc_id, page) > 0
+              AND sum(CASE WHEN role = 'body' AND x0 >= 500
+                           THEN 1 ELSE 0 END)
+                  OVER (PARTITION BY doc_id, page) > 0,
+              FALSE) AS two_col
+          FROM rol
+        ), colc AS (
+          SELECT *,
+                 (CASE WHEN role = 'body' AND two_col AND x0 >= 500
+                       THEN 1 ELSE 0 END)::BIGINT AS col_idx
+          FROM pg
+        ), ordered AS (
+          SELECT *,
+                 row_number() OVER w AS rn,
+                 coalesce(sum(CASE WHEN role = 'body'
+                                   THEN length(txt) + 2 ELSE 0 END)
+                     OVER (w ROWS BETWEEN UNBOUNDED PRECEDING
+                                      AND 1 PRECEDING), 0) AS cum
+          FROM colc
+          WINDOW w AS (PARTITION BY doc_id
+                       ORDER BY (role = 'body') DESC, page, col_idx,
+                                y0, x0, block_id)
+        ), best AS (
+          SELECT cd, cb, ab AS caption_of FROM (
+            SELECT c.doc_id AS cd, c.block_id AS cb, a.block_id AS ab,
+                   row_number() OVER (
+                       PARTITION BY c.doc_id, c.block_id
+                       ORDER BY c.y0 - a.y1, abs(c.x0 - a.x0),
+                                a.block_id) AS arn
+            FROM rol c JOIN rol a
+              ON c.doc_id = a.doc_id AND c.page = a.page
+             AND c.role = 'body' AND c.kind = 'caption'
+             AND a.role = 'body' AND a.kind IN ('table', 'figure')
+             AND a.y1 <= c.y0
+          ) WHERE arn = 1
+        )
+        SELECT o.doc_id, o.block_id, o.page, o.kind, o.role, o.col_idx,
+               (CASE WHEN o.role = 'body' THEN o.rn END)::BIGINT
+                   AS order_idx,
+               (CASE WHEN o.role = 'body' THEN o.cum END)::BIGINT
+                   AS char_start,
+               (CASE WHEN o.role = 'body' THEN o.cum + length(o.txt)
+                END)::BIGINT AS char_end,
+               b.caption_of
+        FROM ordered o
+        LEFT JOIN best b ON o.doc_id = b.cd AND o.block_id = b.cb
+    """
+
+
+def _dom_tokens_oracle() -> str:
+    """DuckDB twin of ``q_dom_tokens``: the identical page build, then
+    the SAME lexer regex (imported from the operator module so query
+    and oracle cannot drift) replayed with ``regexp_extract_all`` +
+    ``generate_subscripts``, and the classifier as string CASEs —
+    bare '<'/'&' → text, '</' → close, '<!'/'<?' → decl, '…/>' → self,
+    '<' → open, '&…;' → entity; tag tokens lower-case their name via
+    the shared TAG_NAME_RE. ``strlen`` is DuckDB's byte length."""
+    from docling_translate_spark.operators.dom_tokens import (
+        LEXER_RE,
+        TAG_NAME_RE,
+    )
+
+    p1 = (
+        '<!DOCTYPE html><nav><a href="/">Home</a> &middot; '
+        '<a href="/docs">Docs</a></nav><h1>Doc '
+    )
+    p2 = '</p><p>spec &amp; notes &#169; <img src="/img/'
+    p3 = '.png"/> tail: a<b & AT&T</p><footer>fin</footer>'
+    return f"""
+        WITH page AS (
+          SELECT doc_id,
+                 '{p1}' || doc_id::VARCHAR || '</h1><p>'
+                 || coalesce(text, '') || '{p2}' || doc_id::VARCHAR
+                 || '{p3}' AS html
+          FROM documents WHERE doc_id % 5 = 0
+        ), lex AS (
+          SELECT doc_id,
+                 regexp_extract_all(html, '{LEXER_RE}') AS ts
+          FROM page
+        ), tok AS (
+          SELECT doc_id, unnest(ts) AS t,
+                 (generate_subscripts(ts, 1) - 1)::BIGINT AS tok_idx
+          FROM lex
+        )
+        SELECT doc_id, tok_idx,
+          CASE WHEN t IN ('<', '&') THEN 'text'
+               WHEN substr(t, 1, 2) = '</' THEN 'close'
+               WHEN substr(t, 1, 2) IN ('<!', '<?') THEN 'decl'
+               WHEN substr(t, 1, 1) = '<' AND t LIKE '%/>' THEN 'self'
+               WHEN substr(t, 1, 1) = '<' THEN 'open'
+               WHEN substr(t, 1, 1) = '&' THEN 'entity'
+               ELSE 'text' END AS kind,
+          CASE WHEN substr(t, 1, 1) = '<' AND t <> '<'
+                    AND substr(t, 1, 2) NOT IN ('<!', '<?')
+               THEN lower(regexp_extract(t, '{TAG_NAME_RE}', 1))
+               ELSE t END AS tok,
+          strlen(t)::BIGINT AS nbytes
+        FROM tok
     """
 
 
@@ -2866,4 +3100,6 @@ w AS MATERIALIZED (
         + ") ORDER BY log_weight DESC, doc_id LIMIT 50"
     )
     sql["bm25_topk"] = _bm25_oracle()
+    sql["layout_order"] = _layout_oracle()
+    sql["dom_tokens"] = _dom_tokens_oracle()
     return sql

@@ -77,6 +77,19 @@ def main() -> None:
 
     bm25 = plan(bm25_topk(docs, "spark window hash stream", 100))
 
+    from docling_translate_spark.operators.layout import layout_reading_order
+
+    blocks = spark.createDataFrame(
+        [(1, 0, 0, 100, 200, 300, 240, "text", "a")],
+        "doc_id long, block_id long, page long, x0 long, y0 long, "
+        "x1 long, y1 long, kind string, text string",
+    )
+    layout = plan(layout_reading_order(blocks))
+
+    from docling_translate_spark.operators.dom_tokens import dom_tokenize
+
+    dom = plan(dom_tokenize(docs.selectExpr("doc_id", "text")))
+
     from docling_translate_spark.pipeline import CurationConfig, curate_turns
 
     blocklist = spark.createDataFrame([("blocked.example",)], ["domain"])
@@ -240,6 +253,34 @@ so the (score DESC, id) cut is reproducible at any parallelism.
 
 ```
 {bm25}
+```
+
+## Layout reading order (`layout_reading_order`)
+
+The two-column decision and the per-document rank are Window stages
+partitioned on (doc, page) and (doc) — both bounded keys (a document
+holds a bounded number of blocks; there is no corpus-wide hot key, the
+shape the fingerprint-window ban exists for). Caption attachment is a
+captions×anchors join within one (doc, page) reduced by the arg-min
+`groupBy(min(struct))` pattern, and the caption branch re-derives role
+from the cheap pre-window projection so neither window exchange
+executes twice. No Python anywhere — every decision is an integer
+column comparison.
+
+```
+{layout}
+```
+
+## DOM token-sequence lexer (`dom_tokenize`)
+
+The entire lexer — one-regex `regexp_extract_all`, per-token
+classification and tag-name normalization inside a `transform`, UTF-8
+byte lengths — is ONE codegen projection: no exchange, no Python,
+parallelism = scan partitions. The flat view adds only a narrow
+`Generate` (posexplode).
+
+```
+{dom}
 ```
 
 Notes:
