@@ -447,6 +447,92 @@ def q_token_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_text_battery(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Language-ID + quality features + token counts in ONE gate slot
+    (recorded-cap discipline, same consolidation as scalar_battery /
+    sample_battery): all three are per-doc scalar projections over
+    ``documents``, so they merge into one wide select with every column
+    individually value-checked by the merged oracle. The %23 CJK
+    decoration from the standalone quality query now feeds ALL THREE
+    branches — lang_id's ko/zh marker paths and token counting over CJK
+    text become gate-checked too (previously pytest-only)."""
+    from docling_translate_spark.operators.text_analysis import (
+        lang_id,
+        quality_features,
+        token_counts,
+    )
+
+    d = _docs(spark, sf_dir).withColumn(
+        "text",
+        F.when(
+            F.col("doc_id") % 23 == 0,
+            F.concat(
+                F.lit("기계 학습 모델은 대규모 데이터 집합에서 패턴을 학습합니다 "),
+                F.lit("机器学习模型从大规模数据集中学习模式 文档 "),
+                F.col("doc_id").cast("string"),
+            ),
+        ).otherwise(F.col("text")),
+    )
+    return token_counts(quality_features(lang_id(d))).select(
+        "doc_id",
+        "pred_lang",
+        F.col("n_words").cast("long").alias("n_words"),
+        "punct_ratio",
+        "stop_ratio",
+        "cjk_ratio",
+        "quality_score",
+        F.col("ws_tokens").cast("long").alias("ws_tokens"),
+        F.col("bpe_tokens").cast("long").alias("bpe_tokens"),
+    )
+
+
+def q_nb_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Trained quality classifier (GPT-3 Appendix A recipe): fit
+    multinomial NB on labeled seed corpora, score held-out documents.
+    Deterministic seeds with injected class vocabulary so the decision
+    is real at every sf: pos seed = doc_id % 7 == 0 with an appended
+    quality phrase, neg seed = doc_id % 7 == 3 with a spam phrase;
+    scored docs (% 7 ∉ {0,3}) carry one phrase or neither by doc_id %
+    4, so both labels appear and flip on content, not noise. Exact
+    BIGINT micro-unit arithmetic end to end (see classifier.py)."""
+    from docling_translate_spark.operators.classifier import nb_classify
+
+    d = _docs(spark, sf_dir)
+    pos = d.filter(F.col("doc_id") % 7 == 0).withColumn(
+        "text", F.concat(F.coalesce("text", F.lit("")), F.lit(_NB_POS_PHRASE))
+    )
+    neg = d.filter(F.col("doc_id") % 7 == 3).withColumn(
+        "text", F.concat(F.coalesce("text", F.lit("")), F.lit(_NB_NEG_PHRASE))
+    )
+    scored = d.filter(~(F.col("doc_id") % 7).isin(0, 3)).withColumn(
+        "text",
+        F.concat(
+            F.coalesce("text", F.lit("")),
+            F.when(F.col("doc_id") % 4 == 0, F.lit(_NB_POS_PHRASE))
+            .when(F.col("doc_id") % 4 == 2, F.lit(_NB_NEG_PHRASE))
+            .otherwise(F.lit("")),
+        ),
+    )
+    return nb_classify(scored, pos, neg).select(
+        "doc_id", "n_grams", "nb_score", "nb_label"
+    )
+
+
+# shared between q_nb_quality and its oracle so the two cannot drift
+_NB_POS_PHRASE = " peer reviewed thorough careful analysis"
+_NB_NEG_PHRASE = " click buy free prize now cheap"
+
+
+def q_corpus_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-source corpus data card: doc counts, char volume, exact
+    distinct-text counts, and exact type-1 length quantiles computed
+    from a per-(source, length) histogram — never a per-source row
+    sort. All-BIGINT output."""
+    from docling_translate_spark.operators.metrics import corpus_profile
+
+    return corpus_profile(_docs(spark, sf_dir), group_col="source")
+
+
 def q_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
     """md5 fingerprint over normalized text."""
     from docling_translate_spark.operators.text_analysis import fingerprint
@@ -1214,11 +1300,16 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "embed_near_dup_exact": q_embed_near_dup_exact,
         "ann_lsh": q_ann_lsh,
         "ann_ivf": q_ann_ivf,
-        "lang_id": q_lang_id,
-        "quality_scores": q_quality_scores,
+        # lang_id / quality_scores / token_counts (all r3-green)
+        # consolidate into text_battery — one recorded slot carries all
+        # three rows' columns (scalar_battery precedent), the originals
+        # ride at the tail; the two freed slots go to the
+        # never-recorded nb_quality and corpus_profile
+        "text_battery": q_text_battery,
+        "nb_quality": q_nb_quality,
         "unigram_logprob": q_unigram_logprob,
         "html_main_content": q_html_main_content,
-        "token_counts": q_token_counts,
+        "corpus_profile": q_corpus_profile,
         # fingerprint (r3-green, driver-recorded) rides at the tail this
         # round: its fingerprinting row keeps TWO recorded winnowing
         # queries below, and the cap rule sends never-yet-recorded
@@ -1272,6 +1363,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "fingerprint": q_fingerprint,
         "s7_render_document": q_s7_render_document,
         "dsir_select": q_dsir_select,
+        "lang_id": q_lang_id,
+        "quality_scores": q_quality_scores,
+        "token_counts": q_token_counts,
     }
 
 
@@ -1857,6 +1951,84 @@ SELECT conv_id, turn_idx, pred_lang, quality_score, ws_tokens
 FROM survivors s
 WHERE NOT EXISTS (SELECT 1 FROM flagged f WHERE f.nid = s.nid)
 """
+
+
+def _nb_oracle() -> str:
+    """DuckDB twin of ``q_nb_quality``: identical seed decoration (the
+    phrase constants are interpolated from the SAME Python literals the
+    query uses, so the two cannot drift), the DSIR-proven gram/bucket
+    SQL (trim/lower/``\\s+`` split, md5-prefix60 mod 1024), add-one NB
+    weights over the COMPLETE generate_series bucket axis, micro-unit
+    BIGINT quantization, and the same >0 integer label decision."""
+    p, n = _NB_POS_PHRASE, _NB_NEG_PHRASE
+    gram = lambda src: f"""(
+              SELECT doc_id,
+                     ('0x' || substr(md5(g), 1, 15))::BIGINT % 1024 AS b
+              FROM (
+                SELECT doc_id,
+                       unnest(toks || list_transform(
+                           generate_series(1, len(toks) - 1),
+                           i -> toks[i] || ' ' || toks[i + 1])) AS g
+                FROM (
+                  SELECT doc_id,
+                         list_filter(
+                             regexp_split_to_array(
+                                 trim(lower(coalesce(text, ''))), '\\s+'),
+                             t -> t <> '') AS toks
+                  FROM {src})))"""
+    return f"""
+        WITH base AS (
+          SELECT doc_id, coalesce(text, '') AS t FROM documents
+        ), pos AS (
+          SELECT doc_id, t || '{p}' AS text FROM base WHERE doc_id % 7 = 0
+        ), neg AS (
+          SELECT doc_id, t || '{n}' AS text FROM base WHERE doc_id % 7 = 3
+        ), sc AS (
+          SELECT doc_id,
+                 t || CASE WHEN doc_id % 4 = 0 THEN '{p}'
+                           WHEN doc_id % 4 = 2 THEN '{n}'
+                           ELSE '' END AS text
+          FROM base WHERE doc_id % 7 NOT IN (0, 3)
+        ), pc AS (
+          SELECT b, CAST(count(*) AS BIGINT) AS pcnt
+          FROM {gram("pos")} GROUP BY b
+        ), nc AS (
+          SELECT b, CAST(count(*) AS BIGINT) AS ncnt
+          FROM {gram("neg")} GROUP BY b
+        ), tot AS (
+          SELECT (SELECT coalesce(sum(pcnt), 0) FROM pc) AS P,
+                 (SELECT coalesce(sum(ncnt), 0) FROM nc) AS N,
+                 (SELECT count(*) FROM pos) AS np,
+                 (SELECT count(*) FROM neg) AS nn
+        ), w AS (
+          SELECT bb.b,
+                 CAST(round((ln((coalesce(pc.pcnt, 0) + 1)::DOUBLE
+                          / (tot.P::DOUBLE + 1024.0))
+                     - ln((coalesce(nc.ncnt, 0) + 1)::DOUBLE
+                          / (tot.N::DOUBLE + 1024.0)))
+                     * 1000000.0) AS BIGINT) AS s
+          FROM (SELECT unnest(generate_series(0, 1023)) AS b) bb
+          LEFT JOIN pc ON bb.b = pc.b
+          LEFT JOIN nc ON bb.b = nc.b, tot
+        ), prior AS (
+          SELECT CAST(round((ln((np + 1)::DOUBLE) - ln((nn + 1)::DOUBLE))
+                      * 1000000.0) AS BIGINT) AS pr
+          FROM tot
+        ), summed AS (
+          SELECT r.doc_id,
+                 CAST(count(*) AS BIGINT) AS n_grams,
+                 sum(w.s) AS ssum
+          FROM {gram("sc")} r JOIN w ON r.b = w.b
+          GROUP BY r.doc_id
+        )
+        SELECT sc.doc_id,
+               coalesce(summed.n_grams, 0)::BIGINT AS n_grams,
+               ((coalesce(summed.ssum, 0) + prior.pr)::DOUBLE) / 1000000.0
+                   AS nb_score,
+               CASE WHEN coalesce(summed.ssum, 0) + prior.pr > 0
+                    THEN 'pos' ELSE 'neg' END AS nb_label
+        FROM sc LEFT JOIN summed ON sc.doc_id = summed.doc_id, prior
+    """
 
 
 def oracle_sql() -> dict[str, str]:
@@ -2542,6 +2714,124 @@ w AS MATERIALIZED (
             JOIN sizes sa ON sa.doc_id = id_a
             JOIN sizes sb ON sb.doc_id = id_b
             WHERE nc / (sa.sz + sb.sz - nc) >= 0.3
+        """,
+        "nb_quality": _nb_oracle(),
+        # merged oracle for the text_battery slot: the three CTE chains
+        # of lang_id / quality_scores / token_counts over ONE decorated
+        # doc table (the %23 CJK decoration now feeds all branches)
+        "text_battery": r"""
+            WITH d AS (
+                SELECT doc_id,
+                    CASE WHEN doc_id % 23 = 0 THEN
+                        '기계 학습 모델은 대규모 데이터 집합에서 패턴을 학습합니다 '
+                        || '机器学习模型从大规模数据集中学习模式 文档 '
+                        || CAST(doc_id AS VARCHAR)
+                    ELSE text END AS text
+                FROM documents
+            ), s AS (
+                SELECT doc_id,
+                    len(regexp_extract_all(lower(text),
+                        '\b(der|die|das|und|ist|nicht|ein|eine|mit|von)\b')) AS h_de,
+                    len(regexp_extract_all(lower(text),
+                        '\b(the|and|of|to|is|in|that|it|for|was)\b')) AS h_en,
+                    len(regexp_extract_all(lower(text),
+                        '\b(el|la|los|las|de|que|y|en|un|una|es)\b')) AS h_es,
+                    len(regexp_extract_all(lower(text),
+                        '\b(le|la|les|des|une|est|et|que|dans|pour)\b')) AS h_fr,
+                    len(regexp_extract_all(lower(text), '[぀-ヿ]')) AS h_ja,
+                    len(regexp_extract_all(lower(text), '[가-힯]')) AS h_ko,
+                    len(regexp_extract_all(lower(text), '[一-鿿]')) AS h_zh
+                FROM d
+            ), g AS (
+                SELECT *, greatest(h_de,h_en,h_es,h_fr,h_ja,h_ko,h_zh) AS m FROM s
+            ), lang AS (
+                SELECT doc_id,
+                       CASE WHEN m = 0 THEN 'unknown'
+                            WHEN h_de = m THEN 'de'
+                            WHEN h_en = m THEN 'en'
+                            WHEN h_es = m THEN 'es'
+                            WHEN h_fr = m THEN 'fr'
+                            WHEN h_ja = m THEN 'ja'
+                            WHEN h_ko = m THEN 'ko'
+                            ELSE 'zh' END AS pred_lang
+                FROM g
+            ), q AS (
+                SELECT doc_id,
+                    length(text) AS n_chars,
+                    CASE WHEN trim(text) = '' THEN 0
+                         ELSE len(regexp_split_to_array(trim(text), '\s+')) END AS n_words,
+                    len(regexp_extract_all(text, '[^\w\s一-鿿぀-ヿ가-힯]')) AS n_punct,
+                    len(regexp_extract_all(text, '[一-鿿぀-ヿ가-힯]')) AS n_cjk,
+                    len(regexp_extract_all(lower(text),
+                        '\b(the|and|of|to|is|in|that|it|for|was)\b')) AS n_stop,
+                    len(regexp_extract_all(text,
+                        '[A-Za-z]+|[0-9]+|[^A-Za-z0-9\s]')) AS bpe_tokens
+                FROM d
+            ), r AS (
+                SELECT doc_id, n_words, n_chars, bpe_tokens,
+                    CASE WHEN n_chars > 0
+                         THEN CAST(n_punct AS DOUBLE) / n_chars ELSE 0.0 END AS punct_ratio,
+                    CASE WHEN n_words > 0
+                         THEN CAST(n_stop AS DOUBLE) / n_words ELSE 0.0 END AS stop_ratio,
+                    CASE WHEN n_words > 0
+                         THEN CAST(n_chars AS DOUBLE) / n_words ELSE 0.0 END AS mean_wlen,
+                    CASE WHEN n_chars > 0
+                         THEN CAST(n_cjk AS DOUBLE) / n_chars ELSE 0.0 END AS cjk_ratio
+                FROM q
+            )
+            SELECT r.doc_id,
+                   lang.pred_lang,
+                   CAST(r.n_words AS BIGINT) AS n_words,
+                   r.punct_ratio, r.stop_ratio, r.cjk_ratio,
+                   (CASE WHEN CASE WHEN r.cjk_ratio >= 0.3 THEN r.n_chars >= 10
+                              ELSE r.mean_wlen >= 3.0 AND r.mean_wlen <= 12.0 END
+                         THEN CAST(0.4 AS DOUBLE) ELSE CAST(0.0 AS DOUBLE) END
+                    + CASE WHEN r.punct_ratio <= 0.2
+                           THEN CAST(0.3 AS DOUBLE) ELSE CAST(0.0 AS DOUBLE) END
+                    + CASE WHEN r.cjk_ratio >= 0.3 OR r.stop_ratio >= 0.05
+                           THEN CAST(0.3 AS DOUBLE) ELSE CAST(0.0 AS DOUBLE) END)
+                   AS quality_score,
+                   CAST(r.n_words AS BIGINT) AS ws_tokens,
+                   CAST(r.bpe_tokens AS BIGINT) AS bpe_tokens
+            FROM r JOIN lang ON r.doc_id = lang.doc_id
+        """,
+        # per-source data card: histogram-based exact type-1 quantiles
+        # with the rank in integer arithmetic, mirroring corpus_profile
+        "corpus_profile": r"""
+            WITH lens AS (
+                SELECT source AS g,
+                       length(coalesce(text, '')) AS l,
+                       md5(coalesce(text, '')) AS fp
+                FROM documents
+            ), base AS (
+                SELECT g,
+                       CAST(count(*) AS BIGINT) AS n_docs,
+                       CAST(coalesce(sum(l), 0) AS BIGINT) AS total_chars,
+                       CAST(count(DISTINCT fp) AS BIGINT) AS distinct_texts
+                FROM lens GROUP BY g
+            ), hist AS (
+                SELECT g, l, CAST(count(*) AS BIGINT) AS c
+                FROM lens GROUP BY g, l
+            ), cum AS (
+                SELECT g, l,
+                       sum(c) OVER (PARTITION BY g ORDER BY l) AS rc
+                FROM hist
+            ), qs AS (
+                SELECT cum.g,
+                       CAST(min(CASE WHEN rc >= (b.n_docs * 25 + 99) // 100
+                                     THEN l END) AS BIGINT) AS p25_len,
+                       CAST(min(CASE WHEN rc >= (b.n_docs * 50 + 99) // 100
+                                     THEN l END) AS BIGINT) AS p50_len,
+                       CAST(min(CASE WHEN rc >= (b.n_docs * 75 + 99) // 100
+                                     THEN l END) AS BIGINT) AS p75_len,
+                       CAST(min(CASE WHEN rc >= (b.n_docs * 90 + 99) // 100
+                                     THEN l END) AS BIGINT) AS p90_len
+                FROM cum JOIN base b ON cum.g = b.g
+                GROUP BY cum.g
+            )
+            SELECT b.g AS source, b.n_docs, b.total_chars, b.distinct_texts,
+                   qs.p25_len, qs.p50_len, qs.p75_len, qs.p90_len
+            FROM base b JOIN qs ON b.g = qs.g
         """,
         "lang_id": r"""
             WITH s AS (

@@ -276,6 +276,12 @@ def _dsir_gram_buckets(
     )
 
 
+# public name: the hashed-gram kernel is shared with the NB quality
+# classifier (operators/classifier.py) — same tokenization, same
+# portable md5 bucketing, so both models are oracle-reproducible
+gram_buckets = _dsir_gram_buckets
+
+
 def dsir_weights(
     raw_df: DataFrame,
     target_df: DataFrame,

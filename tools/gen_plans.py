@@ -90,6 +90,18 @@ def main() -> None:
 
     dom = plan(dom_tokenize(docs.selectExpr("doc_id", "text")))
 
+    from docling_translate_spark.operators.classifier import nb_classify
+    from docling_translate_spark.operators.metrics import corpus_profile
+
+    nb = plan(
+        nb_classify(
+            docs.filter(~(F.col("doc_id") % 7).isin(0, 3)),
+            docs.filter(F.col("doc_id") % 7 == 0),
+            docs.filter(F.col("doc_id") % 7 == 3),
+        )
+    )
+    profile = plan(corpus_profile(docs))
+
     from docling_translate_spark.pipeline import CurationConfig, curate_turns
 
     blocklist = spark.createDataFrame([("blocked.example",)], ["domain"])
@@ -281,6 +293,36 @@ parallelism = scan partitions. The flat view adds only a narrow
 
 ```
 {dom}
+```
+
+## NB quality classifier (`nb_classify`)
+
+Training is two aggregations (per-class bucket counts, map-side
+combine collapses hot buckets per task) over the narrow gram
+`Generate`; the fitted weight table is COMPLETE (spark.range over the
+bucket axis left-joined with the counts — every bucket carries its
+smoothed weight), so scoring is a plain `BroadcastHashJoin` with no
+unseen-bucket fallback on the corpus-sized side, followed by the one
+per-document aggregate exchange. The class prior rides a 1-row
+broadcast nested-loop join. Micro-unit BIGINT sums — reproducible at
+any parallelism. No Python, no Window.
+
+```
+{nb}
+```
+
+## Corpus data card (`corpus_profile`)
+
+Exact per-group length quantiles WITHOUT a hot-key sort: lengths
+collapse to a per-(group, length) histogram first (`partial_count`
+below the exchange — a group's 10^10 rows become ≤ max_len histogram
+rows), and the cumulative-count Window runs over histogram rows only.
+The per-group totals row broadcasts back; distinct-text counting is
+the standard two-phase `count(distinct md5)` expand-aggregate. All
+decisions in integer arithmetic.
+
+```
+{profile}
 ```
 
 Notes:
