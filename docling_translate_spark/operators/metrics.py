@@ -10,7 +10,7 @@ final aggregate on conv_id — the partials are tiny, the hot key fans out.
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, functions as F
+from pyspark.sql import DataFrame, Window, functions as F
 
 
 def conversation_rollup(extracted: DataFrame, salt_buckets: int = 16) -> DataFrame:
@@ -86,8 +86,6 @@ def corpus_profile(
         .groupBy("_g", "_len")
         .agg(F.count("*").alias("_c"))
     )
-    from pyspark.sql.window import Window
-
     w = Window.partitionBy("_g").orderBy("_len")
     cum = hist.withColumn("_cum", F.sum("_c").over(w))
     # base is one row per group — broadcast, the histogram never
