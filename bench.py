@@ -328,6 +328,18 @@ throughput: 731.7 chars/sec at 8 workers vs this engine's
 
 Headline: **{r['value']} turns/sec** at local[{h['cores']}].
 
+`curation_pipeline` note: its local seconds are FIXED-COST dominated —
+the composed flow runs ~7 stages (extraction, blocklist flag+anti-join,
+redaction, gates, arg-min exact dedup, MinHash-LSH + iterative
+connected components, decontamination) each launching jobs, so its wall
+time is nearly identical at sf0.01 and sf0.1 (job-scheduling overhead,
+not data). The round-4 increase over round 3 is added WORKLOAD (the
+value-checked blocklist branch, the dropDuplicates key-contract guard,
+full-width md5 component keys per the collision advice) — per-stage
+data handling is agg-shaped/broadcast everywhere, so the fixed overhead
+amortizes away at real corpus scale where stages run minutes, not
+hundreds of milliseconds.
+
 Host-variance campaign note: this sandbox is a shared host — identical
 runs vary up to 2x with co-tenant load (a Spark-free multiprocessing
 burn reproduces the throttling), and that load only ever slows a run.
