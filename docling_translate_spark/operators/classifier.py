@@ -162,6 +162,11 @@ def nb_classify(
     at exactly 0 go to ``'neg'`` — deterministic on the BIGINT grid,
     never an FP comparison). Documents with no grams (empty text) score
     the prior alone.
+
+    Precondition (same contract as ``retrieval.bm25_topk``): ``id_col``
+    must be unique in ``df`` — duplicate ids merge their gram counts in
+    the per-doc aggregate and then fan out through the final reattach
+    join, so each copy would carry the MERGED score.
     """
     weights, prior = nb_train(pos_df, neg_df, id_col, text_col, m_buckets)
     rows = gram_buckets(df, id_col, text_col, m_buckets)

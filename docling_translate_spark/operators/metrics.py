@@ -72,6 +72,11 @@ def corpus_profile(
     folds to '' so every doc counts); ``n_docs - distinct_texts`` is
     the exact-duplicate mass per group. count_distinct plans as a
     two-phase aggregate — scale-safe.
+
+    Rows whose ``group_col`` is NULL are excluded from the card: the
+    histogram↔totals equi-joins never match a NULL key — identically in
+    Spark and any SQL twin, so the behavior is engine-consistent.
+    Coalesce the group column upstream to profile ungrouped rows.
     """
     txt = F.coalesce(F.col(text_col), F.lit(""))
     base = df.groupBy(F.col(group_col).alias("_g")).agg(

@@ -44,6 +44,15 @@ def test_hand_computed_card(spark, docs):
     assert (c["p25_len"], c["p50_len"]) == (0, 0)  # rank 1 at n=2
 
 
+def test_null_group_rows_are_excluded(spark):
+    """NULL group keys never match the equi-joins — identically in any
+    SQL engine — so they are documented as excluded from the card."""
+    mixed = spark.createDataFrame(
+        [("s", "abcd"), (None, "xx")], "source string, text string"
+    )
+    assert [r["source"] for r in corpus_profile(mixed).collect()] == ["s"]
+
+
 def test_single_doc_group(spark):
     one = spark.createDataFrame([("s", "abcd")], "source string, text string")
     r = corpus_profile(one).collect()[0]
