@@ -143,6 +143,81 @@ def q_p4_formula_detect(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_pfilter_battery(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """P3 boilerplate strip + P4 formula predicate in ONE gate slot
+    (recorded-cap discipline, same consolidation as scalar/sample/text
+    batteries): both are per-doc scalar projections over ``documents``,
+    each keeping its original decoration and arithmetic, so every
+    column stays individually value-checked by the merged oracle."""
+    d = _docs(spark, sf_dir)
+    decorated = F.concat(
+        F.lit("Page "),
+        ((F.col("doc_id") % 40) + 1).cast("string"),
+        F.lit(" of 40\n"),
+        F.col("text"),
+        F.lit("\n---\n42"),
+    )
+    payload = F.when(
+        F.col("doc_id") % 7 == 0,
+        F.concat(F.col("text"), F.lit(" x^{2} &= \\frac{a}{b}")),
+    ).otherwise(F.col("text"))
+    step = d.select("doc_id", decorated.alias("decorated"), payload.alias("payload"))
+    kept = F.filter(
+        F.split("decorated", "\n"),
+        lambda ln: ~F.regexp_like(ln, F.lit(_BOILER_SQL_RE)),
+    )
+    return step.select(
+        "doc_id",
+        F.array_join(kept, "\n").alias("clean_text"),
+        (F.size(F.split("decorated", "\n")) - F.size(kept))
+        .cast("long")
+        .alias("n_dropped"),
+        F.regexp_like("payload", F.lit(_FORMULA_SQL_RE))
+        .cast("int")
+        .alias("is_formula"),
+    )
+
+
+def q_dedup_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Incremental snapshot-ingest dedup (continuous-crawl recipe):
+    snapshot = doc_id % 3 == 0; the batch carries four deterministic
+    branches — fresh docs (admit), exact snapshot copies under new ids
+    (stage-2 drop), within-batch duplicates (stage-1 drop, min id
+    survives), and tailed near-dup copies of snapshot docs (stage-3
+    drop). Word-salad corpus ⇒ 4-gram shingles + stop-shingle cap 20 +
+    threshold 0.3, the dedup_ngram_jaccard gate convention (organic
+    cross near-dups also flag — the oracle mirrors every decision)."""
+    from docling_translate_spark.operators.dedup import dedup_incremental
+
+    d = _docs(spark, sf_dir).select("doc_id", "text")
+    seen = d.filter(F.col("doc_id") % 3 == 0)
+    fresh = d.filter(F.col("doc_id") % 3 != 0)
+    batch = (
+        fresh.unionAll(
+            seen.filter(F.col("doc_id") % 2 == 0).select(
+                (F.col("doc_id") + 10_000_000).alias("doc_id"), "text"
+            )
+        )
+        .unionAll(
+            fresh.filter(F.col("doc_id") % 5 == 1).select(
+                (F.col("doc_id") + 20_000_000).alias("doc_id"), "text"
+            )
+        )
+        .unionAll(
+            seen.filter(F.col("doc_id") % 7 == 0).select(
+                (F.col("doc_id") + 30_000_000).alias("doc_id"),
+                F.concat(
+                    F.col("text"), F.lit(" xq"), F.col("doc_id").cast("string")
+                ).alias("text"),
+            )
+        )
+    )
+    out = dedup_incremental(
+        batch, seen, n=4, threshold=0.3, max_bucket=20
+    )
+    return out.select("doc_id", F.md5("text").alias("fp"))
+
+
 def q_w1_rownum_order(spark: SparkSession, sf_dir: str) -> DataFrame:
     """W1/A7 stable ordering + per-kind numbering via row_number
     (ref core.py:422, utils.py:64-66)."""
@@ -1281,8 +1356,12 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "p1_nonempty_filter": q_p1_nonempty_filter,
         "a3_char_volume": q_a3_char_volume,
-        "p3_boilerplate_strip": q_p3_boilerplate_strip,
-        "p4_formula_detect": q_p4_formula_detect,
+        # p3/p4 (both r1-green) consolidate into pfilter_battery — one
+        # recorded slot carries both rows' columns; the originals ride
+        # at the tail and the freed slot goes to the never-recorded
+        # dedup_incremental
+        "pfilter_battery": q_pfilter_battery,
+        "dedup_incremental": q_dedup_incremental,
         "w1_rownum_order": q_w1_rownum_order,
         "w2_change_marker": q_w2_change_marker,
         "j2_broadcast_join": q_j2_broadcast_join,
@@ -1366,6 +1445,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "lang_id": q_lang_id,
         "quality_scores": q_quality_scores,
         "token_counts": q_token_counts,
+        "p3_boilerplate_strip": q_p3_boilerplate_strip,
+        "p4_formula_detect": q_p4_formula_detect,
     }
 
 
@@ -2183,6 +2264,119 @@ w AS MATERIALIZED (
                    count(*) AS n_docs
             FROM documents
             GROUP BY source
+        """,
+        # merged oracle for the pfilter_battery slot: p3's strip CTE +
+        # p4's formula CASE over one base relation
+        "pfilter_battery": r"""
+            WITH d AS (
+                SELECT doc_id,
+                       'Page ' || CAST(doc_id % 40 + 1 AS VARCHAR)
+                       || ' of 40' || chr(10) || text || chr(10)
+                       || '---' || chr(10) || '42' AS decorated,
+                       CASE WHEN doc_id % 7 = 0
+                            THEN text || ' x^{2} &= \frac{a}{b}'
+                            ELSE text END AS payload
+                FROM documents
+            )
+            SELECT doc_id,
+                   array_to_string(
+                       list_filter(
+                           string_split(decorated, chr(10)),
+                           ln -> NOT regexp_matches(ln,
+                               '^\s*([Pp]age\s+\d+(\s+of\s+\d+)?|\d+|[-=_*]{3,})\s*$')
+                       ), chr(10)) AS clean_text,
+                   len(string_split(decorated, chr(10)))
+                   - len(list_filter(
+                           string_split(decorated, chr(10)),
+                           ln -> NOT regexp_matches(ln,
+                               '^\s*([Pp]age\s+\d+(\s+of\s+\d+)?|\d+|[-=_*]{3,})\s*$')
+                       )) AS n_dropped,
+                   CAST(regexp_matches(payload,
+                       '\\[a-zA-Z]+|\^\{|_\{|&=') AS INT) AS is_formula
+            FROM d
+        """,
+        # incremental snapshot dedup: the three stages (within-batch
+        # arg-min, exact anti vs snapshot, cross-corpus Jaccard with a
+        # COMBINED-frequency stop-shingle cap) as NOT-EXISTS CTEs —
+        # NULL-safe like Spark's anti-joins
+        "dedup_incremental": r"""
+            WITH seen AS (
+                SELECT doc_id, text FROM documents WHERE doc_id % 3 = 0
+            ), fresh AS (
+                SELECT doc_id, text FROM documents WHERE doc_id % 3 <> 0
+            ), batch AS (
+                SELECT doc_id, text FROM fresh
+                UNION ALL
+                SELECT doc_id + 10000000, text FROM seen WHERE doc_id % 2 = 0
+                UNION ALL
+                SELECT doc_id + 20000000, text FROM fresh WHERE doc_id % 5 = 1
+                UNION ALL
+                SELECT doc_id + 30000000,
+                       text || ' xq' || CAST(doc_id AS VARCHAR)
+                FROM seen WHERE doc_id % 7 = 0
+            ), b1 AS (
+                SELECT b.doc_id, b.text, md5(b.text) AS fp
+                FROM batch b
+                JOIN (
+                  SELECT md5(text) AS fp, min(doc_id) AS doc_id
+                  FROM batch GROUP BY 1
+                ) w ON md5(b.text) = w.fp AND b.doc_id = w.doc_id
+            ), b2 AS (
+                SELECT * FROM b1 b
+                WHERE NOT EXISTS (
+                    SELECT 1 FROM seen s WHERE md5(s.text) = b.fp)
+            ), btoks AS (
+                SELECT doc_id,
+                       string_split_regex(lower(trim(text)), '\s+') AS tk
+                FROM b2 WHERE text IS NOT NULL
+            ), bsh AS (
+                SELECT doc_id,
+                       unnest(CASE WHEN len(tk) >= 4
+                           THEN list_distinct(list_transform(
+                               generate_series(1, len(tk) - 3),
+                               i -> array_to_string(tk[i:i+3], ' ')))
+                           ELSE [array_to_string(tk, ' ')] END) AS shingle
+                FROM btoks
+            ), stoks AS (
+                SELECT doc_id,
+                       string_split_regex(lower(trim(text)), '\s+') AS tk
+                FROM seen WHERE text IS NOT NULL
+            ), ssh AS (
+                SELECT doc_id,
+                       unnest(CASE WHEN len(tk) >= 4
+                           THEN list_distinct(list_transform(
+                               generate_series(1, len(tk) - 3),
+                               i -> array_to_string(tk[i:i+3], ' ')))
+                           ELSE [array_to_string(tk, ' ')] END) AS shingle
+                FROM stoks
+            ), freq AS (
+                SELECT shingle, count(*) AS df FROM (
+                    SELECT shingle FROM bsh
+                    UNION ALL SELECT shingle FROM ssh
+                ) GROUP BY shingle
+            ), rb AS (
+                SELECT b.doc_id, b.shingle FROM bsh b
+                JOIN freq f USING (shingle) WHERE f.df <= 20
+            ), rs AS (
+                SELECT s.doc_id, s.shingle FROM ssh s
+                JOIN freq f USING (shingle) WHERE f.df <= 20
+            ), bsz AS (
+                SELECT doc_id, count(*) AS sz FROM rb GROUP BY doc_id
+            ), ssz AS (
+                SELECT doc_id, count(*) AS sz FROM rs GROUP BY doc_id
+            ), flagged AS (
+                SELECT DISTINCT p.bid FROM (
+                    SELECT rb.doc_id AS bid, rs.doc_id AS sid,
+                           count(*) AS nc
+                    FROM rb JOIN rs USING (shingle)
+                    GROUP BY 1, 2
+                ) p
+                JOIN bsz ON bsz.doc_id = p.bid
+                JOIN ssz ON ssz.doc_id = p.sid
+                WHERE p.nc / (bsz.sz + ssz.sz - p.nc) >= 0.3
+            )
+            SELECT doc_id, fp FROM b2 b
+            WHERE NOT EXISTS (SELECT 1 FROM flagged f WHERE f.bid = b.doc_id)
         """,
         "p3_boilerplate_strip": r"""
             WITH d AS (

@@ -62,6 +62,120 @@ def exact_dedup(df: DataFrame, text_col: str = "text", id_col: str = "doc_id") -
     )
 
 
+def dedup_incremental(
+    batch: DataFrame,
+    seen: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    near_dup: bool = True,
+    n: int = 3,
+    threshold: float = 0.8,
+    max_bucket: int = 1000,
+) -> DataFrame:
+    """Incremental ingest dedup: admit only the rows of ``batch`` that
+    are new relative to a committed corpus snapshot ``seen`` — the step
+    a continuously-crawled training corpus runs on every ingest (each
+    crawl re-fetches most of the web; admitting blindly and re-running
+    corpus-wide dedup from scratch is the 10^12-turn anti-pattern this
+    operator exists to avoid). Composes with ``sources/checkpoint.py``:
+    ``seen`` is the last committed snapshot, the admitted rows are what
+    the next snapshot appends.
+
+    Three stages, each a join/agg shape that survives scale:
+
+    1. WITHIN-BATCH exact: one doc per md5 fingerprint survives (min
+       ``id_col``) via the arg-min ``groupBy + semi-join`` pattern —
+       map-side combine collapses a viral duplicate per task, never a
+       hot-key window (see ``dedup_segments``).
+    2. EXACT vs snapshot: a left-anti equi-join of batch fingerprints
+       against the snapshot's. The snapshot side is a single slim hash
+       column; an anti-join never fans out, so no ``distinct`` pass
+       over the corpus is needed. ``seen`` may carry the raw
+       ``text_col`` or a precomputed ``text_hash`` column (the
+       ``exact_dedup`` output convention) — at snapshot scale you store
+       the hashes, not the text.
+    3. NEAR-DUP vs snapshot (optional): cross-corpus n-gram Jaccard via
+       the same inverted shingle index as ``ngram_jaccard_pairs``, with
+       the stop-shingle cap computed over the COMBINED document
+       frequency (batch ∪ snapshot) so both sides drop the same hot
+       shingles and identical docs still score 1.0. A batch doc with
+       Jaccard ≥ ``threshold`` against ANY snapshot doc is rejected —
+       no tie-break needed, so the result is deterministic at any
+       parallelism.
+
+    At real snapshot scale the seen-side shingle rows and document
+    frequencies are themselves maintained incrementally as committed
+    index tables (this operator's aggregates ARE the update recipe);
+    recomputing them here from ``seen`` keeps the sandbox self-contained
+    with identical join shapes.
+
+    Precondition: ``id_col`` unique within ``batch``. Rows with NULL
+    ``text_col`` are never admitted: md5(NULL) is NULL and stage 1's
+    fingerprint semi-join uses standard equality, which never matches a
+    NULL key — identically in any SQL engine (an ingest gate dropping
+    textless rows is the desired behavior anyway). Returns the admitted
+    ``batch`` rows with their original columns.
+    """
+    fp = F.md5(F.col(text_col))
+    b = batch.withColumn("_fp", fp)
+
+    # stage 1: within-batch exact (arg-min groupBy, NOT a window)
+    winners = b.groupBy("_fp").agg(F.min(id_col).alias(id_col))
+    b = b.join(winners, ["_fp", id_col], "left_semi")
+
+    # stage 2: exact vs snapshot (slim hash column, anti-join)
+    if "text_hash" in seen.columns and text_col not in seen.columns:
+        seen_fp = seen.select(F.col("text_hash").alias("_fp"))
+    else:
+        seen_fp = seen.select(fp.alias("_fp"))
+    b = b.join(seen_fp, "_fp", "left_anti")
+
+    if near_dup:
+        # b feeds TWO consumers (shingle build + final anti-join probe):
+        # persist, or the upstream lineage runs once per consumer
+        b = b.persist()
+        bs = shingle_df(b, text_col, id_col, n).cache()
+        ss = shingle_df(seen, text_col, id_col, n).cache() if text_col in seen.columns else None
+        if ss is None:
+            raise ValueError(
+                "near_dup=True needs the snapshot text_col to build the "
+                "shingle index; pass near_dup=False for hash-only snapshots"
+            )
+        # combined document frequency -> one stop-shingle set for BOTH
+        # sides (consistent filtering, same argument as
+        # ngram_jaccard_pairs' docstring)
+        freq = (
+            bs.select("shingle")
+            .unionAll(ss.select("shingle"))
+            .groupBy("shingle")
+            .agg(F.count("*").alias("df_"))
+        )
+        ok = freq.filter(F.col("df_") <= max_bucket).select("shingle")
+        rare_b = bs.join(ok, "shingle").cache()
+        rare_s = ss.join(ok, "shingle").cache()
+        bsz = rare_b.groupBy("sid").agg(F.count("*").alias("bsz"))
+        ssz = rare_s.groupBy("sid").agg(F.count("*").alias("ssz"))
+        pairs = (
+            rare_b.select(F.col("sid").alias("_bid"), "shingle")
+            .join(rare_s.select(F.col("sid").alias("_sid"), "shingle"), "shingle")
+            .groupBy("_bid", "_sid")
+            .agg(F.count("*").alias("nc"))
+        )
+        flagged = (
+            pairs.join(bsz.select(F.col("sid").alias("_bid"), "bsz"), "_bid")
+            .join(ssz.select(F.col("sid").alias("_sid"), "ssz"), "_sid")
+            .filter(
+                F.col("nc") / (F.col("bsz") + F.col("ssz") - F.col("nc"))
+                >= threshold
+            )
+            .select(F.col("_bid").alias(id_col))
+            .dropDuplicates([id_col])
+        )
+        b = b.join(flagged, id_col, "left_anti")
+
+    return b.drop("_fp")
+
+
 # --- word shingles (shared by jaccard + minhash) ---
 
 

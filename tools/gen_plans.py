@@ -91,7 +91,18 @@ def main() -> None:
     dom = plan(dom_tokenize(docs.selectExpr("doc_id", "text")))
 
     from docling_translate_spark.operators.classifier import nb_classify
+    from docling_translate_spark.operators.dedup import dedup_incremental
     from docling_translate_spark.operators.metrics import corpus_profile
+
+    incr = plan(
+        dedup_incremental(
+            docs.filter(F.col("doc_id") % 3 != 0),
+            docs.filter(F.col("doc_id") % 3 == 0),
+            n=4,
+            threshold=0.3,
+            max_bucket=20,
+        )
+    )
 
     nb = plan(
         nb_classify(
@@ -293,6 +304,23 @@ parallelism = scan partitions. The flat view adds only a narrow
 
 ```
 {dom}
+```
+
+## Incremental snapshot dedup (`dedup_incremental`)
+
+The continuous-crawl ingest gate. Stage 1's within-batch exact dedup is
+the arg-min `groupBy + semi-join` (`partial_min` below the exchange —
+a viral duplicate collapses per map task, never a hot-key window);
+stage 2 is a left-anti equi-join against the snapshot's slim hash
+column (anti-joins never fan out, so no corpus-wide distinct); stage
+3's cross-corpus Jaccard reuses the inverted shingle index with the
+stop-shingle cap on the COMBINED document frequency, and every
+two-consumer intermediate (batch survivors, both shingle relations,
+both rare relations) reads an `InMemoryRelation` — at snapshot scale
+these are the committed index tables the same aggregates maintain.
+
+```
+{incr}
 ```
 
 ## NB quality classifier (`nb_classify`)
