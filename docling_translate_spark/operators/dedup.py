@@ -109,13 +109,20 @@ def dedup_incremental(
     recomputing them here from ``seen`` keeps the sandbox self-contained
     with identical join shapes.
 
-    Precondition: ``id_col`` unique within ``batch``. Rows with NULL
+    Preconditions: ``id_col`` unique within ``batch``, and ``batch``
+    must not carry a column named ``_fp`` (reserved; a ValueError is
+    raised rather than silently clobbering it). Rows with NULL
     ``text_col`` are never admitted: md5(NULL) is NULL and stage 1's
     fingerprint semi-join uses standard equality, which never matches a
     NULL key — identically in any SQL engine (an ingest gate dropping
     textless rows is the desired behavior anyway). Returns the admitted
     ``batch`` rows with their original columns.
     """
+    if "_fp" in batch.columns:
+        raise ValueError(
+            "batch must not carry the reserved temp column '_fp' "
+            "(rename it before calling dedup_incremental)"
+        )
     fp = F.md5(F.col(text_col))
     b = batch.withColumn("_fp", fp)
 
@@ -151,25 +158,31 @@ def dedup_incremental(
             .agg(F.count("*").alias("df_"))
         )
         ok = freq.filter(F.col("df_") <= max_bucket).select("shingle")
-        rare_b = bs.join(ok, "shingle").cache()
-        rare_s = ss.join(ok, "shingle").cache()
-        bsz = rare_b.groupBy("sid").agg(F.count("*").alias("bsz"))
-        ssz = rare_s.groupBy("sid").agg(F.count("*").alias("ssz"))
+        rare_b, bsz = informative_shingles(bs, ok)
+        rare_s, ssz = informative_shingles(ss, ok)
         pairs = (
             rare_b.select(F.col("sid").alias("_bid"), "shingle")
             .join(rare_s.select(F.col("sid").alias("_sid"), "shingle"), "shingle")
             .groupBy("_bid", "_sid")
             .agg(F.count("*").alias("nc"))
         )
+        # no dropDuplicates on the flag set: left_anti is
+        # duplicate-insensitive, so deduping here would only add an
+        # exchange+aggregate for zero semantic effect
         flagged = (
-            pairs.join(bsz.select(F.col("sid").alias("_bid"), "bsz"), "_bid")
-            .join(ssz.select(F.col("sid").alias("_sid"), "ssz"), "_sid")
+            pairs.join(
+                bsz.select(F.col("sid").alias("_bid"), F.col("rsz").alias("bsz")),
+                "_bid",
+            )
+            .join(
+                ssz.select(F.col("sid").alias("_sid"), F.col("rsz").alias("ssz")),
+                "_sid",
+            )
             .filter(
                 F.col("nc") / (F.col("bsz") + F.col("ssz") - F.col("nc"))
                 >= threshold
             )
             .select(F.col("_bid").alias(id_col))
-            .dropDuplicates([id_col])
         )
         b = b.join(flagged, id_col, "left_anti")
 
@@ -208,6 +221,25 @@ def shingle_df(
     )
 
 
+def informative_shingles(
+    sh: DataFrame, ok: DataFrame
+) -> tuple[DataFrame, DataFrame]:
+    """Apply a stop-shingle keep-set to an exploded shingle relation.
+
+    Returns ``(rare, sizes)``: the surviving shingle rows (cached — they
+    feed both the candidate-pair join and the size aggregate, and an
+    unpersisted two-consumer relation re-executes its upstream per
+    consumer) and the per-doc INFORMATIVE set size measured POST-filter.
+    Consistent filtering on both numerator and denominator is what keeps
+    identical docs at Jaccard 1.0 regardless of stop-shingle mass — the
+    single definition shared by :func:`ngram_jaccard_pairs` and
+    :func:`dedup_incremental` so the cap semantics cannot drift.
+    """
+    rare = sh.join(ok, "shingle").cache()
+    sizes = rare.groupBy("sid").agg(F.count("*").alias("rsz"))
+    return rare, sizes
+
+
 def ngram_jaccard_pairs(
     df: DataFrame,
     text_col: str = "text",
@@ -232,15 +264,13 @@ def ngram_jaccard_pairs(
     sh = shingle_df(df, text_col, id_col, n).cache()
 
     freq = sh.groupBy("shingle").agg(F.count("*").alias("df_"))
-    # cache rare: it feeds the pair self-join (both sides) AND the
-    # per-doc size aggregate; without it the freq join re-executes
-    rare = sh.join(freq.filter(F.col("df_") <= max_bucket), "shingle").cache()
-
     # per-doc INFORMATIVE set size (post-filter): a slim (sid, size)
     # aggregate with map-side combine, attached to the (few) surviving
     # pairs — never broadcast (a |docs|-row broadcast is a planner-forced
     # OOM at 10^9 docs), never riding the string shingle rows
-    rsz = rare.groupBy("sid").agg(F.count("*").alias("rsz"))
+    rare, rsz = informative_shingles(
+        sh, freq.filter(F.col("df_") <= max_bucket).select("shingle")
+    )
 
     a = rare.select(F.col("sid").alias("id_a"), "shingle")
     b = rare.select(F.col("sid").alias("id_b"), "shingle")
