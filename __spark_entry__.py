@@ -297,6 +297,112 @@ def q_o1_longest_first(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_wscan_battery(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """W2 page-change marker + W5 newest-first history in ONE gate slot
+    (recorded-cap discipline, same consolidation as the scalar/text/
+    pfilter batteries): both event-scan queries keep their original
+    logic verbatim — the battery just harmonizes columns, so every
+    branch stays individually value-checked by the merged oracle."""
+    w2 = q_w2_change_marker(spark, sf_dir).select(
+        F.lit("w2").alias("part"),
+        F.col("user_id").alias("k1"),
+        F.lit(None).cast("long").alias("k2"),
+        F.lit(None).cast("string").alias("etype"),
+        F.col("n_changes").alias("n"),
+    )
+    w5 = q_w5_history_latest(spark, sf_dir).select(
+        F.lit("w5").alias("part"),
+        F.col("event_id").alias("k1"),
+        F.col("user_id").alias("k2"),
+        F.col("event_type").alias("etype"),
+        F.lit(None).cast("long").alias("n"),
+    )
+    return w2.unionByName(w5)
+
+
+def q_probe_battery(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """J3 identity-fallback probe + O1 longest-first top-k in ONE gate
+    slot — both documents-table queries kept verbatim, columns
+    harmonized, each branch value-checked by the merged oracle."""
+    j3 = q_j3_left_join_fallback(spark, sf_dir).select(
+        F.lit("j3").alias("part"),
+        "doc_id",
+        "out_text",
+        F.lit(None).cast("long").alias("text_len"),
+    )
+    o1 = q_o1_longest_first(spark, sf_dir).select(
+        F.lit("o1").alias("part"),
+        "doc_id",
+        F.lit(None).cast("string").alias("out_text"),
+        "text_len",
+    )
+    return j3.unionByName(o1)
+
+
+_ASOF_BUCKET_US = 3_600_000_000  # 1-hour buckets, the skew knob
+
+
+def q_asof_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """As-of join (engine addition, operators/asof.py): attach the
+    latest preceding 'click' (payload: event id + integer cents) to
+    every 'purchase' per user, backward-inclusive at micros precision.
+    Full DuckDB oracle via its native ASOF LEFT JOIN over the identical
+    pre-aggregated build side (one row per (user, ts) by max payload
+    struct — removes DuckDB's unspecified same-ts winner, so both
+    engines are deterministic). All-BIGINT output (epoch micros +
+    cents): nothing type-fragile reaches the gate hash."""
+    from docling_translate_spark.operators.asof import asof_join
+
+    ev = _events(spark, sf_dir)
+    t = F.expr(
+        "timestampdiff(MICROSECOND, TIMESTAMP_NTZ '1970-01-01 00:00:00', ts)"
+    )
+    probe = ev.filter(F.col("event_type") == "purchase").select(
+        "event_id", "user_id", t.alias("t")
+    )
+    build = ev.filter(F.col("event_type") == "click").select(
+        "user_id",
+        t.alias("t"),
+        "event_id",
+        F.floor(F.col("value") * 100).cast("long").alias("cents"),
+    )
+    return asof_join(
+        probe, build, "user_id", "t", ["event_id", "cents"],
+        bucket_width=_ASOF_BUCKET_US,
+    )
+
+
+def q_hll_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Portable HLL cardinality sketch (engine addition,
+    operators/sketch.py): per-source distinct-text registers plus a
+    global distinct-token sketch (higher cardinality exercises the
+    rank distribution). Every emitted column is an exact integer —
+    registers from md5 nibbles, harmonic denominator as a BIGINT unit
+    sum — so the DuckDB oracle reproduces the sketch bit-for-bit."""
+    from docling_translate_spark.operators.sketch import hll_distinct
+
+    d = _docs(spark, sf_dir)
+    per_src = hll_distinct(d, "text", ["source"]).select(
+        F.lit("text").alias("scope"),
+        "source",
+        "v_zero",
+        "hll_units",
+        "hll_estimate",
+    )
+    toks = d.select(
+        F.lit("*").alias("source"),
+        F.explode(F.split(F.lower(F.trim("text")), r"\s+")).alias("tok"),
+    ).filter(F.col("tok") != "")
+    tok_sk = hll_distinct(toks, "tok", ["source"]).select(
+        F.lit("tokens").alias("scope"),
+        "source",
+        "v_zero",
+        "hll_units",
+        "hll_estimate",
+    )
+    return per_src.unionByName(tok_sk)
+
+
 def _sanitized_body() -> Column:
     """The sanitized-body trick (shared by extract_turns /
     a6_extraction_rollup / curation_pipeline oracles): lowercase,
@@ -1363,10 +1469,14 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "pfilter_battery": q_pfilter_battery,
         "dedup_incremental": q_dedup_incremental,
         "w1_rownum_order": q_w1_rownum_order,
-        "w2_change_marker": q_w2_change_marker,
+        # w2+w5 (events scans) and j3+o1 (documents probes) consolidate
+        # into two battery slots; the four originals ride at the tail
+        # and the freed slots go to the never-recorded asof_join and
+        # hll_distinct engine additions
+        "wscan_battery": q_wscan_battery,
         "j2_broadcast_join": q_j2_broadcast_join,
-        "j3_left_join_fallback": q_j3_left_join_fallback,
-        "o1_longest_first": q_o1_longest_first,
+        "probe_battery": q_probe_battery,
+        "asof_join": q_asof_join,
         "a6_extraction_rollup": q_a6_extraction_rollup,
         "extract_turns": q_extract_turns,
         "dedup_exact": q_dedup_exact,
@@ -1419,7 +1529,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "curation_pipeline": q_curation_pipeline,
         "media_features": q_media_features,
         "a7_per_kind_counter": q_a7_per_kind_counter,
-        "w5_history_latest": q_w5_history_latest,
+        "hll_distinct": q_hll_distinct,
         "t8_sentences": q_t8_sentences,
         "s1_format_detect": q_s1_format_detect,
         "s7_render_html": q_s7_render_html,
@@ -1447,7 +1557,66 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "token_counts": q_token_counts,
         "p3_boilerplate_strip": q_p3_boilerplate_strip,
         "p4_formula_detect": q_p4_formula_detect,
+        "w2_change_marker": q_w2_change_marker,
+        "w5_history_latest": q_w5_history_latest,
+        "j3_left_join_fallback": q_j3_left_join_fallback,
+        "o1_longest_first": q_o1_longest_first,
     }
+
+
+def _hll_oracle() -> str:
+    """DuckDB twin of ``q_hll_distinct``: the md5-nibble register
+    formula replayed from the operator's OWN constants (single source
+    of truth — M/RANK_CAP/EST_NUMERATOR imported, the numerator
+    embedded via Python repr so both engines divide the same double).
+    Register sums are exact BIGINTs, so the only float op is the one
+    final division — see operators/sketch.py for the portability
+    argument."""
+    from docling_translate_spark.operators.sketch import (
+        EST_NUMERATOR,
+        M,
+        RANK_CAP,
+        W_BITS,
+    )
+
+    def sketch(rel: str, group: str) -> str:
+        return f"""
+            SELECT {group} AS source,
+                   sum(CASE WHEN rank = 0 THEN 1 ELSE 0 END)::BIGINT AS v_zero,
+                   sum((2::BIGINT ** ({RANK_CAP} - rank))::BIGINT)::BIGINT AS hll_units,
+                   CAST(floor({EST_NUMERATOR!r} /
+                        sum((2::BIGINT ** ({RANK_CAP} - rank))::BIGINT)::BIGINT)
+                        AS BIGINT) AS hll_estimate
+            FROM (
+                SELECT a.source, a.bucket, coalesce(sp.rank, 0) AS rank
+                FROM (
+                    SELECT source, b.range AS bucket
+                    FROM (SELECT DISTINCT source FROM {rel}) s,
+                         range({M}) b
+                ) a LEFT JOIN (
+                    SELECT source,
+                           ('0x' || substr(md5(v), 1, 3))::UBIGINT::BIGINT AS bucket,
+                           max(least({RANK_CAP},
+                               {W_BITS + 1} - length(bin(
+                                   ('0x' || substr(md5(v), 4, 13))::UBIGINT::BIGINT
+                               )))) AS rank
+                    FROM {rel} WHERE v IS NOT NULL GROUP BY 1, 2
+                ) sp USING (source, bucket)
+            ) GROUP BY 1
+        """
+
+    return f"""
+        WITH txt AS (SELECT source, text AS v FROM documents),
+        tok AS (
+            SELECT '*' AS source, t.tok AS v
+            FROM documents,
+                 unnest(string_split_regex(lower(trim(text)), '\\s+')) AS t(tok)
+            WHERE t.tok <> ''
+        )
+        SELECT 'text' AS scope, * FROM ({sketch('txt', 'source')})
+        UNION ALL
+        SELECT 'tokens' AS scope, * FROM ({sketch('tok', 'source')})
+    """
 
 
 def _bm25_oracle() -> str:
@@ -2428,6 +2597,69 @@ w AS MATERIALIZED (
             WHERE prev_type IS NULL OR event_type <> prev_type
             GROUP BY user_id
         """,
+        # merged oracle for the wscan_battery slot: w2's lag CTE + w5's
+        # newest-first top-k, harmonized columns (each branch unchanged)
+        "wscan_battery": """
+            WITH lagged AS (
+                SELECT user_id, event_type,
+                       lag(event_type) OVER (PARTITION BY user_id
+                                             ORDER BY ts, event_id) AS prev_type
+                FROM events
+            )
+            SELECT 'w2' AS part, user_id AS k1, NULL::BIGINT AS k2,
+                   NULL::VARCHAR AS etype, count(*) AS n
+            FROM lagged
+            WHERE prev_type IS NULL OR event_type <> prev_type
+            GROUP BY user_id
+            UNION ALL
+            SELECT 'w5', event_id, user_id, event_type, NULL::BIGINT
+            FROM (
+                SELECT event_id, user_id, event_type
+                FROM events ORDER BY ts DESC, event_id LIMIT 20
+            )
+        """,
+        # merged oracle for the probe_battery slot: j3's left-join
+        # fallback + o1's longest-first top-k (each branch unchanged)
+        "probe_battery": """
+            WITH map_side AS (
+                SELECT DISTINCT text, '<<' || text || '>>' AS mapped
+                FROM documents WHERE lang = 'en'
+            )
+            SELECT 'j3' AS part, d.doc_id, coalesce(m.mapped, d.text) AS out_text,
+                   NULL::BIGINT AS text_len
+            FROM documents d LEFT JOIN map_side m ON d.text = m.text
+            UNION ALL
+            SELECT 'o1', doc_id, NULL::VARCHAR, text_len
+            FROM (
+                SELECT doc_id, length(text) AS text_len
+                FROM documents ORDER BY length(text) DESC, doc_id LIMIT 10
+            )
+        """,
+        # as-of join: DuckDB's native ASOF LEFT JOIN over the identical
+        # pre-aggregated build side (max payload struct per (user, ts)
+        # -> deterministic same-ts winner in both engines)
+        "asof_join": """
+            WITH p AS (
+                SELECT event_id, user_id, epoch_us(ts) AS t
+                FROM events WHERE event_type = 'purchase'
+            ), b AS (
+                SELECT user_id, t,
+                       max(struct_pack(event_id := event_id,
+                                       cents := cents)) AS pay
+                FROM (
+                    SELECT user_id, epoch_us(ts) AS t, event_id,
+                           CAST(floor(value * 100) AS BIGINT) AS cents
+                    FROM events WHERE event_type = 'click'
+                ) GROUP BY 1, 2
+            )
+            SELECT p.event_id, p.user_id, p.t,
+                   b.t AS asof_ts,
+                   (b.pay).event_id AS asof_event_id,
+                   (b.pay).cents AS asof_cents
+            FROM p ASOF LEFT JOIN b
+              ON p.user_id = b.user_id AND p.t >= b.t
+        """,
+        "hll_distinct": _hll_oracle(),
         "j2_broadcast_join": """
             SELECT c_mktsegment,
                    count(*) AS n_orders,

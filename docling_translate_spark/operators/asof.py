@@ -47,16 +47,27 @@ from __future__ import annotations
 
 from typing import Sequence
 
-from pyspark.sql import Column, DataFrame, Window
+from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
 __all__ = ["asof_join"]
 
 
-def _micros(c: Column) -> Column:
-    """Event-time as exact BIGINT microseconds (unix_micros for
-    timestamps; numeric columns are taken as already-integer time)."""
-    return F.unix_micros(c)
+def _micros(df: DataFrame, ts_col: str) -> "F.Column":
+    """Event-time as exact BIGINT microseconds. TIMESTAMP_NTZ is
+    measured against an NTZ epoch literal via timestampdiff — tz-free,
+    so the result never routes through the session timezone (the
+    convention every gate query on the events table follows; a plain
+    epoch cast would shift with the session tz). Integer columns are
+    taken as already-micros."""
+    dt = dict(df.dtypes)[ts_col]
+    if dt == "timestamp_ntz":
+        return F.expr(
+            f"timestampdiff(MICROSECOND, TIMESTAMP_NTZ '1970-01-01 00:00:00', `{ts_col}`)"
+        )
+    if dt == "timestamp":
+        return F.unix_micros(F.col(ts_col))
+    return F.col(ts_col).cast("long")
 
 
 def asof_join(
@@ -91,8 +102,8 @@ def asof_join(
     if reserved:
         raise ValueError(f"probe carries reserved columns: {reserved}")
 
-    t_probe = _micros(F.col(ts_col)).alias("_aj_t")
-    t_build = _micros(F.col(ts_col)).alias("_aj_t")
+    t_probe = _micros(probe, ts_col).alias("_aj_t")
+    t_build = _micros(build, ts_col).alias("_aj_t")
 
     # ONE build row per (key, ts): deterministic tie winner, and the
     # payload travels as a single struct from here on

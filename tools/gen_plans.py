@@ -113,6 +113,15 @@ def main() -> None:
     )
     profile = plan(corpus_profile(docs))
 
+    from docling_translate_spark.operators.asof import asof_join
+    from docling_translate_spark.operators.sketch import hll_distinct
+
+    ev_probe = spark.createDataFrame([(1, 1, 1)], "pid long, k long, ts long")
+    ev_build = spark.createDataFrame([(1, 1, 1)], "k long, ts long, v long")
+    asof = plan(asof_join(ev_probe, ev_build, "k", "ts", ["v"], bucket_width=10))
+
+    hll = plan(hll_distinct(docs.selectExpr("source", "text"), "text", ["source"]))
+
     from docling_translate_spark.pipeline import CurationConfig, curate_turns
 
     blocklist = spark.createDataFrame([("blocked.example",)], ["domain"])
@@ -351,6 +360,33 @@ decisions in integer arithmetic.
 
 ```
 {profile}
+```
+
+## As-of join (`asof_join`)
+
+The temporal join WITHOUT the hot-key melt: the event-level Window
+partitions by (key, time-bucket) — task size capped by
+rows-per-key-per-bucket, never a whole key in one sort — and the only
+key-alone Window runs over the slim per-bucket build summaries (an
+aggregation's output: one row per non-empty bucket, `partial_max`
+below its exchange). Probe rows rejoin the carry values on (key,
+bucket). No Python anywhere.
+
+```
+{asof}
+```
+
+## Portable HLL sketch (`hll_distinct`)
+
+Register build is one map-side-combined aggregate over md5-nibble
+expressions (a group's 10^10 values become ≤ 4096 register rows per
+task before the exchange); the dense axis is a broadcast of
+`range(4096)` against the distinct groups; the estimator is a second
+tiny aggregate over register rows with exact BIGINT unit sums. No
+Python, no Window, nothing bigger than (groups × 4096) ever shuffles.
+
+```
+{hll}
 ```
 
 Notes:
