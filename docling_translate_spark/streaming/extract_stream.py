@@ -69,6 +69,54 @@ def stream_dedup(stream: DataFrame, within: str = "10 minutes") -> DataFrame:
     )
 
 
+def stream_ingest_dedup(
+    stream: DataFrame,
+    seen: DataFrame,
+    text_col: str = "text",
+    ts_col: str = "ts",
+    within: str = "10 minutes",
+) -> DataFrame:
+    """Streaming twin of ``operators/dedup.py::dedup_incremental``'s
+    exact stages — the continuous-crawl ingest gate as a live stream
+    instead of periodic batches:
+
+    1. WITHIN-STREAM exact: ``dropDuplicatesWithinWatermark`` keyed on
+       the md5 content fingerprint — the first arrival of a text wins
+       (arrival order replaces the batch op's min-id tie-break, the
+       honest semantics for an unbounded stream), and state is bounded
+       by (arrival rate × horizon) because fingerprint entries evict
+       once the watermark passes.
+    2. EXACT vs snapshot: a stream-static LEFT ANTI join against the
+       committed snapshot's slim hash column (``text_hash`` accepted
+       directly, the ``exact_dedup`` output convention). Stream-static
+       anti joins are a supported stateless shape: the static side is
+       re-planned per micro-batch, so a snapshot commit between batches
+       is picked up without restarting the query.
+
+    Stage 3 (cross-corpus near-dup) deliberately stays batch-side: a
+    corpus-scale shingle join is not a supported streaming shape, and
+    the design point is the same as the batch operator's — admitted
+    rows land in the next snapshot, and the periodic compaction job
+    runs the full :func:`..operators.dedup.dedup_incremental` gate.
+
+    Rows with NULL ``text_col`` are dropped (md5(NULL) is NULL — the
+    batch op's documented ingest-gate behavior, made explicit here
+    because NULL watermark keys would otherwise pass through).
+    """
+    fp = F.md5(F.col(text_col))
+    b = (
+        stream.filter(F.col(text_col).isNotNull())
+        .withColumn("_fp", fp)
+        .withWatermark(ts_col, within)
+        .dropDuplicatesWithinWatermark(["_fp"])
+    )
+    if "text_hash" in seen.columns and text_col not in seen.columns:
+        seen_fp = seen.select(F.col("text_hash").alias("_fp"))
+    else:
+        seen_fp = seen.select(F.md5(F.col(text_col)).alias("_fp"))
+    return b.join(seen_fp, "_fp", "left_anti").drop("_fp")
+
+
 def stream_metrics(stream: DataFrame) -> DataFrame:
     """Watermarked per-minute ingest metrics (late turns ≤ 2 minutes) —
     the streaming stand-in for the reference's progress callback."""

@@ -137,3 +137,75 @@ def test_stream_extract_rich_schema_matches_batch(spark):
     assert got == batch
     assert got[("c1", 1)][1] == 1  # caption-only turn carries one span
     assert "Figure 1: cap" in got[("c1", 0)][0]
+
+def test_stream_ingest_dedup(spark, transcript_dir):
+    """The streaming ingest gate: within-stream content duplicates
+    collapse, snapshot texts are rejected, NULL texts are dropped, and
+    the admitted TEXT set equals the batch dedup_incremental gate's
+    (near_dup=False) on the identical batch∪snapshot split."""
+    import datetime
+    import shutil
+
+    from pyspark.sql import functions as F
+
+    from docling_translate_spark.operators.dedup import dedup_incremental
+    from docling_translate_spark.streaming.extract_stream import (
+        stream_ingest_dedup,
+    )
+
+    src = transcript_dir + "/ingest_in"
+    shutil.rmtree(src, ignore_errors=True)
+    t0 = datetime.datetime(2024, 1, 1, 0, 0, 0)
+    mk = lambda rows: spark.createDataFrame(  # noqa: E731
+        [("c", i, "user", txt, None, t0) for i, txt in enumerate(rows, start)],
+        TRANSCRIPT_SCHEMA,
+    )
+    start = 0
+    batch_rows = ["fresh one", "fresh two", "dup text", "dup text",
+                  "snapped text", None]
+    mk(batch_rows).coalesce(1).write.mode("overwrite").parquet(src)
+    seen = spark.createDataFrame(
+        [(100, "snapped text"), (101, "old text")], "doc_id long, text string"
+    )
+
+    stream = read_transcript_stream(spark, src, max_files_per_trigger=8)
+    q = (
+        stream_ingest_dedup(stream, seen)
+        .writeStream.format("memory")
+        .queryName("ingest_stream")
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    got = sorted(
+        r["text"] for r in spark.sql("select text from ingest_stream").collect()
+    )
+    assert got == ["dup text", "fresh one", "fresh two"]
+
+    # equivalence with the batch gate on the same split (text sets —
+    # the batch op tie-breaks by min id, the stream by arrival order)
+    b = spark.createDataFrame(
+        [(i, t) for i, t in enumerate(batch_rows)], "doc_id long, text string"
+    )
+    batch_admitted = sorted(
+        r["text"]
+        for r in dedup_incremental(b, seen, near_dup=False).collect()
+    )
+    assert batch_admitted == got
+
+    # hash-only snapshot path (the at-scale shape: hashes, not text)
+    seen_h = seen.select("doc_id", F.md5("text").alias("text_hash"))
+    q2 = (
+        stream_ingest_dedup(read_transcript_stream(spark, src), seen_h)
+        .writeStream.format("memory")
+        .queryName("ingest_stream_h")
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q2.awaitTermination(120)
+    got_h = sorted(
+        r["text"] for r in spark.sql("select text from ingest_stream_h").collect()
+    )
+    assert got_h == got
