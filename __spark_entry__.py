@@ -403,6 +403,64 @@ def q_hll_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
     return per_src.unionByName(tok_sk)
 
 
+def q_embeddup_battery(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact cosine near-dup + LSH near-dup pairs in ONE gate slot
+    (recorded-cap discipline, same consolidation as the probe/wscan
+    batteries): both embeddings-table queries keep their original
+    logic verbatim — identical (id_a, id_b) schemas, so the battery is
+    a plain tagged union and each branch stays individually
+    value-checked by the merged oracle."""
+    ex = q_embed_near_dup_exact(spark, sf_dir).select(
+        F.lit("exact").alias("part"), "id_a", "id_b"
+    )
+    ls = q_embed_near_dup(spark, sf_dir).select(
+        F.lit("lsh").alias("part"), "id_a", "id_b"
+    )
+    return ex.unionByName(ls)
+
+
+def q_bloom_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Portable Bloom membership sketch (engine addition,
+    operators/sketch.py): build the sparse md5-slice bitmap over the
+    distinct tokens of every third document, then probe the distinct
+    tokens of the WHOLE corpus against it. Both the filter words
+    (word, bit_or mask) and the per-token maybe-bit are emitted, so
+    the DuckDB oracle value-checks the bitmap bit-for-bit AND the
+    probe semantics including any false positives (deterministic —
+    both engines replay the identical md5 slices)."""
+    from docling_translate_spark.operators.sketch import (
+        bloom_build,
+        bloom_probe,
+    )
+
+    d = _docs(spark, sf_dir)
+    toks = d.select(
+        "doc_id",
+        F.explode(F.split(F.lower(F.trim("text")), r"\s+")).alias("tok"),
+    ).filter(F.col("tok") != "")
+    build_toks = (
+        toks.filter(F.col("doc_id") % 3 == 0).select("tok").distinct()
+    )
+    # five consumers (words branch + k probe broadcasts): cache the
+    # ≤32k-row bitmap so the token aggregation lineage runs once
+    flt = bloom_build(build_toks, "tok").cache()
+    words = flt.select(
+        F.lit("w").alias("part"),
+        "word",
+        "mask",
+        F.lit(None).cast("string").alias("tok"),
+        F.lit(None).cast("long").alias("maybe"),
+    )
+    probed = bloom_probe(toks.select("tok").distinct(), flt, "tok").select(
+        F.lit("p").alias("part"),
+        F.lit(None).cast("long").alias("word"),
+        F.lit(None).cast("long").alias("mask"),
+        "tok",
+        F.col("bloom_maybe").alias("maybe"),
+    )
+    return words.unionByName(probed)
+
+
 def _sanitized_body() -> Column:
     """The sanitized-body trick (shared by extract_turns /
     a6_extraction_rollup / curation_pipeline oracles): lowercase,
@@ -1486,7 +1544,12 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dedup_components": q_dedup_components,
         "dedup_segments": q_dedup_segments,
         "ann_topk": q_ann_topk,
-        "embed_near_dup_exact": q_embed_near_dup_exact,
+        # embed_near_dup_exact + embed_near_dup (both r3-green,
+        # identical (id_a, id_b) schemas) consolidate into
+        # embeddup_battery — one recorded slot carries both rows'
+        # pairs verbatim; the originals ride at the tail and the freed
+        # slot goes to the never-recorded bloom_filter sketch
+        "embeddup_battery": q_embeddup_battery,
         "ann_lsh": q_ann_lsh,
         "ann_ivf": q_ann_ivf,
         # lang_id / quality_scores / token_counts (all r3-green)
@@ -1524,7 +1587,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # rides at the tail so the never-yet-recorded winnow_fingerprints
         # and bm25_topk both sit inside the cap.
         "w_window_agg": q_w_window_agg,
-        "embed_near_dup": q_embed_near_dup,
+        "bloom_filter": q_bloom_filter,
         "s10_history_parse": q_s10_history_parse,
         "curation_pipeline": q_curation_pipeline,
         "media_features": q_media_features,
@@ -1545,6 +1608,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "scalar_battery": q_scalar_battery,
         # --- entries 51+: recorded by `make oracle`, not the driver ---
         "a1_distinct_dedup": q_a1_distinct_dedup,
+        "embed_near_dup_exact": q_embed_near_dup_exact,
+        "embed_near_dup": q_embed_near_dup,
         "winnow_pairs": q_winnow_pairs,
         "ann_topk_small": q_ann_topk_small,
         "s8_embed_media": q_s8_embed_media,
@@ -1616,6 +1681,64 @@ def _hll_oracle() -> str:
         SELECT 'text' AS scope, * FROM ({sketch('txt', 'source')})
         UNION ALL
         SELECT 'tokens' AS scope, * FROM ({sketch('tok', 'source')})
+    """
+
+
+def _bloom_oracle() -> str:
+    """DuckDB twin of ``q_bloom_filter``: the md5-slice Bloom formula
+    replayed from the operator's OWN constants (same single-source
+    discipline as ``_hll_oracle``). Positions are 5-nibble hex slices
+    read exactly (no modulo), words are ``pos // 32`` with bit_or'd
+    positive BIGINT masks, and the probe's maybe-bit is the AND over
+    the k per-slice checks — bit-for-bit the distributed plan,
+    including any (deterministic) false positives."""
+    from docling_translate_spark.operators.sketch import (
+        BLOOM_K,
+        BLOOM_WORD_BITS,
+    )
+
+    wb = BLOOM_WORD_BITS
+    return f"""
+        WITH tokd AS (
+            SELECT DISTINCT doc_id, t.tok
+            FROM documents,
+                 unnest(string_split_regex(lower(trim(text)), '\\s+')) AS t(tok)
+            WHERE t.tok <> ''
+        ),
+        build_toks AS (SELECT DISTINCT tok FROM tokd WHERE doc_id % 3 = 0),
+        probe_toks AS (SELECT DISTINCT tok FROM tokd),
+        build_pos AS (
+            SELECT ('0x' || substr(md5(tok), 1 + 5 * i.range, 5))
+                       ::UBIGINT::BIGINT AS pos
+            FROM build_toks, range({BLOOM_K}) i
+        ),
+        words AS (
+            SELECT pos // {wb} AS word,
+                   bit_or((2::BIGINT ** (pos % {wb}))::BIGINT)::BIGINT AS mask
+            FROM build_pos GROUP BY 1
+        ),
+        probe_pos AS (
+            SELECT tok,
+                   ('0x' || substr(md5(tok), 1 + 5 * i.range, 5))
+                       ::UBIGINT::BIGINT AS pos
+            FROM probe_toks, range({BLOOM_K}) i
+        ),
+        probe AS (
+            SELECT p.tok,
+                   min(CASE WHEN (coalesce(w.mask, 0)
+                                  & (2::BIGINT ** (p.pos % {wb}))::BIGINT)
+                                 = (2::BIGINT ** (p.pos % {wb}))::BIGINT
+                            THEN 1 ELSE 0 END)::BIGINT AS maybe
+            FROM probe_pos p LEFT JOIN words w ON w.word = p.pos // {wb}
+            GROUP BY 1
+        )
+        SELECT 'w' AS part, word, mask,
+               NULL::VARCHAR AS tok, NULL::BIGINT AS maybe
+        FROM words
+        UNION ALL
+        SELECT 'p' AS part, NULL::BIGINT AS word, NULL::BIGINT AS mask,
+               tok, maybe
+        FROM probe
     """
 
 
@@ -3818,4 +3941,15 @@ w AS MATERIALIZED (
     sql["bm25_topk"] = _bm25_oracle()
     sql["layout_order"] = _layout_oracle()
     sql["dom_tokens"] = _dom_tokens_oracle()
+    # embeddup_battery = tagged union of the two embedding near-dup
+    # oracles VERBATIM (single source of truth — a battery branch can
+    # never drift from the standalone query it consolidates)
+    sql["embeddup_battery"] = (
+        "SELECT 'exact' AS part, id_a, id_b FROM ("
+        + sql["embed_near_dup_exact"]
+        + ") UNION ALL SELECT 'lsh' AS part, id_a, id_b FROM ("
+        + sql["embed_near_dup"]
+        + ")"
+    )
+    sql["bloom_filter"] = _bloom_oracle()
     return sql

@@ -47,7 +47,17 @@ from typing import Sequence
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
-__all__ = ["hll_registers", "hll_merge", "hll_estimate", "hll_distinct", "hll_corrected"]
+__all__ = [
+    "hll_registers",
+    "hll_merge",
+    "hll_estimate",
+    "hll_distinct",
+    "hll_corrected",
+    "bloom_build",
+    "bloom_merge",
+    "bloom_probe",
+    "bloom_decontaminate",
+]
 
 M = 4096  # registers (p = 12 bits, nibble-aligned so bucket = 3 hex chars)
 RANK_CAP = 38
@@ -154,6 +164,209 @@ def hll_distinct(
 ) -> DataFrame:
     """Registers + estimate in one call (fresh sketch over ``df``)."""
     return hll_estimate(hll_registers(df, value_col, group_cols), group_cols)
+
+
+# --------------------------------------------------------------------
+# Portable Bloom membership filter
+#
+# The companion sketch to HLL above: HLL answers "how many distinct",
+# the Bloom filter answers "have we (maybe) seen THIS one" in constant
+# space — the membership primitive a 10^12-turn pipeline needs wherever
+# the exact seen-set is too big to broadcast but a 128 KB bitmap is
+# not: eval-set n-gram decontamination (``bloom_decontaminate``),
+# crawl-frontier "URL already fetched", snapshot "fingerprint already
+# committed" prechecks ahead of the exact anti-join.
+#
+# Same portability constraint as HLL: every position derives from md5
+# nibbles so any engine reproduces the filter bit-for-bit.
+#
+# - m = 2^20 bits (BLOOM_BITS); each hash position is FIVE md5 hex
+#   nibbles read directly as a 20-bit integer — no modulo, so there is
+#   no modulo bias and no cross-engine integer-division question.
+# - k ≤ 6 positions per value, from DISJOINT 5-nibble slices of the
+#   one md5 (30 of 32 nibbles at k = 6) — independent enough for the
+#   standard fpr formula (1 - e^(-kn/m))^k: ~0.24 % at n = 65k, k = 4.
+# - The bitmap is a SPARSE relation (word BIGINT, mask BIGINT): 32-bit
+#   words so every mask = 2^bit is a positive BIGINT in any engine
+#   (no sign-bit trap at bit 63), bit_or-aggregated, absent word = 0.
+#   Map-side combine collapses each task's positions before the
+#   exchange; the filter is ≤ 32,768 rows (≈0.5 MB) per group forever.
+# - Mergeable: union + bit_or per word (``bloom_merge``) — the same
+#   committed-snapshot recipe as ``hll_merge``.
+# - NO false negatives (an inserted value always probes 1), so a bloom
+#   precheck ahead of an exact join is LOSSLESS for the exact result —
+#   that is the two-tier ``bloom_decontaminate`` contract.
+# --------------------------------------------------------------------
+
+BLOOM_BITS = 1 << 20  # m (5 hex nibbles per position, read exactly)
+BLOOM_K = 4
+_BLOOM_MAX_K = 6  # 6 disjoint 5-nibble slices fit md5's 32 nibbles
+BLOOM_WORD_BITS = 32  # masks stay positive BIGINTs in every engine
+
+
+def _bloom_positions(col, k: int) -> list:
+    """k 20-bit positions from disjoint 5-nibble slices of one md5."""
+    if not 1 <= k <= _BLOOM_MAX_K:
+        raise ValueError(f"k must be in [1, {_BLOOM_MAX_K}], got {k}")
+    h = F.md5(col)
+    return [
+        F.conv(F.substring(h, 1 + 5 * i, 5), 16, 10).cast("long")
+        for i in range(k)
+    ]
+
+
+def _word(pos) -> "F.Column":
+    return F.shiftright(pos, 5)  # pos // 32
+
+
+def _mask(pos) -> "F.Column":
+    # 2^(pos % 32): exact in double up to 2^52, exact BIGINT cast
+    return F.pow(F.lit(2.0), pos % BLOOM_WORD_BITS).cast("long")
+
+
+def bloom_build(
+    df: DataFrame,
+    value_col: str,
+    group_cols: Sequence[str] = (),
+    k: int = BLOOM_K,
+) -> DataFrame:
+    """Sparse Bloom bitmap over ``value_col``: one row per touched
+    (group, word) with ``mask`` = bit_or of the set bits. NULL values
+    insert nothing (md5(NULL) is NULL — same convention as HLL)."""
+    group_cols = list(group_cols)
+    pos_rows = (
+        df.filter(F.col(value_col).isNotNull())
+        .select(
+            *group_cols,
+            F.explode(
+                F.array(*_bloom_positions(F.col(value_col), k))
+            ).alias("_pos"),
+        )
+    )
+    return (
+        pos_rows.select(
+            *group_cols,
+            _word(F.col("_pos")).alias("word"),
+            _mask(F.col("_pos")).alias("mask"),
+        )
+        .groupBy(*group_cols, "word")
+        .agg(F.bit_or("mask").alias("mask"))
+    )
+
+
+def bloom_merge(*filters: DataFrame) -> DataFrame:
+    """Merge sparse bitmaps (same schema, same m/k) by bit_or per
+    (group, word) — lossless vs building over the unioned raw data."""
+    if not filters:
+        raise ValueError("need at least one filter")
+    u = filters[0]
+    for t in filters[1:]:
+        u = u.unionByName(t)
+    keys = [c for c in u.columns if c != "mask"]
+    return u.groupBy(*keys).agg(F.bit_or("mask").alias("mask"))
+
+
+def bloom_probe(
+    candidates: DataFrame,
+    flt: DataFrame,
+    value_col: str,
+    group_cols: Sequence[str] = (),
+    k: int = BLOOM_K,
+    out_col: str = "bloom_maybe",
+) -> DataFrame:
+    """Membership probe: ``out_col`` = 1 iff ALL k bits of
+    ``value_col`` are set in ``flt`` ("maybe seen" — false positives
+    possible at the fpr above, false negatives never). NULL values
+    probe 0.
+
+    Scale shape: k broadcast LEFT joins on the word key — the
+    candidate side never shuffles and never aggregates, so the probe
+    is a map-side-only decoration at any corpus size (the filter is
+    ≤ 0.5 MB per group by construction). ``k`` must equal the build's.
+    """
+    group_cols = list(group_cols)
+    positions = _bloom_positions(F.col(value_col), k)
+    out = candidates
+    checks = []
+    for i, pos in enumerate(positions):
+        out = out.withColumn(f"_bw{i}", _word(pos)).withColumn(
+            f"_bm{i}", _mask(pos)
+        )
+        fi = flt.select(
+            *[F.col(g).alias(f"_bg{i}_{j}") for j, g in enumerate(group_cols)],
+            F.col("word").alias(f"_bfw{i}"),
+            F.col("mask").alias(f"_bfm{i}"),
+        )
+        cond = out[f"_bw{i}"] == fi[f"_bfw{i}"]
+        for j, g in enumerate(group_cols):
+            cond = cond & (out[g] == fi[f"_bg{i}_{j}"])
+        out = out.join(F.broadcast(fi), cond, "left").drop(
+            f"_bfw{i}", *[f"_bg{i}_{j}" for j in range(len(group_cols))]
+        )
+        checks.append(
+            F.coalesce(F.col(f"_bfm{i}"), F.lit(0).cast("long"))
+            .bitwiseAND(F.col(f"_bm{i}"))
+            == F.col(f"_bm{i}")
+        )
+    hit = checks[0]
+    for c in checks[1:]:
+        hit = hit & c
+    out = out.withColumn(
+        out_col,
+        F.when(F.col(value_col).isNull(), F.lit(0))
+        .otherwise(hit.cast("int"))
+        .cast("long"),
+    )
+    drop = [f"_bw{i}" for i in range(k)] + [f"_bm{i}" for i in range(k)]
+    drop += [f"_bfm{i}" for i in range(k)]
+    return out.drop(*drop)
+
+
+def bloom_decontaminate(
+    df: DataFrame,
+    eval_df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    eval_text_col: str = "text",
+    eval_id_col: str = "doc_id",
+    n: int = 8,
+    min_hits: int = 1,
+    k: int = BLOOM_K,
+) -> DataFrame:
+    """Two-tier benchmark decontamination: a Bloom precheck over the
+    eval set's n-gram shingles, then the EXACT
+    :func:`..dedup.decontaminate` inverted-index join over only the
+    candidate docs. Bit-identical output to the exact operator alone
+    (no false negatives ⇒ the precheck is lossless; pytest-pinned).
+
+    When it wins: the exact path's join build side is the eval shingle
+    set — fine while AQE can broadcast it, a real shuffle once the eval
+    suite is tens of GB. The bloom is 128 KB regardless, so tier one is
+    k broadcast joins the training corpus flows through MAP-SIDE ONLY;
+    the only corpus-wide exchange is the candidate-id semi-join on doc
+    ids, and tier two's shuffle carries candidate docs, not the corpus.
+    """
+    from .dedup import decontaminate, shingle_df
+
+    ev_shingles = shingle_df(eval_df, eval_text_col, eval_id_col, n).select(
+        "shingle"
+    )
+    # the probe's k broadcast exchanges each re-plan the filter lineage
+    # (their projections differ, so Spark cannot ReusedExchange them) —
+    # cache the ≤32k-row bitmap so the eval-shingle aggregation runs once
+    flt = bloom_build(ev_shingles, "shingle", (), k).cache()
+    train_shingles = shingle_df(df, text_col, id_col, n)
+    candidate_ids = (
+        bloom_probe(train_shingles, flt, "shingle", (), k)
+        .filter(F.col("bloom_maybe") == 1)
+        .select(F.col("sid").alias(id_col))
+        .distinct()
+    )
+    candidates = df.join(candidate_ids, id_col, "left_semi")
+    return decontaminate(
+        candidates, eval_df, text_col, id_col, eval_text_col, eval_id_col,
+        n=n, min_hits=min_hits,
+    )
 
 
 def hll_corrected(row_estimate: int, v_zero: int) -> float:
