@@ -122,6 +122,11 @@ def main() -> None:
 
     hll = plan(hll_distinct(docs.selectExpr("source", "text"), "text", ["source"]))
 
+    from docling_translate_spark.operators.sketch import bloom_build, bloom_probe
+
+    bloom_flt = bloom_build(docs.filter(F.col("doc_id") % 3 == 0), "text")
+    bloom = plan(bloom_probe(docs.selectExpr("doc_id", "text"), bloom_flt, "text"))
+
     from docling_translate_spark.pipeline import CurationConfig, curate_turns
 
     blocklist = spark.createDataFrame([("blocked.example",)], ["domain"])
@@ -387,6 +392,20 @@ Python, no Window, nothing bigger than (groups × 4096) ever shuffles.
 
 ```
 {hll}
+```
+
+## Portable Bloom filter (`bloom_probe`)
+
+The membership probe is k BroadcastHashJoins on the word key — the
+candidate side never shuffles and never aggregates (a map-side-only
+decoration at any corpus size); the only exchanges in the plan belong
+to the filter build's bit_or aggregation, bounded by the 32k-word
+bitmap, and they feed broadcast exchanges, never a shuffle of the
+probe side. Masks are `pow(2, pos % 32)` BIGINT expressions in
+codegen; no Python, no Window.
+
+```
+{bloom}
 ```
 
 Notes:
