@@ -372,6 +372,17 @@ def q_asof_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _ws_tokens(d: DataFrame) -> DataFrame:
+    """Whitespace token rows (doc_id, tok), empty tokens dropped — the
+    ONE tokenization shared by q_hll_distinct and q_bloom_filter so
+    the two queries' definition of "token" cannot drift (SQL twin:
+    ``_TOKEN_ROWS_SQL``, shared by both oracles)."""
+    return d.select(
+        "doc_id",
+        F.explode(F.split(F.lower(F.trim("text")), r"\s+")).alias("tok"),
+    ).filter(F.col("tok") != "")
+
+
 def q_hll_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Portable HLL cardinality sketch (engine addition,
     operators/sketch.py): per-source distinct-text registers plus a
@@ -389,10 +400,7 @@ def q_hll_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
         "hll_units",
         "hll_estimate",
     )
-    toks = d.select(
-        F.lit("*").alias("source"),
-        F.explode(F.split(F.lower(F.trim("text")), r"\s+")).alias("tok"),
-    ).filter(F.col("tok") != "")
+    toks = _ws_tokens(d).select(F.lit("*").alias("source"), "tok")
     tok_sk = hll_distinct(toks, "tok", ["source"]).select(
         F.lit("tokens").alias("scope"),
         "source",
@@ -434,10 +442,7 @@ def q_bloom_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
     d = _docs(spark, sf_dir)
-    toks = d.select(
-        "doc_id",
-        F.explode(F.split(F.lower(F.trim("text")), r"\s+")).alias("tok"),
-    ).filter(F.col("tok") != "")
+    toks = _ws_tokens(d)
     build_toks = (
         toks.filter(F.col("doc_id") % 3 == 0).select("tok").distinct()
     )
@@ -1629,6 +1634,16 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     }
 
 
+# DuckDB twin of ``_ws_tokens`` — the ONE token-row definition shared
+# by the hll_distinct and bloom_filter oracles (gate-proven \s+ split)
+_TOKEN_ROWS_SQL = """
+    SELECT doc_id, t.tok AS tok
+    FROM documents,
+         unnest(string_split_regex(lower(trim(text)), '\\s+')) AS t(tok)
+    WHERE t.tok <> ''
+"""
+
+
 def _hll_oracle() -> str:
     """DuckDB twin of ``q_hll_distinct``: the md5-nibble register
     formula replayed from the operator's OWN constants (single source
@@ -1673,10 +1688,7 @@ def _hll_oracle() -> str:
     return f"""
         WITH txt AS (SELECT source, text AS v FROM documents),
         tok AS (
-            SELECT '*' AS source, t.tok AS v
-            FROM documents,
-                 unnest(string_split_regex(lower(trim(text)), '\\s+')) AS t(tok)
-            WHERE t.tok <> ''
+            SELECT '*' AS source, tok AS v FROM ({_TOKEN_ROWS_SQL})
         )
         SELECT 'text' AS scope, * FROM ({sketch('txt', 'source')})
         UNION ALL
@@ -1700,10 +1712,7 @@ def _bloom_oracle() -> str:
     wb = BLOOM_WORD_BITS
     return f"""
         WITH tokd AS (
-            SELECT DISTINCT doc_id, t.tok
-            FROM documents,
-                 unnest(string_split_regex(lower(trim(text)), '\\s+')) AS t(tok)
-            WHERE t.tok <> ''
+            SELECT DISTINCT doc_id, tok FROM ({_TOKEN_ROWS_SQL})
         ),
         build_toks AS (SELECT DISTINCT tok FROM tokd WHERE doc_id % 3 = 0),
         probe_toks AS (SELECT DISTINCT tok FROM tokd),

@@ -202,6 +202,15 @@ BLOOM_BITS = 1 << 20  # m (5 hex nibbles per position, read exactly)
 BLOOM_K = 4
 _BLOOM_MAX_K = 6  # 6 disjoint 5-nibble slices fit md5's 32 nibbles
 BLOOM_WORD_BITS = 32  # masks stay positive BIGINTs in every engine
+# single source for the word split: shift derives from the word width
+# so operator, oracle, and test replay cannot desync if it changes
+_BLOOM_WORD_SHIFT = BLOOM_WORD_BITS.bit_length() - 1
+if 1 << _BLOOM_WORD_SHIFT != BLOOM_WORD_BITS:
+    raise AssertionError("BLOOM_WORD_BITS must be a power of two")
+# k is carried as column metadata on ``mask`` so a probe with a
+# different k than the build's is rejected instead of silently
+# producing false negatives (positions never inserted probe 0)
+_BLOOM_META_K = "bloom_k"
 
 
 def _bloom_positions(col, k: int) -> list:
@@ -216,7 +225,14 @@ def _bloom_positions(col, k: int) -> list:
 
 
 def _word(pos) -> "F.Column":
-    return F.shiftright(pos, 5)  # pos // 32
+    return F.shiftright(pos, _BLOOM_WORD_SHIFT)  # pos // BLOOM_WORD_BITS
+
+
+def _flt_k(flt: DataFrame):
+    """k recorded on a filter's mask column at build time (None for
+    filters that lost metadata through a transformation)."""
+    md = flt.schema["mask"].metadata or {}
+    return md.get(_BLOOM_META_K)
 
 
 def _mask(pos) -> "F.Column":
@@ -232,7 +248,11 @@ def bloom_build(
 ) -> DataFrame:
     """Sparse Bloom bitmap over ``value_col``: one row per touched
     (group, word) with ``mask`` = bit_or of the set bits. NULL values
-    insert nothing (md5(NULL) is NULL — same convention as HLL)."""
+    insert nothing (md5(NULL) is NULL — same convention as HLL); NULL
+    GROUP keys are a real group (groupBy keeps them), and
+    :func:`bloom_probe` matches them null-safely, so values inserted
+    under a NULL group never false-negative. ``k`` is recorded as
+    column metadata so a mismatched probe is rejected."""
     group_cols = list(group_cols)
     pos_rows = (
         df.filter(F.col(value_col).isNotNull())
@@ -251,19 +271,28 @@ def bloom_build(
         )
         .groupBy(*group_cols, "word")
         .agg(F.bit_or("mask").alias("mask"))
+        .withMetadata("mask", {_BLOOM_META_K: k})
     )
 
 
 def bloom_merge(*filters: DataFrame) -> DataFrame:
     """Merge sparse bitmaps (same schema, same m/k) by bit_or per
-    (group, word) — lossless vs building over the unioned raw data."""
+    (group, word) — lossless vs building over the unioned raw data.
+    Inputs built with different ``k`` are rejected (their bitmaps are
+    not comparable); the common ``k`` is re-stamped on the output."""
     if not filters:
         raise ValueError("need at least one filter")
+    ks = {_flt_k(t) for t in filters} - {None}
+    if len(ks) > 1:
+        raise ValueError(f"cannot merge filters built with different k: {ks}")
     u = filters[0]
     for t in filters[1:]:
         u = u.unionByName(t)
     keys = [c for c in u.columns if c != "mask"]
-    return u.groupBy(*keys).agg(F.bit_or("mask").alias("mask"))
+    merged = u.groupBy(*keys).agg(F.bit_or("mask").alias("mask"))
+    if ks:
+        merged = merged.withMetadata("mask", {_BLOOM_META_K: ks.pop()})
+    return merged
 
 
 def bloom_probe(
@@ -282,9 +311,17 @@ def bloom_probe(
     Scale shape: k broadcast LEFT joins on the word key — the
     candidate side never shuffles and never aggregates, so the probe
     is a map-side-only decoration at any corpus size (the filter is
-    ≤ 0.5 MB per group by construction). ``k`` must equal the build's.
+    ≤ 0.5 MB per group by construction). ``k`` must equal the build's:
+    when the filter still carries its build-time metadata a mismatch
+    raises (probing positions never inserted would false-negative).
+    Group keys match NULL-SAFELY, so NULL-group inserts probe 1.
     """
     group_cols = list(group_cols)
+    built_k = _flt_k(flt)
+    if built_k is not None and built_k != k:
+        raise ValueError(
+            f"filter was built with k={built_k}, probe requested k={k}"
+        )
     positions = _bloom_positions(F.col(value_col), k)
     out = candidates
     checks = []
@@ -299,7 +336,8 @@ def bloom_probe(
         )
         cond = out[f"_bw{i}"] == fi[f"_bfw{i}"]
         for j, g in enumerate(group_cols):
-            cond = cond & (out[g] == fi[f"_bg{i}_{j}"])
+            # null-safe: a NULL group key is a real group in the build
+            cond = cond & out[g].eqNullSafe(fi[f"_bg{i}_{j}"])
         out = out.join(F.broadcast(fi), cond, "left").drop(
             f"_bfw{i}", *[f"_bg{i}_{j}" for j in range(len(group_cols))]
         )

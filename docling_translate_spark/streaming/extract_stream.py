@@ -102,7 +102,16 @@ def stream_ingest_dedup(
     Rows with NULL ``text_col`` are dropped (md5(NULL) is NULL — the
     batch op's documented ingest-gate behavior, made explicit here
     because NULL watermark keys would otherwise pass through).
+
+    Like the batch op, the stream must not carry a column named
+    ``_fp`` (reserved; ValueError) — silently clobbering it would lose
+    user data where the batch twin fails loudly.
     """
+    if "_fp" in stream.columns:
+        raise ValueError(
+            "stream must not carry the reserved temp column '_fp' "
+            "(same contract as dedup_incremental)"
+        )
     fp = F.md5(F.col(text_col))
     b = (
         stream.filter(F.col(text_col).isNotNull())

@@ -36,13 +36,15 @@ def _py_positions(v: str, k: int = BLOOM_K):
 
 
 def _py_words(values, k: int = BLOOM_K):
-    """Reference replay of the documented sparse-bitmap formula."""
+    """Reference replay of the documented sparse-bitmap formula (word
+    split derived from BLOOM_WORD_BITS, same single source as the
+    operator and the oracle)."""
     words: dict[int, int] = {}
     for v in values:
         if v is None:
             continue
         for pos in _py_positions(v, k):
-            w, b = pos >> 5, pos % BLOOM_WORD_BITS
+            w, b = pos // BLOOM_WORD_BITS, pos % BLOOM_WORD_BITS
             words[w] = words.get(w, 0) | (1 << b)
     return words
 
@@ -50,7 +52,8 @@ def _py_words(values, k: int = BLOOM_K):
 def _py_member(words, v: str, k: int = BLOOM_K) -> int:
     return int(
         all(
-            words.get(pos >> 5, 0) & (1 << (pos % BLOOM_WORD_BITS))
+            words.get(pos // BLOOM_WORD_BITS, 0)
+            & (1 << (pos % BLOOM_WORD_BITS))
             for pos in _py_positions(v, k)
         )
     )
@@ -120,11 +123,13 @@ def test_merge_equals_direct_build(spark):
 
 def test_group_keys_partition_the_filter(spark):
     df = spark.createDataFrame(
-        [("g1", "x"), ("g1", "y"), ("g2", "z")], "g string, v string"
+        [("g1", "x"), ("g1", "y"), ("g2", "z"), (None, "n")],
+        "g string, v string",
     )
     flt = bloom_build(df, "v", ["g"])
     probe = spark.createDataFrame(
-        [("g1", "x"), ("g2", "x"), ("g2", "z")], "g string, v string"
+        [("g1", "x"), ("g2", "x"), ("g2", "z"), (None, "n"), (None, "x")],
+        "g string, v string",
     )
     got = {
         (r["g"], r["v"]): r["bloom_maybe"]
@@ -133,6 +138,25 @@ def test_group_keys_partition_the_filter(spark):
     assert got[("g1", "x")] == 1
     assert got[("g2", "z")] == 1
     assert got[("g2", "x")] == 0  # x was inserted under g1 only
+    # NULL group is a real group: inserted ⇒ probes 1 (null-safe join,
+    # the no-false-negatives contract), not inserted ⇒ 0
+    assert got[(None, "n")] == 1
+    assert got[(None, "x")] == 0
+
+
+def test_k_mismatch_rejected_and_merge_guard(spark):
+    df = spark.createDataFrame([("a",), ("b",)], "v string")
+    f2 = bloom_build(df, "v", k=2)
+    f4 = bloom_build(df, "v", k=4)
+    with pytest.raises(ValueError, match="built with k=2"):
+        bloom_probe(df, f2, "v", k=4)
+    with pytest.raises(ValueError, match="different k"):
+        bloom_merge(f2, f4)
+    # merge re-stamps k: the merged filter still rejects a bad probe
+    merged = bloom_merge(f4, bloom_build(df, "v", k=4))
+    with pytest.raises(ValueError, match="built with k=4"):
+        bloom_probe(df, merged, "v", k=2)
+    assert bloom_probe(df, merged, "v", k=4).count() == 2
 
 
 def test_bloom_decontaminate_equals_exact(spark):
@@ -165,19 +189,25 @@ def test_bloom_decontaminate_equals_exact(spark):
 
 
 def test_probe_plan_is_map_side_only(spark):
-    """The probe decorates candidates via k broadcast joins: no
-    Exchange may appear on the candidate lineage (the filter side
-    builds its broadcast through its own aggregation exchanges — those
-    are bounded by the 32k-word bitmap, not the corpus)."""
+    """The probe decorates candidates via k broadcast joins with NO
+    exchange on the candidate lineage. The filter is materialized to a
+    local relation first, so the build side contributes no exchanges
+    of its own — any shuffle Exchange left in the plan would sit on
+    the candidate side, making zero-shuffle-plan-wide a REAL pin of
+    the map-side-only property (the first version of this test looped
+    over lines with a vacuous plan-wide assert)."""
+    import re
+
     df = spark.createDataFrame([(f"v {i}",) for i in range(50)], "v string")
-    flt = bloom_build(df, "v")
+    flt = spark.createDataFrame(
+        bloom_build(df, "v").collect(), "word long, mask long"
+    )
     plan = _plan(bloom_probe(df, flt, "v"))
     # formatted explain lists each node twice (tree + numbered detail)
     assert plan.count("BroadcastHashJoin") == 2 * BLOOM_K
     assert "SortMergeJoin" not in plan
     assert "pythonUDF" not in plan and "BatchEvalPython" not in plan
-    # candidate lineage: scan → project → joins; the only exchanges
-    # allowed are broadcast exchanges and the filter's own build
-    for line in plan.splitlines():
-        if "ShuffleExchange" in line or "Exchange hashpartitioning" in line:
-            assert "bit_or" in plan  # belongs to the filter build side
+    # \bExchange\b does not match BroadcastExchange (no boundary after
+    # the 't'), so this counts shuffle exchanges only
+    assert re.findall(r"\bExchange\b", plan) == []
+    assert "hashpartitioning" not in plan

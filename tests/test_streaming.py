@@ -209,3 +209,13 @@ def test_stream_ingest_dedup(spark, transcript_dir):
         r["text"] for r in spark.sql("select text from ingest_stream_h").collect()
     )
     assert got_h == got
+
+    # reserved-column contract matches the batch twin: raise, never
+    # silently clobber a user '_fp' column
+    with pytest.raises(ValueError, match="_fp"):
+        stream_ingest_dedup(
+            read_transcript_stream(spark, src).withColumn(
+                "_fp", F.lit("user data")
+            ),
+            seen,
+        )
