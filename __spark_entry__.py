@@ -1521,6 +1521,92 @@ def q_scalar_battery(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_rownum_battery(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """W1 stable ordering + A7 per-kind numbering in ONE gate slot
+    (recorded-cap discipline, wscan/probe_battery precedent): both
+    row_number branches verbatim over the same event scan, each column
+    individually value-checked by the merged oracle."""
+    w1 = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    w7 = Window.partitionBy("user_id", "event_type").orderBy("ts", "event_id")
+    return _events(spark, sf_dir).select(
+        "event_id",
+        "user_id",
+        "event_type",
+        F.row_number().over(w1).cast("long").alias("turn_rank"),
+        F.row_number().over(w7).cast("long").alias("kind_seq"),
+    )
+
+
+def q_scan_battery(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """S1 format routing + S10 history parse in ONE gate slot
+    (sample_battery tagged-union precedent): each branch is its
+    original query verbatim, columns harmonized to strings."""
+    s1 = q_s1_format_detect(spark, sf_dir).select(
+        F.lit("s1_format").alias("branch"),
+        F.col("family").alias("c1"),
+        F.col("n_turns").cast("string").alias("c2"),
+        F.lit("").alias("c3"),
+        F.lit("").alias("c4"),
+    )
+    s10 = q_s10_history_parse(spark, sf_dir).select(
+        F.lit("s10_history").alias("branch"),
+        F.col("filename").alias("c1"),
+        F.col("src").alias("c2"),
+        F.col("dest").alias("c3"),
+        F.col("ts_display").alias("c4"),
+    )
+    return s1.unionByName(s10)
+
+
+def q_dup_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cross-document duplicate token runs — the relational ExactSubstr
+    dedup shape (Lee et al. 2021; SURVEY §2.23). Positioned k-gram
+    inverted index + equal-offset island detection; the run window
+    partitions on (pair, offset) so no partition outgrows a document."""
+    from docling_translate_spark.operators.dedup import duplicate_spans
+
+    return duplicate_spans(
+        _docs(spark, sf_dir), k=4, min_run=3, max_occurrences=200
+    )
+
+
+def q_url_frontier(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """URL canonicalization + crawl-frontier dedup (SURVEY §2.24) over
+    deterministically-decorated messy URLs: mixed-case scheme/host,
+    default and non-default ports, tracking params, fragments, and
+    non-URL junk — every branch a doc_id modulus mirrored in the
+    oracle. Output: per-doc canonical form joined with the frontier
+    aggregate (first-seen id + duplicate count)."""
+    from docling_translate_spark.operators.scrub import (
+        canonical_url_col,
+        url_frontier,
+    )
+
+    i = F.col("doc_id")
+    base = F.concat(
+        F.when(i % 2 == 0, F.lit("HTTPS://WWW.Site")).otherwise(F.lit("http://site")),
+        (i % 5).cast("string"),
+        F.lit(".Example.COM"),
+        F.when(i % 2 == 0, F.lit(":443"))
+        .when(i % 3 == 0, F.lit(":8080"))
+        .otherwise(F.lit("")),
+        F.lit("/page/"),
+        (i % 11).cast("string"),
+        F.when(i % 3 == 0, F.lit("?utm_source=feed&b=2&a=1&fbclid=x"))
+        .when(i % 3 == 1, F.lit("?a=1&b=2"))
+        .otherwise(F.lit("")),
+        F.when(i % 4 == 0, F.lit("#sec")).otherwise(F.lit("")),
+    )
+    url = F.when(i % 17 == 0, F.lit("not a url")).otherwise(base)
+    decorated = _docs(spark, sf_dir).select("doc_id", url.alias("url"))
+    per_doc = decorated.select(
+        "doc_id", canonical_url_col(F.col("url")).alias("canonical_url")
+    ).filter(F.col("canonical_url").isNotNull())
+    return per_doc.join(url_frontier(decorated), "canonical_url").select(
+        "doc_id", "canonical_url", "first_id", "n_seen"
+    )
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "p1_nonempty_filter": q_p1_nonempty_filter,
@@ -1531,13 +1617,19 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # dedup_incremental
         "pfilter_battery": q_pfilter_battery,
         "dedup_incremental": q_dedup_incremental,
-        "w1_rownum_order": q_w1_rownum_order,
+        # w1+a7 (both r1-green row_number projections over one events
+        # scan) consolidate into rownum_battery; the originals ride at
+        # the tail and the freed slot goes to the never-recorded
+        # dup_spans engine addition
+        "rownum_battery": q_rownum_battery,
+        "dup_spans": q_dup_spans,
         # w2+w5 (events scans) and j3+o1 (documents probes) consolidate
         # into two battery slots; the four originals ride at the tail
         # and the freed slots go to the never-recorded asof_join and
         # hll_distinct engine additions
         "wscan_battery": q_wscan_battery,
         "j2_broadcast_join": q_j2_broadcast_join,
+        "url_frontier": q_url_frontier,
         "probe_battery": q_probe_battery,
         "asof_join": q_asof_join,
         "a6_extraction_rollup": q_a6_extraction_rollup,
@@ -1593,13 +1685,15 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # and bm25_topk both sit inside the cap.
         "w_window_agg": q_w_window_agg,
         "bloom_filter": q_bloom_filter,
-        "s10_history_parse": q_s10_history_parse,
+        # s1+s10 (both green §2.1 scans) consolidate into scan_battery
+        # (tagged union, sample_battery precedent); the originals ride
+        # at the tail and the freed slot goes to the never-recorded
+        # url_frontier engine addition (above, with dup_spans)
+        "scan_battery": q_scan_battery,
         "curation_pipeline": q_curation_pipeline,
         "media_features": q_media_features,
-        "a7_per_kind_counter": q_a7_per_kind_counter,
         "hll_distinct": q_hll_distinct,
         "t8_sentences": q_t8_sentences,
-        "s1_format_detect": q_s1_format_detect,
         "s7_render_html": q_s7_render_html,
         # s7_render_document (r3-green) rides at the tail: its S7 row
         # keeps s7_render_html recorded; the never-recorded
@@ -1631,6 +1725,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "w5_history_latest": q_w5_history_latest,
         "j3_left_join_fallback": q_j3_left_join_fallback,
         "o1_longest_first": q_o1_longest_first,
+        "w1_rownum_order": q_w1_rownum_order,
+        "a7_per_kind_counter": q_a7_per_kind_counter,
+        "s1_format_detect": q_s1_format_detect,
+        "s10_history_parse": q_s10_history_parse,
     }
 
 
@@ -2716,6 +2814,144 @@ w AS MATERIALIZED (
                    row_number() OVER (PARTITION BY user_id
                                       ORDER BY ts, event_id) AS turn_rank
             FROM events
+        """,
+        # merged oracle for the rownum_battery slot: W1 + A7 branches
+        # verbatim over one event scan
+        "rownum_battery": """
+            SELECT event_id, user_id, event_type,
+                   row_number() OVER (PARTITION BY user_id
+                                      ORDER BY ts, event_id) AS turn_rank,
+                   row_number() OVER (PARTITION BY user_id, event_type
+                                      ORDER BY ts, event_id) AS kind_seq
+            FROM events
+        """,
+        # ExactSubstr-shape duplicate runs (SURVEY §2.23): the operator's
+        # positioned-shingle → stop-cap → equal-offset island definition
+        # replayed verbatim (k=4, min_run=3, max_occurrences=200)
+        "dup_spans": r"""
+            WITH toks AS (
+                SELECT doc_id,
+                       string_split_regex(lower(trim(text)), '\s+') AS tk
+                FROM documents WHERE text IS NOT NULL
+            ),
+            pos AS (
+                SELECT doc_id, i - 1 AS pos,
+                       array_to_string(tk[i:i+3], ' ') AS shingle
+                FROM toks, unnest(generate_series(1, len(tk) - 3)) AS g(i)
+                WHERE len(tk) >= 4
+            ),
+            ok AS (
+                SELECT shingle FROM pos
+                GROUP BY shingle HAVING count(*) <= 200
+            ),
+            rare AS (
+                SELECT p.doc_id, p.pos, p.shingle
+                FROM pos p JOIN ok USING (shingle)
+            ),
+            m AS (
+                SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+                       a.pos AS pa, b.pos AS pb, a.pos - b.pos AS off
+                FROM rare a JOIN rare b USING (shingle)
+                WHERE a.doc_id < b.doc_id
+            ),
+            runs AS (
+                SELECT id_a, id_b, off, pa, pb,
+                       pa - row_number() OVER (PARTITION BY id_a, id_b, off
+                                               ORDER BY pa) AS grp
+                FROM m
+            )
+            SELECT id_a, id_b, min(pa) AS start_a, min(pb) AS start_b,
+                   count(*) + 3 AS match_tokens
+            FROM runs GROUP BY id_a, id_b, off, grp
+            HAVING count(*) >= 3
+        """,
+        # URL canonicalization + frontier (SURVEY §2.24): decoration and
+        # every canonicalization rule replayed verbatim from
+        # operators/scrub.py::canonical_url_col
+        "url_frontier": r"""
+            WITH deco AS (
+                SELECT doc_id,
+                    CASE WHEN doc_id % 17 = 0 THEN 'not a url' ELSE
+                        (CASE WHEN doc_id % 2 = 0 THEN 'HTTPS://WWW.Site'
+                              ELSE 'http://site' END)
+                        || CAST(doc_id % 5 AS VARCHAR) || '.Example.COM'
+                        || (CASE WHEN doc_id % 2 = 0 THEN ':443'
+                                 WHEN doc_id % 3 = 0 THEN ':8080'
+                                 ELSE '' END)
+                        || '/page/' || CAST(doc_id % 11 AS VARCHAR)
+                        || (CASE WHEN doc_id % 3 = 0
+                                 THEN '?utm_source=feed&b=2&a=1&fbclid=x'
+                                 WHEN doc_id % 3 = 1 THEN '?a=1&b=2'
+                                 ELSE '' END)
+                        || (CASE WHEN doc_id % 4 = 0 THEN '#sec' ELSE '' END)
+                    END AS url
+                FROM documents
+            ),
+            p1 AS (
+                SELECT doc_id,
+                    lower(regexp_extract(trim(url),
+                        '^([A-Za-z][A-Za-z0-9+.-]*)://', 1)) AS scheme,
+                    regexp_extract(
+                        regexp_replace(trim(url),
+                            '^[A-Za-z][A-Za-z0-9+.-]*://', ''),
+                        '^([^#]*)', 1) AS nofrag
+                FROM deco
+            ),
+            p2 AS (
+                SELECT doc_id, scheme, nofrag,
+                    regexp_replace(
+                        regexp_extract(nofrag, '^([^/?]*)', 1),
+                        '^[^@]*@', '') AS hostport
+                FROM p1
+            ),
+            p3 AS (
+                SELECT doc_id, scheme, nofrag,
+                    regexp_replace(lower(
+                        regexp_extract(hostport, '^([^:]*)', 1)),
+                        '\.+$', '') AS host,
+                    regexp_extract(hostport, ':(\d+)$', 1) AS port_s,
+                    regexp_extract(nofrag, '^[^/?]*(/[^?]*)', 1) AS path,
+                    regexp_extract(nofrag, '\?(.*)$', 1) AS query
+                FROM p2
+            ),
+            p4 AS (
+                SELECT doc_id, scheme, host, path,
+                    CASE WHEN port_s = '' THEN NULL
+                         ELSE CAST(port_s AS INT) END AS port,
+                    list_sort(list_filter(string_split(query, '&'),
+                        p -> p <> ''
+                             AND NOT starts_with(
+                                 lower(regexp_extract(p, '^([^=]*)', 1)),
+                                 'utm_')
+                             AND lower(regexp_extract(p, '^([^=]*)', 1))
+                                 NOT IN ('fbclid','gclid','msclkid',
+                                         'mc_cid','mc_eid','ref','ref_src')
+                    )) AS kept
+                FROM p3
+            ),
+            canon AS (
+                SELECT doc_id,
+                    CASE WHEN scheme IN ('http','https') AND host <> ''
+                    THEN scheme || '://' || host
+                        || (CASE WHEN port IS NULL
+                                  OR (scheme = 'http' AND port = 80)
+                                  OR (scheme = 'https' AND port = 443)
+                                 THEN ''
+                                 ELSE ':' || CAST(port AS VARCHAR) END)
+                        || (CASE WHEN path = '' THEN '/' ELSE path END)
+                        || (CASE WHEN len(kept) = 0 THEN ''
+                                 ELSE '?' || array_to_string(kept, '&') END)
+                    ELSE NULL END AS canonical_url
+                FROM p4
+            ),
+            frontier AS (
+                SELECT canonical_url, min(doc_id) AS first_id,
+                       count(*) AS n_seen
+                FROM canon WHERE canonical_url IS NOT NULL
+                GROUP BY canonical_url
+            )
+            SELECT c.doc_id, c.canonical_url, f.first_id, f.n_seen
+            FROM canon c JOIN frontier f USING (canonical_url)
         """,
         "w2_change_marker": """
             WITH lagged AS (
@@ -3961,4 +4197,15 @@ w AS MATERIALIZED (
         + ")"
     )
     sql["bloom_filter"] = _bloom_oracle()
+    # scan_battery = tagged union of the S1 + S10 oracles VERBATIM
+    # (embeddup_battery discipline), columns harmonized to strings
+    sql["scan_battery"] = (
+        "SELECT 's1_format' AS branch, family AS c1,"
+        " CAST(n_turns AS VARCHAR) AS c2, '' AS c3, '' AS c4 FROM ("
+        + sql["s1_format_detect"]
+        + ") UNION ALL SELECT 's10_history' AS branch, filename AS c1,"
+        " src AS c2, dest AS c3, ts_display AS c4 FROM ("
+        + sql["s10_history_parse"]
+        + ")"
+    )
     return sql

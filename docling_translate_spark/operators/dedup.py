@@ -853,3 +853,107 @@ def dedup_segments(
             ),
         )
     )
+
+
+# --- cross-document duplicate substring runs (ExactSubstr shape) ---
+
+
+def duplicate_spans(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    k: int = 4,
+    min_run: int = 3,
+    max_occurrences: int = 200,
+) -> DataFrame:
+    """Maximal cross-document duplicate token runs — the distributed
+    analog of suffix-array ExactSubstr dedup (Lee et al. 2021,
+    "Deduplicating Training Data Makes Language Models Better": remove
+    verbatim substrings repeated across documents). The reference's
+    closest surface is its sentence-set dedup (``src/core.py:453-455``);
+    this finds duplication BELOW segment granularity and ACROSS docs —
+    quoted replies, syndicated paragraphs, license blocks — which
+    whole-doc and whole-segment dedup both miss.
+
+    Method (all relational, no suffix array): each doc emits positioned
+    ``k``-gram shingles over its ``\\s+`` token stream; an inverted-index
+    self-join aligns equal shingles across doc pairs; matches with equal
+    position offset (``pos_a - pos_b``) that are CONSECUTIVE in ``pos_a``
+    form one run (islands via the classic ``pos - row_number`` trick).
+    A run of ``L`` consecutive matching k-grams is ``L + k - 1`` matching
+    tokens; runs shorter than ``min_run`` k-grams are noise and dropped.
+
+    Scale shape: shingles occurring more than ``max_occurrences`` times
+    in the corpus (counting within-doc repeats, so a pathological
+    ``foo foo foo ...`` doc cannot square itself through the join) are
+    stop-shingles — dropped from BOTH join sides before candidate
+    generation, exactly the ``ngram_jaccard_pairs`` cap discipline, so
+    no shingle bucket exceeds ``max_occurrences²`` rows and AQE can
+    split what remains. The run window partitions on
+    ``(id_a, id_b, offset)`` — bounded by a single document's token
+    count, never by corpus size. Runs interrupted by a stop-shingle
+    split into two reported runs (consistent in the DuckDB oracle,
+    which replays this definition verbatim).
+
+    Returns ``(id_a, id_b, start_a, start_b, match_tokens)`` — one row
+    per maximal run, ``id_a < id_b``, positions 0-based token offsets.
+    """
+    from pyspark.sql import Window
+
+    toks = F.split(F.lower(F.trim(F.col(text_col))), r"\s+")
+    base = df.filter(F.col(text_col).isNotNull()).select(
+        F.col(id_col).alias("sid"), toks.alias("_tk")
+    )
+    grams = F.transform(
+        F.sequence(F.lit(0), F.size("_tk") - k),
+        lambda i: F.array_join(F.slice("_tk", i + 1, k), " "),
+    )
+    # pos feeds THREE consumers (the stop-cap aggregate and both sides
+    # of the self-join) — cache per the module's two-consumer discipline
+    # or the split+transform+posexplode stage executes once per consumer
+    pos = (
+        base.filter(F.size("_tk") >= k)
+        .select("sid", F.posexplode(grams).alias("pos", "shingle"))
+        .cache()
+    )
+    # total-occurrence cap (NOT doc-frequency): bounds every join bucket
+    # even under within-doc repetition; one agg with map-side combine
+    ok = (
+        pos.groupBy("shingle")
+        .agg(F.count("*").alias("_n"))
+        .filter(F.col("_n") <= max_occurrences)
+        .select("shingle")
+    )
+    rare = pos.join(ok, "shingle")
+    a = rare.select(
+        F.col("sid").alias("id_a"), F.col("pos").alias("pos_a"), "shingle"
+    )
+    b = rare.select(
+        F.col("sid").alias("id_b"), F.col("pos").alias("pos_b"), "shingle"
+    )
+    m = (
+        a.join(b, "shingle")
+        .filter(F.col("id_a") < F.col("id_b"))
+        .select(
+            "id_a",
+            "id_b",
+            "pos_a",
+            "pos_b",
+            (F.col("pos_a") - F.col("pos_b")).alias("off"),
+        )
+    )
+    # island detection: within one (pair, offset) partition each pos_a
+    # occurs at most once, so pos_a - row_number is constant exactly on
+    # consecutive-position runs
+    w = Window.partitionBy("id_a", "id_b", "off").orderBy("pos_a")
+    runs = m.withColumn("grp", F.col("pos_a") - F.row_number().over(w))
+    return (
+        runs.groupBy("id_a", "id_b", "off", "grp")
+        .agg(
+            F.min("pos_a").cast("long").alias("start_a"),
+            F.min("pos_b").cast("long").alias("start_b"),
+            (F.count("*") + (k - 1)).cast("long").alias("match_tokens"),
+        )
+        .filter(F.col("match_tokens") >= min_run + k - 1)
+        .select("id_a", "id_b", "start_a", "start_b", "match_tokens")
+    )

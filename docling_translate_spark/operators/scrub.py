@@ -176,3 +176,102 @@ def filter_blocked_domains(
         keyed.join(flagged, "_rid", "left_anti")
         .drop("_rid", "domains")
     )
+
+
+# --- URL canonicalization + crawl-frontier dedup ---
+
+# Tracking params every crawl pipeline strips (pinned literal set +
+# the utm_* prefix family). Keys compare case-insensitively.
+TRACKING_PARAMS = ("fbclid", "gclid", "msclkid", "mc_cid", "mc_eid", "ref", "ref_src")
+
+
+def canonical_url_col(url: Column) -> Column:
+    """Canonical form of an absolute http(s) URL, as one pure column
+    expression (zero shuffle, engine-portable regex — no lookarounds).
+
+    A crawl frontier at 10^12 URLs lives or dies on this map: without
+    it the same page is fetched once per tracking-param permutation.
+    Rules (deterministic, mirrored verbatim in the DuckDB oracle):
+
+    * scheme + host lowercased; userinfo and trailing host dots dropped
+    * default ports removed (http:80 / https:443); others kept,
+      numerically normalized (':0080' == ':80')
+    * empty path -> '/'
+    * fragment dropped
+    * query: empty params dropped, tracking params dropped
+      (``utm_*`` prefix + :data:`TRACKING_PARAMS`), survivors sorted
+      byte-lexicographically and rejoined
+    * anything that is not ``scheme://host...`` -> NULL (not a fetchable
+      absolute URL; callers filter); IPv6 literal hosts (``[::1]``) also
+      -> NULL — the colon-split host/port grammar below cannot parse
+      them, and silently mangling two distinct v6 hosts into one
+      canonical key would make the frontier skip real pages
+
+    Deliberately NOT done (would need per-site knowledge): dot-segment
+    resolution, %-encoding normalization, param-value rewriting.
+    """
+    u = F.trim(url)
+    scheme = F.lower(F.regexp_extract(u, r"^([A-Za-z][A-Za-z0-9+.-]*)://", 1))
+    rest = F.regexp_replace(u, r"^[A-Za-z][A-Za-z0-9+.-]*://", "")
+    nofrag = F.regexp_extract(rest, r"^([^#]*)", 1)
+    auth = F.regexp_extract(nofrag, r"^([^/?]*)", 1)
+    hostport = F.regexp_replace(auth, r"^[^@]*@", "")
+    host = F.regexp_replace(
+        F.lower(F.regexp_extract(hostport, r"^([^:]*)", 1)), r"\.+$", ""
+    )
+    port_s = F.regexp_extract(hostport, r":(\d+)$", 1)
+    port = F.when(port_s == "", F.lit(None)).otherwise(port_s.cast("int"))
+    default_port = ((scheme == "http") & (port == 80)) | (
+        (scheme == "https") & (port == 443)
+    )
+    port_part = F.when(
+        port.isNull() | default_port, F.lit("")
+    ).otherwise(F.concat(F.lit(":"), port.cast("string")))
+    path = F.regexp_extract(nofrag, r"^[^/?]*(/[^?]*)", 1)
+    path_part = F.when(path == "", F.lit("/")).otherwise(path)
+    query = F.regexp_extract(nofrag, r"\?(.*)$", 1)
+
+    def _keep(p: Column) -> Column:
+        key = F.lower(F.regexp_extract(p, r"^([^=]*)", 1))
+        return (
+            (p != "")
+            & ~key.startswith("utm_")
+            & ~key.isin(*TRACKING_PARAMS)
+        )
+
+    params = F.array_sort(F.filter(F.split(query, "&"), _keep))
+    query_part = F.when(
+        F.size(params) == 0, F.lit("")
+    ).otherwise(F.concat(F.lit("?"), F.array_join(params, "&")))
+    canon = F.concat(scheme, F.lit("://"), host, port_part, path_part, query_part)
+    return F.when(
+        scheme.isin("http", "https")
+        & (host != "")
+        & ~hostport.startswith("["),
+        canon,
+    ).otherwise(F.lit(None).cast("string"))
+
+
+def url_frontier(
+    df: DataFrame, url_col: str = "url", id_col: str = "doc_id"
+) -> DataFrame:
+    """Crawl-frontier dedup: one row per canonical URL with the
+    first-seen id (min ``id_col``) and the duplicate count.
+
+    Scale shape: pure aggregation on the canonical key — map-side
+    combine collapses a viral URL's 10^8 occurrences inside each map
+    task before the single exchange (never a window/rank over the hot
+    key). Non-URL rows (canonical NULL) are excluded.
+    """
+    return (
+        df.select(
+            canonical_url_col(F.col(url_col)).alias("canonical_url"),
+            F.col(id_col),
+        )
+        .filter(F.col("canonical_url").isNotNull())
+        .groupBy("canonical_url")
+        .agg(
+            F.min(id_col).cast("long").alias("first_id"),
+            F.count("*").cast("long").alias("n_seen"),
+        )
+    )
