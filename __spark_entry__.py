@@ -78,6 +78,59 @@ def q_p1_nonempty_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_count_battery(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """P1 non-empty grouped count + A3 per-source char volume in ONE
+    gate slot (recorded-cap discipline, sample/scan battery precedent):
+    both branches verbatim, columns harmonized."""
+    p1 = q_p1_nonempty_filter(spark, sf_dir).select(
+        F.lit("p1_lang").alias("branch"),
+        F.col("lang").alias("grp"),
+        F.lit(0).cast("long").alias("total_chars"),
+        F.col("n_docs"),
+    )
+    a3 = q_a3_char_volume(spark, sf_dir).select(
+        F.lit("a3_source").alias("branch"),
+        F.col("source").alias("grp"),
+        F.col("total_chars"),
+        F.col("n_docs"),
+    )
+    return p1.unionByName(a3)
+
+
+def q_norm_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CCNet-style normalized exact dedup (SURVEY §2.25): every doc gets
+    two decorated variants that differ ONLY in representation — accents
+    (via an erasable translate), case-free punctuation chrome, and
+    digit runs — so the normalizer must collapse each pair to one
+    fingerprint. Emits per-variant key + group stats; the oracle
+    replays decoration and every normalization step verbatim."""
+    from docling_translate_spark.operators.text_analysis import norm_fingerprint
+
+    d = _docs(spark, sf_dir)
+    a = d.select(
+        F.col("doc_id"), F.concat(F.col("text"), F.lit(" 12, 34!")).alias("text")
+    )
+    b = d.select(
+        (F.col("doc_id") + 10_000_000).alias("doc_id"),
+        F.concat(
+            F.lit(" «"),
+            F.translate(F.col("text"), "ao", "áó"),
+            F.lit("» 98?? 76 "),
+        ).alias("text"),
+    )
+    nf = norm_fingerprint(a.unionAll(b)).select("doc_id", "norm_fp")
+    groups = nf.groupBy("norm_fp").agg(
+        F.min("doc_id").alias("rep_id"), F.count("*").alias("n_dups")
+    )
+    return nf.join(groups, "norm_fp").select(
+        "doc_id",
+        "norm_fp",
+        "rep_id",
+        "n_dups",
+        (F.col("doc_id") == F.col("rep_id")).cast("int").alias("is_survivor"),
+    )
+
+
 def q_a1_distinct_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     """A1/A2 exact dedup + counts (ref core.py:453-455)."""
     return _docs(spark, sf_dir).agg(
@@ -1609,8 +1662,11 @@ def q_url_frontier(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
-        "p1_nonempty_filter": q_p1_nonempty_filter,
-        "a3_char_volume": q_a3_char_volume,
+        # p1+a3 (both r1-green one-agg scans) consolidate into
+        # count_battery; the originals ride at the tail and the freed
+        # slot goes to the never-recorded norm_dedup engine addition
+        "count_battery": q_count_battery,
+        "norm_dedup": q_norm_dedup,
         # p3/p4 (both r1-green) consolidate into pfilter_battery — one
         # recorded slot carries both rows' columns; the originals ride
         # at the tail and the freed slot goes to the never-recorded
@@ -1729,6 +1785,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "a7_per_kind_counter": q_a7_per_kind_counter,
         "s1_format_detect": q_s1_format_detect,
         "s10_history_parse": q_s10_history_parse,
+        "p1_nonempty_filter": q_p1_nonempty_filter,
+        "a3_char_volume": q_a3_char_volume,
     }
 
 
@@ -2511,6 +2569,48 @@ def _nb_oracle() -> str:
     """
 
 
+def _norm_dedup_oracle() -> str:
+    """DuckDB twin of q_norm_dedup: decoration + the CCNet
+    normalization ladder, with the accent translate map and punctuation
+    class interpolated from the operator module's own constants so the
+    two sides cannot drift. DuckDB regexp_replace needs the explicit
+    'g' flag (Spark's is global by default)."""
+    from docling_translate_spark.operators.text_analysis import (
+        ACCENT_DST,
+        ACCENT_SRC,
+        NORM_PUNCT_RE,
+    )
+
+    punct = NORM_PUNCT_RE.replace("'", "''")
+    return f"""
+        WITH deco AS (
+            SELECT doc_id, text || ' 12, 34!' AS text FROM documents
+            UNION ALL
+            SELECT doc_id + 10000000 AS doc_id,
+                   ' «' || translate(text, 'ao', 'áó') || '» 98?? 76 '
+                       AS text
+            FROM documents
+        ),
+        nf AS (
+            SELECT doc_id,
+                   md5(trim(regexp_replace(regexp_replace(regexp_replace(
+                       translate(lower(text),
+                                 '{ACCENT_SRC}', '{ACCENT_DST}'),
+                       '[0-9]', '0', 'g'),
+                       '{punct}', '', 'g'),
+                       '\\s+', ' ', 'g'))) AS norm_fp
+            FROM deco
+        ),
+        groups AS (
+            SELECT norm_fp, min(doc_id) AS rep_id, count(*) AS n_dups
+            FROM nf GROUP BY norm_fp
+        )
+        SELECT nf.doc_id, nf.norm_fp, g.rep_id, g.n_dups,
+               CAST(nf.doc_id = g.rep_id AS INT) AS is_survivor
+        FROM nf JOIN groups g USING (norm_fp)
+    """
+
+
 def oracle_sql() -> dict[str, str]:
     # MinHash universal-hash params, inlined as SQL literals so DuckDB
     # reproduces the signatures bit-for-bit (same seed as the query)
@@ -2657,6 +2757,29 @@ w AS MATERIALIZED (
                    count(DISTINCT text) AS unique_texts
             FROM documents
         """,
+        # merged oracle for the count_battery slot: P1 + A3 verbatim,
+        # columns harmonized
+        "count_battery": """
+            SELECT 'p1_lang' AS branch, lang AS grp,
+                   CAST(0 AS BIGINT) AS total_chars,
+                   count(*) AS n_docs
+            FROM documents
+            WHERE text IS NOT NULL AND trim(text) <> ''
+            GROUP BY lang
+            UNION ALL
+            SELECT 'a3_source' AS branch, source AS grp,
+                   CAST(sum(length(text)) AS BIGINT) AS total_chars,
+                   count(*) AS n_docs
+            FROM documents
+            GROUP BY source
+        """,
+        # CCNet-style normalized exact dedup (SURVEY §2.25): decoration
+        # + every normalization step replayed verbatim from
+        # operators/text_analysis.py::normalize_text_col (the accent
+        # translate map and punct class are interpolated from the SAME
+        # module constants at query-build time, so query and oracle
+        # cannot drift)
+        "norm_dedup": _norm_dedup_oracle(),
         "a3_char_volume": """
             SELECT source,
                    CAST(sum(length(text)) AS BIGINT) AS total_chars,

@@ -209,6 +209,55 @@ def fingerprint(df: DataFrame, text_col: str = "text") -> DataFrame:
     return df.withColumn("fingerprint", F.md5(norm))
 
 
+# --- CCNet-style dedup-key normalization ---
+
+# Accent fold map for the Latin range a curation pipeline actually
+# meets (pinned, engine-portable: Spark `translate` and DuckDB
+# `translate` are both per-codepoint substitutions). Uppercase never
+# reaches the map — normalization lowercases first.
+ACCENT_SRC = "áàâäãåāăéèêëēěíìîïīóòôöõōúùûüūñçćčýÿžšßđ"
+ACCENT_DST = "aaaaaaaaeeeeeeiiiiioooooouuuuuncccyyzssd"
+
+# Punctuation stripped by the normalizer: the ASCII punct ranges plus
+# the pinned non-ASCII marks the oracle replays byte-identically.
+# Explicit ranges, no \p classes — Java regex and RE2 disagree on the
+# unicode coverage of \p{Punct}.
+NORM_PUNCT_RE = r"[!-/:-@\[-`{-~¡¿«»‘’“”„—–…·]"
+
+
+def normalize_text_col(text: Column) -> Column:
+    """Dedup-key normalization (CCNet recipe — Wenzek et al. 2020,
+    §4.1 "deduplication ... lowercased, numbers replaced, punctuation
+    and accents removed"; SlimPajama applies the same key before
+    MinHash): lowercase → accent fold → every digit → ``0`` →
+    punctuation stripped → whitespace runs collapsed → trim.
+
+    One pure column expression (zero shuffle, WholeStageCodegen) whose
+    every step is replayed verbatim by the DuckDB oracle. Near-identical
+    boilerplate differing only in case, numbers ("© 2024" vs "© 2025"),
+    or smart-quote styling hashes identically after this map — the
+    difference between catching ~30 % more web duplicates and missing
+    them (the CCNet paper's motivation).
+
+    Deliberately NOT done: NFKC (no engine-portable SQL surface;
+    the accent map above covers the Latin range the pipeline meets)
+    and stemming (changes token identity, not representation).
+    """
+    t = F.lower(text)
+    t = F.translate(t, ACCENT_SRC, ACCENT_DST)
+    t = F.regexp_replace(t, r"[0-9]", "0")
+    t = F.regexp_replace(t, NORM_PUNCT_RE, "")
+    t = F.regexp_replace(t, r"\s+", " ")
+    return F.trim(t)
+
+
+def norm_fingerprint(df: DataFrame, text_col: str = "text") -> DataFrame:
+    """Add ``norm_text`` (the CCNet-normalized form) and ``norm_fp``
+    (its md5) — the key column every normalized dedup join runs on."""
+    norm = normalize_text_col(F.col(text_col))
+    return df.withColumn("norm_text", norm).withColumn("norm_fp", F.md5(norm))
+
+
 # rolling-hash constants: base 31 (classic Rabin-Karp), modulus 2^40 —
 # acc*31 + codepoint stays far under int64 overflow, and the identical
 # integer arithmetic is reproducible in any SQL engine
