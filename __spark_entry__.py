@@ -619,6 +619,60 @@ def q_dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_hashsig_battery(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact-dedup groups + SimHash signatures in ONE gate slot
+    (recorded-cap discipline, embeddup/count battery precedent): both
+    branches verbatim, columns harmonized to (branch, k, v1, v2)."""
+    exact = q_dedup_exact(spark, sf_dir).select(
+        F.lit("exact").alias("branch"),
+        F.col("text_hash").alias("k"),
+        F.col("rep_id").cast("long").alias("v1"),
+        F.col("n_dups").cast("long").alias("v2"),
+    )
+    sim = q_dedup_simhash(spark, sf_dir).select(
+        F.lit("simhash").alias("branch"),
+        F.col("doc_id").cast("string").alias("k"),
+        F.col("simhash").cast("long").alias("v1"),
+        F.lit(0).cast("long").alias("v2"),
+    )
+    return exact.unionByName(sim)
+
+
+def q_domain_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-registered-domain corpus profile (SURVEY §2.26) over
+    deterministically-decorated URLs: seven host shapes by doc_id
+    modulus — multi-label public suffixes (co.uk, com.au), plain
+    .com/.org/.example.com subdomains, a single-label intranet host,
+    mixed case, tracking params, fragments, and non-URL junk — every
+    branch mirrored in the oracle. n_pages counts distinct canonical
+    URLs, so the utm-variant rows must collapse."""
+    from docling_translate_spark.operators.scrub import domain_profile
+
+    i = F.col("doc_id")
+    label = (i % 3).cast("string")
+    host = (
+        F.when(i % 7 == 0, F.concat(F.lit("News.Site"), label, F.lit(".CO.UK")))
+        .when(i % 7 == 1, F.concat(F.lit("blog.site"), label, F.lit(".example.com")))
+        .when(i % 7 == 2, F.concat(F.lit("site"), label, F.lit(".com")))
+        .when(i % 7 == 3, F.concat(F.lit("Sub.A.site"), label, F.lit(".com.au")))
+        .when(i % 7 == 4, F.lit("intranet"))
+        .when(i % 7 == 5, F.concat(F.lit("www.site"), label, F.lit(".co.uk")))
+        .otherwise(F.concat(F.lit("site"), label, F.lit(".org")))
+    )
+    url = F.when(i % 13 == 0, F.lit("not a url")).otherwise(
+        F.concat(
+            F.lit("https://"),
+            host,
+            F.lit("/p/"),
+            (i % 5).cast("string"),
+            F.when(i % 2 == 0, F.lit("?utm_campaign=x&z=1")).otherwise(F.lit("")),
+            F.when(i % 4 == 0, F.lit("#top")).otherwise(F.lit("")),
+        )
+    )
+    deco = _docs(spark, sf_dir).select("doc_id", url.alias("url"), "text")
+    return domain_profile(deco)
+
+
 def q_dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Exact n-gram Jaccard near-dup pairs — full DuckDB oracle: the
     inverted-index shingle join is reproduced end-to-end in SQL."""
@@ -1690,9 +1744,13 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "asof_join": q_asof_join,
         "a6_extraction_rollup": q_a6_extraction_rollup,
         "extract_turns": q_extract_turns,
-        "dedup_exact": q_dedup_exact,
+        # dedup_exact+dedup_simhash (both r1-green, scalar outputs)
+        # consolidate into hashsig_battery; the originals ride at the
+        # tail and the freed slot goes to the never-recorded
+        # domain_profile engine addition
+        "hashsig_battery": q_hashsig_battery,
+        "domain_profile": q_domain_profile,
         "dedup_minhash_lsh": q_dedup_minhash_lsh,
-        "dedup_simhash": q_dedup_simhash,
         "dedup_ngram_jaccard": q_dedup_ngram_jaccard,
         "dedup_components": q_dedup_components,
         "dedup_segments": q_dedup_segments,
@@ -1787,6 +1845,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "s10_history_parse": q_s10_history_parse,
         "p1_nonempty_filter": q_p1_nonempty_filter,
         "a3_char_volume": q_a3_char_volume,
+        "dedup_exact": q_dedup_exact,
+        "dedup_simhash": q_dedup_simhash,
     }
 
 
@@ -2608,6 +2668,118 @@ def _norm_dedup_oracle() -> str:
         SELECT nf.doc_id, nf.norm_fp, g.rep_id, g.n_dups,
                CAST(nf.doc_id = g.rep_id AS INT) AS is_survivor
         FROM nf JOIN groups g USING (norm_fp)
+    """
+
+
+def _domain_profile_oracle() -> str:
+    """DuckDB twin of q_domain_profile: decoration, the full
+    canonicalization chain (url_frontier oracle verbatim), the
+    registered-domain heuristic (multi-label public-suffix set
+    interpolated from the operator module constant), and the rollup."""
+    from docling_translate_spark.operators.scrub import MULTI_LABEL_TLDS
+
+    tlds = ",".join("'" + t + "'" for t in MULTI_LABEL_TLDS)
+    return rf"""
+        WITH deco AS (
+            SELECT doc_id, text,
+                CASE WHEN doc_id % 13 = 0 THEN 'not a url' ELSE
+                    'https://'
+                    || (CASE doc_id % 7
+                        WHEN 0 THEN 'News.Site' || CAST(doc_id % 3 AS VARCHAR) || '.CO.UK'
+                        WHEN 1 THEN 'blog.site' || CAST(doc_id % 3 AS VARCHAR) || '.example.com'
+                        WHEN 2 THEN 'site' || CAST(doc_id % 3 AS VARCHAR) || '.com'
+                        WHEN 3 THEN 'Sub.A.site' || CAST(doc_id % 3 AS VARCHAR) || '.com.au'
+                        WHEN 4 THEN 'intranet'
+                        WHEN 5 THEN 'www.site' || CAST(doc_id % 3 AS VARCHAR) || '.co.uk'
+                        ELSE 'site' || CAST(doc_id % 3 AS VARCHAR) || '.org' END)
+                    || '/p/' || CAST(doc_id % 5 AS VARCHAR)
+                    || (CASE WHEN doc_id % 2 = 0
+                             THEN '?utm_campaign=x&z=1' ELSE '' END)
+                    || (CASE WHEN doc_id % 4 = 0 THEN '#top' ELSE '' END)
+                END AS url
+            FROM documents
+        ),
+        p1 AS (
+            SELECT doc_id, text,
+                lower(regexp_extract(trim(url),
+                    '^([A-Za-z][A-Za-z0-9+.-]*)://', 1)) AS scheme,
+                regexp_extract(
+                    regexp_replace(trim(url),
+                        '^[A-Za-z][A-Za-z0-9+.-]*://', ''),
+                    '^([^#]*)', 1) AS nofrag
+            FROM deco
+        ),
+        p2 AS (
+            SELECT doc_id, text, scheme, nofrag,
+                regexp_replace(
+                    regexp_extract(nofrag, '^([^/?]*)', 1),
+                    '^[^@]*@', '') AS hostport
+            FROM p1
+        ),
+        p3 AS (
+            SELECT doc_id, text, scheme, nofrag,
+                regexp_replace(lower(
+                    regexp_extract(hostport, '^([^:]*)', 1)),
+                    '\.+$', '') AS host,
+                regexp_extract(hostport, ':(\d+)$', 1) AS port_s,
+                regexp_extract(nofrag, '^[^/?]*(/[^?]*)', 1) AS path,
+                regexp_extract(nofrag, '\?(.*)$', 1) AS query
+            FROM p2
+        ),
+        p4 AS (
+            SELECT doc_id, text, scheme, host, path,
+                CASE WHEN port_s = '' THEN NULL
+                     ELSE CAST(port_s AS INT) END AS port,
+                list_sort(list_filter(string_split(query, '&'),
+                    p -> p <> ''
+                         AND NOT starts_with(
+                             lower(regexp_extract(p, '^([^=]*)', 1)),
+                             'utm_')
+                         AND lower(regexp_extract(p, '^([^=]*)', 1))
+                             NOT IN ('fbclid','gclid','msclkid',
+                                     'mc_cid','mc_eid','ref','ref_src')
+                )) AS kept
+            FROM p3
+        ),
+        canon AS (
+            SELECT doc_id, text,
+                CASE WHEN scheme IN ('http','https') AND host <> ''
+                THEN scheme || '://' || host
+                    || (CASE WHEN port IS NULL
+                              OR (scheme = 'http' AND port = 80)
+                              OR (scheme = 'https' AND port = 443)
+                             THEN ''
+                             ELSE ':' || CAST(port AS VARCHAR) END)
+                    || (CASE WHEN path = '' THEN '/' ELSE path END)
+                    || (CASE WHEN len(kept) = 0 THEN ''
+                             ELSE '?' || array_to_string(kept, '&') END)
+                ELSE NULL END AS canonical_url
+            FROM p4
+        ),
+        dom AS (
+            SELECT doc_id, text, canonical_url,
+                regexp_extract(canonical_url,
+                    '^https?://([^/:?#]+)', 1) AS host
+            FROM canon WHERE canonical_url IS NOT NULL
+        ),
+        reg AS (
+            SELECT doc_id, canonical_url,
+                coalesce(length(text), 0) AS tlen,
+                CASE WHEN len(string_split(host, '.')) <= 2 THEN host
+                     WHEN (string_split(host, '.')[-2] || '.'
+                           || string_split(host, '.')[-1]) IN ({tlds})
+                     THEN string_split(host, '.')[-3] || '.'
+                          || string_split(host, '.')[-2] || '.'
+                          || string_split(host, '.')[-1]
+                     ELSE string_split(host, '.')[-2] || '.'
+                          || string_split(host, '.')[-1] END AS domain
+            FROM dom
+        )
+        SELECT domain,
+               count(*) AS n_docs,
+               count(DISTINCT canonical_url) AS n_pages,
+               CAST(sum(tlen) AS BIGINT) AS total_chars
+        FROM reg GROUP BY domain
     """
 
 
@@ -4320,6 +4492,19 @@ w AS MATERIALIZED (
         + ")"
     )
     sql["bloom_filter"] = _bloom_oracle()
+    # hashsig_battery = tagged union of the dedup_exact + dedup_simhash
+    # oracles VERBATIM, columns harmonized to (branch, k, v1, v2)
+    sql["hashsig_battery"] = (
+        "SELECT 'exact' AS branch, text_hash AS k, rep_id AS v1,"
+        " n_dups AS v2 FROM ("
+        + sql["dedup_exact"]
+        + ") UNION ALL SELECT 'simhash' AS branch,"
+        " CAST(doc_id AS VARCHAR) AS k, simhash AS v1,"
+        " CAST(0 AS BIGINT) AS v2 FROM ("
+        + sql["dedup_simhash"]
+        + ")"
+    )
+    sql["domain_profile"] = _domain_profile_oracle()
     # scan_battery = tagged union of the S1 + S10 oracles VERBATIM
     # (embeddup_battery discipline), columns harmonized to strings
     sql["scan_battery"] = (

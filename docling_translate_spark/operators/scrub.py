@@ -275,3 +275,82 @@ def url_frontier(
             F.count("*").cast("long").alias("n_seen"),
         )
     )
+
+
+# --- per-domain corpus profile (RefinedWeb-style domain rollup) ---
+
+# Multi-label public suffixes the registered-domain heuristic must not
+# split (pinned subset of the public-suffix list covering the corpora
+# this pipeline meets; a full PSL would ship as a broadcast lookup
+# table with the identical join shape).
+MULTI_LABEL_TLDS = (
+    "co.uk", "ac.uk", "org.uk", "gov.uk", "co.jp", "ne.jp", "or.jp",
+    "com.au", "net.au", "org.au", "co.in", "co.kr", "com.br",
+    "com.cn", "com.tw", "com.mx", "co.za", "com.sg", "co.nz",
+)
+
+
+def registered_domain_col(host: Column) -> Column:
+    """Registered (pay-level) domain of a lowercase host: the last two
+    labels, or three when the two-label tail is a pinned multi-label
+    public suffix (``a.b.site.co.uk`` → ``site.co.uk``, not ``co.uk``).
+    Hosts with ≤2 labels (including single-label intranet names) pass
+    through whole. Pure column expression, zero shuffle."""
+    parts = F.split(host, r"\.")
+    n = F.size(parts)
+    last2 = F.concat_ws(
+        ".", F.element_at(parts, -2), F.element_at(parts, -1)
+    )
+    last3 = F.concat_ws(
+        ".",
+        F.element_at(parts, -3),
+        F.element_at(parts, -2),
+        F.element_at(parts, -1),
+    )
+    return (
+        F.when(n <= 2, host)
+        .when(last2.isin(*MULTI_LABEL_TLDS), last3)
+        .otherwise(last2)
+    )
+
+
+def domain_profile(
+    df: DataFrame,
+    url_col: str = "url",
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Per-registered-domain corpus profile — the rollup RefinedWeb-
+    style curation filters on (domain-level dup rate and volume decide
+    whether a domain is boilerplate-farm, mirror, or real content;
+    reference analog: none — the reference is single-document).
+
+    One row per registered domain: ``n_docs`` (rows citing the
+    domain), ``n_pages`` (distinct canonical URLs — the dedup'd page
+    count; ``n_docs - n_pages`` is the domain's re-crawl duplication),
+    ``total_chars`` (text volume). Non-URL rows are excluded.
+
+    Scale shape: pure two-level aggregation. Spark plans the
+    count-distinct as a partial groupBy on (domain, canonical) before
+    the domain-level agg, so a hot domain's pages spread across tasks
+    on the WIDE composite key and only pre-aggregated slim rows reach
+    the domain exchange — never a hot-key window, no row with the text
+    payload ever shuffles (length is projected before the first
+    exchange).
+    """
+    canon = canonical_url_col(F.col(url_col))
+    host = F.regexp_extract(canon, r"^https?://([^/:?#]+)", 1)
+    return (
+        df.select(
+            registered_domain_col(host).alias("domain"),
+            canon.alias("_canon"),
+            F.coalesce(F.length(F.col(text_col)), F.lit(0)).alias("_len"),
+        )
+        .filter(F.col("_canon").isNotNull())
+        .groupBy("domain")
+        .agg(
+            F.count("*").cast("long").alias("n_docs"),
+            F.countDistinct("_canon").cast("long").alias("n_pages"),
+            F.sum("_len").cast("long").alias("total_chars"),
+        )
+    )
