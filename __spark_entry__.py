@@ -1368,6 +1368,38 @@ def q_s7_render_html(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_render_battery(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """S7 HTML paragraph rows + §2.8 table-span extraction in ONE gate
+    slot (recorded-cap discipline, scan/hashsig battery precedent):
+    both branches verbatim, columns harmonized to strings + one long."""
+    s7 = q_s7_render_html(spark, sf_dir).select(
+        F.lit("s7_html").alias("branch"),
+        F.col("doc_id").cast("string").alias("c1"),
+        F.col("html").alias("c2"),
+        F.lit("").alias("c3"),
+        F.lit(0).cast("long").alias("v"),
+    )
+    s28 = q_s28_table_spans(spark, sf_dir).select(
+        F.lit("s28_spans").alias("branch"),
+        F.col("conv_id").alias("c1"),
+        F.col("turn_idx").cast("string").alias("c2"),
+        F.col("extracted_text").alias("c3"),
+        F.col("n_spans").cast("long").alias("v"),
+    )
+    return s7.unionByName(s28)
+
+
+def q_chunk_tokens(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sliding token-window chunking (SURVEY §2.27): size 32, stride
+    24 over the documents table — word-salad docs emit several
+    overlapping windows, short docs exactly one, and the
+    coverage-extension rule drops redundant contained tails. The
+    oracle replays the window rule verbatim."""
+    from docling_translate_spark.operators.sampling import chunk_tokens
+
+    return chunk_tokens(_docs(spark, sf_dir), size=32, stride=24)
+
+
 def q_embed_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Embedding-cosine near-dup pairs via multi-table LSH (rows-only;
     no-false-positives invariant pinned by pytest)."""
@@ -1808,13 +1840,15 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "media_features": q_media_features,
         "hll_distinct": q_hll_distinct,
         "t8_sentences": q_t8_sentences,
-        "s7_render_html": q_s7_render_html,
-        # s7_render_document (r3-green) rides at the tail: its S7 row
-        # keeps s7_render_html recorded; the never-recorded
-        # layout_order takes the slot
+        # s7_render_html+s28_table_spans (both r1-green span renders)
+        # consolidate into render_battery; the originals ride at the
+        # tail (s7_render_document already does — its S7 row keeps the
+        # battery's s7 branch recorded) and the freed slot goes to the
+        # never-recorded chunk_tokens engine addition
+        "render_battery": q_render_battery,
+        "chunk_tokens": q_chunk_tokens,
         "layout_order": q_layout_order,
         "dom_tokens": q_dom_tokens,
-        "s28_table_spans": q_s28_table_spans,
         "pii_redact": q_pii_redact,
         "decontaminate": q_decontaminate,
         "bm25_topk": q_bm25_topk,
@@ -1847,6 +1881,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "a3_char_volume": q_a3_char_volume,
         "dedup_exact": q_dedup_exact,
         "dedup_simhash": q_dedup_simhash,
+        "s7_render_html": q_s7_render_html,
+        "s28_table_spans": q_s28_table_spans,
     }
 
 
@@ -4505,6 +4541,40 @@ w AS MATERIALIZED (
         + ")"
     )
     sql["domain_profile"] = _domain_profile_oracle()
+    # render_battery = tagged union of the S7 + §2.8 oracles VERBATIM
+    sql["render_battery"] = (
+        "SELECT 's7_html' AS branch, CAST(doc_id AS VARCHAR) AS c1,"
+        " html AS c2, '' AS c3, CAST(0 AS BIGINT) AS v FROM ("
+        + sql["s7_render_html"]
+        + ") UNION ALL SELECT 's28_spans' AS branch, conv_id AS c1,"
+        " CAST(turn_idx AS VARCHAR) AS c2, extracted_text AS c3,"
+        " CAST(n_spans AS BIGINT) AS v FROM ("
+        + sql["s28_table_spans"]
+        + ")"
+    )
+    # sliding token-window chunking (SURVEY §2.27): the operator's
+    # start-grid + coverage-extension rule replayed verbatim
+    # (size=32, stride=24; kept starts are always a PREFIX of the grid
+    # because the extension predicate is monotone in start, so
+    # chunk_idx = start/stride on both engines)
+    sql["chunk_tokens"] = r"""
+        WITH toks AS (
+            SELECT doc_id,
+                   CASE WHEN trim(text) = '' THEN []::VARCHAR[]
+                        ELSE string_split_regex(trim(text), '\s+') END AS tk
+            FROM documents WHERE text IS NOT NULL
+        ),
+        nn AS (
+            SELECT doc_id, tk, len(tk) AS n FROM toks WHERE len(tk) > 0
+        )
+        SELECT doc_id,
+               CAST(i // 24 AS BIGINT) AS chunk_idx,
+               CAST(i AS BIGINT) AS start_tok,
+               CAST(least(32, n - i) AS BIGINT) AS n_tokens,
+               array_to_string(tk[i + 1 : i + 32], ' ') AS chunk_text
+        FROM nn, unnest(generate_series(0, n - 1, 24)) AS g(i)
+        WHERE i < n AND (i = 0 OR n - i > 32 - 24)
+    """
     # scan_battery = tagged union of the S1 + S10 oracles VERBATIM
     # (embeddup_battery discipline), columns harmonized to strings
     sql["scan_battery"] = (

@@ -407,3 +407,63 @@ def dsir_select(
     bounded at any corpus size."""
     w = dsir_weights(raw_df, target_df, id_col, text_col, m_buckets)
     return w.orderBy(F.col("log_weight").desc(), F.col(id_col)).limit(k)
+
+
+def chunk_tokens(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    size: int = 128,
+    stride: int = 96,
+) -> DataFrame:
+    """Sliding token-window chunking — the sample-preparation step
+    between raw documents and fixed-context training rows (the HF
+    ``return_overflowing_tokens`` layout: windows of ``size`` tokens
+    every ``stride`` tokens, adjacent windows overlapping by
+    ``size - stride``). Complements ``pack_sequences``: packing joins
+    SHORT docs up to the budget, chunking splits LONG docs down to it.
+
+    Window rule (pinned, oracle-replayed): starts are ``0, stride,
+    2·stride, …`` while ``start < n_tokens``; a start > 0 is emitted
+    only if its window extends coverage beyond the previous window,
+    i.e. ``n_tokens - start > size - stride`` — without this, a doc
+    whose tail is already fully covered would emit a redundant
+    contained chunk (e.g. n=10, size=8, stride=4 emits starts 0 and 4,
+    not 8). Tokens are ``\\s+`` splits of the trimmed text (the
+    module-wide convention); empty/NULL texts emit no chunks.
+
+    Scale shape: one narrow projection + explode — ZERO shuffle, no
+    Python; each output row carries only its own window's tokens, so
+    the per-row width is bounded by ``size`` regardless of document
+    length. With ``stride < size`` the output grows by ``size/stride``×
+    over the input tokens — the caller's knob, stated here because at
+    100 TB that factor is the whole cost.
+    """
+    if stride <= 0 or size <= 0 or stride > size:
+        raise ValueError("need 0 < stride <= size")
+    toks = F.when(
+        F.trim(F.col(text_col)) == "", F.array().cast("array<string>")
+    ).otherwise(F.split(F.trim(F.col(text_col)), r"\s+"))
+    base = df.filter(F.col(text_col).isNotNull()).select(
+        F.col(id_col), toks.alias("_tk"), F.size(toks).alias("_n")
+    )
+    starts = F.filter(
+        F.sequence(F.lit(0), F.greatest(F.col("_n") - 1, F.lit(0)), F.lit(stride)),
+        lambda s: (s < F.col("_n"))
+        & ((s == 0) | (F.col("_n") - s > size - stride)),
+    )
+    return (
+        base.filter(F.col("_n") > 0)
+        .select(F.col(id_col), "_tk", "_n", F.posexplode(starts).alias("chunk_idx", "start_tok"))
+        .select(
+            id_col,
+            F.col("chunk_idx").cast("long"),
+            F.col("start_tok").cast("long"),
+            F.least(F.lit(size), F.col("_n") - F.col("start_tok"))
+            .cast("long")
+            .alias("n_tokens"),
+            F.array_join(
+                F.slice("_tk", F.col("start_tok") + 1, F.lit(size)), " "
+            ).alias("chunk_text"),
+        )
+    )
