@@ -2802,6 +2802,8 @@ def _domain_profile_oracle() -> str:
             SELECT doc_id, canonical_url,
                 coalesce(length(text), 0) AS tlen,
                 CASE WHEN len(string_split(host, '.')) <= 2 THEN host
+                     WHEN regexp_matches(string_split(host, '.')[-1],
+                                         '^[0-9]+$') THEN host
                      WHEN (string_split(host, '.')[-2] || '.'
                            || string_split(host, '.')[-1]) IN ({tlds})
                      THEN string_split(host, '.')[-3] || '.'
@@ -4560,8 +4562,8 @@ w AS MATERIALIZED (
     sql["chunk_tokens"] = r"""
         WITH toks AS (
             SELECT doc_id,
-                   CASE WHEN trim(text) = '' THEN []::VARCHAR[]
-                        ELSE string_split_regex(trim(text), '\s+') END AS tk
+                   list_filter(string_split_regex(trim(text), '\s+'),
+                               t -> t <> '') AS tk
             FROM documents WHERE text IS NOT NULL
         ),
         nn AS (

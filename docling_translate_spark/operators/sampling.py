@@ -429,8 +429,10 @@ def chunk_tokens(
     i.e. ``n_tokens - start > size - stride`` — without this, a doc
     whose tail is already fully covered would emit a redundant
     contained chunk (e.g. n=10, size=8, stride=4 emits starts 0 and 4,
-    not 8). Tokens are ``\\s+`` splits of the trimmed text (the
-    module-wide convention); empty/NULL texts emit no chunks.
+    not 8). Tokens are ``\\s+`` splits of the trimmed text with empty
+    split artifacts dropped (the module-wide convention — trim strips
+    only spaces, so newline/tab-terminated docs would otherwise emit
+    phantom tokens); empty/NULL texts emit no chunks.
 
     Scale shape: one narrow projection + explode — ZERO shuffle, no
     Python; each output row carries only its own window's tokens, so
@@ -441,9 +443,13 @@ def chunk_tokens(
     """
     if stride <= 0 or size <= 0 or stride > size:
         raise ValueError("need 0 < stride <= size")
-    toks = F.when(
-        F.trim(F.col(text_col)) == "", F.array().cast("array<string>")
-    ).otherwise(F.split(F.trim(F.col(text_col)), r"\s+"))
+    # drop empty split artifacts (module convention, see dsir/_grams):
+    # trim() strips only spaces, so a tab/newline-terminated doc would
+    # otherwise grow phantom ''-tokens that inflate n_tokens and shift
+    # every window boundary
+    toks = F.filter(
+        F.split(F.trim(F.col(text_col)), r"\s+"), lambda t: t != ""
+    )
     base = df.filter(F.col(text_col).isNotNull()).select(
         F.col(id_col), toks.alias("_tk"), F.size(toks).alias("_n")
     )

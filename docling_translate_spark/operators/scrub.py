@@ -295,7 +295,11 @@ def registered_domain_col(host: Column) -> Column:
     labels, or three when the two-label tail is a pinned multi-label
     public suffix (``a.b.site.co.uk`` → ``site.co.uk``, not ``co.uk``).
     Hosts with ≤2 labels (including single-label intranet names) pass
-    through whole. Pure column expression, zero shuffle."""
+    through whole, as do IP-literal hosts (an all-digit last label can
+    only be an address — no public TLD is numeric — and truncating
+    10.0.0.1 and 192.168.0.1 to a shared '0.1' would merge unrelated
+    hosts into one profile row). Pure column expression, zero shuffle.
+    """
     parts = F.split(host, r"\.")
     n = F.size(parts)
     last2 = F.concat_ws(
@@ -309,6 +313,7 @@ def registered_domain_col(host: Column) -> Column:
     )
     return (
         F.when(n <= 2, host)
+        .when(F.regexp_like(F.element_at(parts, -1), F.lit(r"^[0-9]+$")), host)
         .when(last2.isin(*MULTI_LABEL_TLDS), last3)
         .otherwise(last2)
     )

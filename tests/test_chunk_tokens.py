@@ -54,9 +54,17 @@ def test_no_overlap_stride_equals_size(spark):
 
 def test_empty_and_null_emit_nothing(spark):
     df = spark.createDataFrame(
-        [(1, ""), (2, "   "), (3, None)], "doc_id long, text string"
+        [(1, ""), (2, "   "), (3, None), (4, "\t\n "), (5, "\x0b")],
+        "doc_id long, text string",
     )
     assert chunk_tokens(df).count() == 0
+
+
+def test_non_space_whitespace_no_phantom_tokens(spark):
+    # trim() strips only spaces: a newline-terminated doc must not
+    # grow a phantom ''-token (here it would push n_tokens to 3)
+    got = _chunks(spark, "hello world\n", 8, 4)
+    assert got == [(0, 0, 2, "hello world")]
 
 
 def test_invalid_params_raise(spark):
