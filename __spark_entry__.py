@@ -1246,6 +1246,52 @@ def q_s28_table_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# Pinned policy lexicon for the bad-words gate query: two single-word
+# terms that occur naturally in the corpus, one that never occurs, and
+# two multi-word phrases (one natural, one impossible) — both match
+# paths AND the clean path are value-checked.
+BADWORDS_LEXICON = ("slow", "vector", "zyzzyva", "hash join", "purple unicorn")
+
+
+def q_badwords_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """C4 bad-words lexicon gate (Raffel et al. 2020 §2.2; SURVEY
+    §2.28) — per-doc matched-term flags over the raw corpus with the
+    pinned :data:`BADWORDS_LEXICON`. ``kept`` is exactly the
+    ``filter_badwords`` predicate, so the filter's semantics are pinned
+    by the same oracle."""
+    from docling_translate_spark.operators.scrub import badwords_flags
+
+    return badwords_flags(_docs(spark, sf_dir), BADWORDS_LEXICON).select(
+        "doc_id",
+        F.array_join("bad_terms", ",").alias("bad_terms"),
+        "n_bad",
+        (F.col("n_bad") == 0).cast("long").alias("kept"),
+    )
+
+
+def q_cleanse_battery(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PII redaction + benchmark decontamination in ONE gate slot
+    (recorded-cap discipline, scan/render battery precedent): both
+    branches are their original queries verbatim, columns harmonized
+    (decontaminate's train_id rides in doc_id; the count columns join
+    into one pipe-delimited string per branch)."""
+    pii = q_pii_redact(spark, sf_dir).select(
+        F.lit("pii").alias("branch"),
+        "doc_id",
+        F.col("clean_text").alias("c1"),
+        F.concat_ws(
+            "|", "n_email", "n_card", "n_phone", "n_ip", "n_pii"
+        ).alias("c2"),
+    )
+    dec = q_decontaminate(spark, sf_dir).select(
+        F.lit("decon").alias("branch"),
+        F.col("train_id").alias("doc_id"),
+        F.lit("").alias("c1"),
+        F.concat_ws("|", "n_hits", "n_eval_docs").alias("c2"),
+    )
+    return pii.unionByName(dec)
+
+
 def q_pii_redact(spark: SparkSession, sf_dir: str) -> DataFrame:
     """PII scrubbing over documents decorated with deterministic
     synthetic PII (emails/phones/IPs/cards) — full DuckDB oracle: the
@@ -1849,8 +1895,12 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "chunk_tokens": q_chunk_tokens,
         "layout_order": q_layout_order,
         "dom_tokens": q_dom_tokens,
-        "pii_redact": q_pii_redact,
-        "decontaminate": q_decontaminate,
+        # pii_redact+decontaminate (both r3-green) consolidate into
+        # cleanse_battery (branches verbatim); the originals ride at
+        # the tail and the freed slot goes to the never-recorded
+        # badwords_filter engine addition
+        "cleanse_battery": q_cleanse_battery,
+        "badwords_filter": q_badwords_filter,
         "bm25_topk": q_bm25_topk,
         "scalar_battery": q_scalar_battery,
         # --- entries 51+: recorded by `make oracle`, not the driver ---
@@ -1883,6 +1933,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dedup_simhash": q_dedup_simhash,
         "s7_render_html": q_s7_render_html,
         "s28_table_spans": q_s28_table_spans,
+        "pii_redact": q_pii_redact,
+        "decontaminate": q_decontaminate,
     }
 
 
@@ -2821,6 +2873,48 @@ def _domain_profile_oracle() -> str:
     """
 
 
+def _badwords_oracle() -> str:
+    """DuckDB twin of ``q_badwords_filter``: token grammar, word list,
+    and phrase boundary patterns all interpolated from the operator's
+    OWN constants (single source of truth — the two sides cannot
+    drift)."""
+    from docling_translate_spark.operators.scrub import (
+        BADWORD_TOKEN_SPLIT,
+        _phrase_pattern,
+    )
+
+    words = [t for t in BADWORDS_LEXICON if " " not in t]
+    phrases = [t for t in BADWORDS_LEXICON if " " in t]
+    wlist = ", ".join(f"'{w}'" for w in words)
+    phrase_cases = " || ".join(
+        "(CASE WHEN regexp_matches(lt, '{}') THEN ['{}'] "
+        "ELSE []::VARCHAR[] END)".format(_phrase_pattern(p), p)
+        for p in phrases
+    )
+    return f"""
+        WITH toks AS (
+          SELECT doc_id, lower(coalesce(text, '')) AS lt,
+                 list_distinct(list_filter(
+                     string_split_regex(lower(coalesce(text, '')),
+                                        '{BADWORD_TOKEN_SPLIT}'),
+                     t -> t <> '')) AS tk
+          FROM documents
+        ), hits AS (
+          SELECT doc_id,
+                 list_sort(list_intersect(tk, [{wlist}])
+                           || {phrase_cases}) AS bad
+          FROM toks
+        )
+        SELECT doc_id,
+               -- DuckDB's array_to_string([]) is NULL, Spark's
+               -- array_join([]) is '' — pin the empty case
+               coalesce(array_to_string(bad, ','), '') AS bad_terms,
+               CAST(len(bad) AS BIGINT) AS n_bad,
+               CAST(len(bad) = 0 AS BIGINT) AS kept
+        FROM hits
+    """
+
+
 def oracle_sql() -> dict[str, str]:
     # MinHash universal-hash params, inlined as SQL literals so DuckDB
     # reproduces the signatures bit-for-bit (same seed as the query)
@@ -3657,6 +3751,7 @@ w AS MATERIALIZED (
         # counts measured on the same intermediate state as the kernel.
         # Generated from scrub._ORDERED so the two sides cannot drift.
         "pii_redact": _pii_oracle(),
+        "badwords_filter": _badwords_oracle(),
         "html_main_content": _html_main_oracle(),
         "curation_pipeline": _curation_oracle(),
         # decontamination: inverted 4-gram index join against the
@@ -4587,5 +4682,18 @@ w AS MATERIALIZED (
         " src AS c2, dest AS c3, ts_display AS c4 FROM ("
         + sql["s10_history_parse"]
         + ")"
+    )
+    # cleanse_battery = tagged union of the PII + decontamination
+    # oracles VERBATIM (scan_battery discipline), counts pipe-joined
+    sql["cleanse_battery"] = (
+        "SELECT 'pii' AS branch, doc_id, clean_text AS c1,"
+        " CAST(n_email AS VARCHAR) || '|' || CAST(n_card AS VARCHAR)"
+        " || '|' || CAST(n_phone AS VARCHAR) || '|' ||"
+        " CAST(n_ip AS VARCHAR) || '|' || CAST(n_pii AS VARCHAR) AS c2"
+        " FROM (" + sql["pii_redact"] + ")"
+        " UNION ALL SELECT 'decon' AS branch, train_id AS doc_id,"
+        " '' AS c1, CAST(n_hits AS VARCHAR) || '|' ||"
+        " CAST(n_eval_docs AS VARCHAR) AS c2"
+        " FROM (" + sql["decontaminate"] + ")"
     )
     return sql

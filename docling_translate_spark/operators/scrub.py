@@ -178,6 +178,101 @@ def filter_blocked_domains(
     )
 
 
+# --- bad-words lexicon filter (C4-style) ---
+
+# Token grammar for lexicon matching: maximal [a-z0-9] runs of the
+# lowercased text. Chosen over \s+ words because C4's rule is about
+# CONTENT words — "slow!" and "(slow)" must hit a lexicon "slow", and
+# a substring must never hit ("class" does not contain the token
+# "ass"). Same class both engines (RE2/Java portable).
+BADWORD_TOKEN_SPLIT = r"[^a-z0-9]+"
+
+
+def _phrase_pattern(phrase: str) -> str:
+    """Portable boundary regex for a multi-word lexicon phrase: the
+    words in order, separated by any non-alnum run, anchored by
+    non-alnum (or string edge) on both sides — the token-grammar
+    equivalent of ``\\b`` without using lookarounds (RE2 has none)."""
+    import re as _re
+
+    words = [_re.escape(w) for w in phrase.split()]
+    return (
+        "(^|[^a-z0-9])" + "[^a-z0-9]+".join(words) + "([^a-z0-9]|$)"
+    )
+
+
+def badwords_flags(
+    df: DataFrame, lexicon: tuple[str, ...], text_col: str = "text"
+) -> DataFrame:
+    """Adds ``bad_terms`` (sorted distinct lexicon terms the text
+    contains, token-boundary semantics) and ``n_bad`` — the C4 recipe's
+    lexicon gate (Raffel et al. 2020 §2.2: drop any page containing a
+    term from a pinned word list), split into flag + filter so curation
+    jobs can monitor WHAT matched before deciding to drop.
+
+    Single-word terms match against the distinct token set of the text
+    (one ``array_intersect`` against a literal array — never a per-term
+    scan). Multi-word phrases match via one portable boundary regex per
+    phrase (lexicon is a pinned constant, so every pattern is foldable
+    and the whole stage stays in WholeStageCodegen). NULL text is
+    clean.
+
+    Scale shape: one zero-shuffle narrow projection; the lexicon rides
+    in the plan as literals (a 10^4-term production list would switch
+    the word branch to a broadcast equi-join on exploded tokens — the
+    ``filter_blocked_domains`` shape — but stay filter-side identical).
+    """
+    lex = tuple(t.lower().strip() for t in lexicon)
+    if any(not t for t in lex):
+        raise ValueError("empty lexicon term")
+    words = [t for t in lex if " " not in t]
+    phrases = [t for t in lex if " " in t]
+    low = F.lower(F.coalesce(F.col(text_col), F.lit("")))
+    toks = F.array_distinct(
+        F.filter(F.split(low, BADWORD_TOKEN_SPLIT), lambda t: t != "")
+    )
+    parts = []
+    if words:
+        parts.append(
+            F.array_intersect(toks, F.array(*[F.lit(w) for w in words]))
+        )
+    if phrases:
+        parts.append(
+            F.array_compact(
+                F.array(
+                    *[
+                        F.when(
+                            F.regexp_like(low, F.lit(_phrase_pattern(p))),
+                            F.lit(p),
+                        )
+                        for p in phrases
+                    ]
+                )
+            )
+        )
+    bad = (
+        F.array_sort(F.concat(*parts))
+        if parts
+        else F.array().cast("array<string>")
+    )
+    return df.withColumn("bad_terms", bad).withColumn(
+        "n_bad", F.size("bad_terms").cast("long")
+    )
+
+
+def filter_badwords(
+    df: DataFrame, lexicon: tuple[str, ...], text_col: str = "text"
+) -> DataFrame:
+    """C4 lexicon filtering: rows whose text contains ANY lexicon term
+    (token-boundary semantics, see :func:`badwords_flags`) are removed;
+    the flag columns do not survive into the output."""
+    return (
+        badwords_flags(df, lexicon, text_col)
+        .filter(F.col("n_bad") == 0)
+        .drop("bad_terms", "n_bad")
+    )
+
+
 # --- URL canonicalization + crawl-frontier dedup ---
 
 # Tracking params every crawl pipeline strips (pinned literal set +
