@@ -519,6 +519,95 @@ def q_bloom_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
     return words.unionByName(probed)
 
 
+def q_cms_hitters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Portable count-min-sketch heavy hitters (engine addition,
+    operators/sketch.py): build the d×2^16 token-frequency sketch over
+    the whole corpus, estimate every distinct token via the d broadcast
+    cell joins, keep tokens whose estimate is ≥1% of all token
+    occurrences. ``n_true`` (exact count) rides along so the oracle
+    value-checks the no-underestimate property cell-for-cell — any
+    deterministic md5-collision overcount must match exactly too."""
+    from docling_translate_spark.operators.sketch import (
+        cms_build,
+        cms_estimate,
+    )
+
+    toks = _ws_tokens(_docs(spark, sf_dir))
+    # two consumers of the token rows (sketch build + truth counts):
+    # persist so the scan/split lineage runs once
+    toks = toks.persist()
+    sketch = cms_build(toks, "tok")
+    truth = toks.groupBy("tok").agg(F.count("*").cast("long").alias("n_true"))
+    est = cms_estimate(truth, sketch, "tok")
+    tot = toks.agg(F.count("*").alias("_tot"))
+    return (
+        est.crossJoin(F.broadcast(tot))
+        .filter(F.col("cms_count") * 100 >= F.col("_tot"))
+        .select("tok", "cms_count", "n_true")
+    )
+
+
+def q_shard_manifest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic training-order sharding (engine addition,
+    operators/sampling.py): every doc's position in the one global
+    md5-permutation, cut into 64-doc shards, joined with the per-shard
+    manifest rollup (doc/char counts) a trainer's data loader reads."""
+    from docling_translate_spark.operators.sampling import shard_manifest
+
+    d = _docs(spark, sf_dir)
+    # assignments feed two consumers (rollup + final decoration):
+    # persist so the two-phase rank runs once
+    asg = shard_manifest(d, shard_size=64).persist()
+    lens = d.select(
+        "doc_id", F.coalesce(F.length("text"), F.lit(0)).alias("_len")
+    )
+    summary = (
+        asg.join(lens, "doc_id")
+        .groupBy("shard_id")
+        .agg(
+            F.count("*").cast("long").alias("shard_docs"),
+            F.sum("_len").cast("long").alias("shard_chars"),
+        )
+    )
+    return asg.join(F.broadcast(summary), "shard_id").select(
+        "doc_id", "shard_id", "pos_in_shard", "shard_docs", "shard_chars"
+    )
+
+
+def q_nearpair_battery(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MinHash+LSH + n-gram-Jaccard near-dup pairs in ONE gate slot
+    (recorded-cap discipline, embeddup_battery precedent): identical
+    (id_a, id_b) schemas, plain tagged union, branches verbatim."""
+    mh = q_dedup_minhash_lsh(spark, sf_dir).select(
+        F.lit("minhash").alias("part"), "id_a", "id_b"
+    )
+    ng = q_dedup_ngram_jaccard(spark, sf_dir).select(
+        F.lit("ngram").alias("part"), "id_a", "id_b"
+    )
+    return mh.unionByName(ng)
+
+
+def q_sentloc_battery(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """T8 sentence counts + i18n localization in ONE gate slot
+    (recorded-cap discipline, scan/cleanse battery precedent): both
+    branches verbatim, columns harmonized to strings."""
+    t8 = q_t8_sentences(spark, sf_dir).select(
+        F.lit("t8").alias("branch"),
+        "doc_id",
+        F.col("n_sentences").cast("string").alias("c1"),
+        F.lit("").alias("c2"),
+        F.lit("").alias("c3"),
+    )
+    i18 = q_i18n_localize(spark, sf_dir).select(
+        F.lit("i18n").alias("branch"),
+        "doc_id",
+        F.col("ui_key").alias("c1"),
+        F.col("ui_lang").alias("c2"),
+        F.col("localized").alias("c3"),
+    )
+    return t8.unionByName(i18)
+
+
 def _sanitized_body() -> Column:
     """The sanitized-body trick (shared by extract_turns /
     a6_extraction_rollup / curation_pipeline oracles): lowercase,
@@ -1828,8 +1917,12 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # domain_profile engine addition
         "hashsig_battery": q_hashsig_battery,
         "domain_profile": q_domain_profile,
-        "dedup_minhash_lsh": q_dedup_minhash_lsh,
-        "dedup_ngram_jaccard": q_dedup_ngram_jaccard,
+        # dedup_minhash_lsh+dedup_ngram_jaccard (both r3-green,
+        # identical pair schemas) consolidate into nearpair_battery;
+        # the originals ride at the tail and the freed slot goes to
+        # the never-recorded shard_manifest engine addition
+        "nearpair_battery": q_nearpair_battery,
+        "shard_manifest": q_shard_manifest,
         "dedup_components": q_dedup_components,
         "dedup_segments": q_dedup_segments,
         "ann_topk": q_ann_topk,
@@ -1863,7 +1956,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "sample_battery": q_sample_battery,
         "dsir_weights": q_dsir_weights,
         "pack_sequences": q_pack_sequences,
-        "i18n_localize": q_i18n_localize,
+        # t8_sentences+i18n_localize (both r3-green) consolidate into
+        # sentloc_battery (branches verbatim); the originals ride at
+        # the tail and the freed slot goes to the never-recorded
+        # cms_hitters sketch (below, at t8's old position)
+        "sentloc_battery": q_sentloc_battery,
         "session_window": q_session_window,
         # Driver gate records only the first 50 entries (r2 verdict #3):
         # every newly-added or previously-failed query sits inside the
@@ -1885,7 +1982,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "curation_pipeline": q_curation_pipeline,
         "media_features": q_media_features,
         "hll_distinct": q_hll_distinct,
-        "t8_sentences": q_t8_sentences,
+        "cms_hitters": q_cms_hitters,
         # s7_render_html+s28_table_spans (both r1-green span renders)
         # consolidate into render_battery; the originals ride at the
         # tail (s7_render_document already does — its S7 row keeps the
@@ -1935,6 +2032,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "s28_table_spans": q_s28_table_spans,
         "pii_redact": q_pii_redact,
         "decontaminate": q_decontaminate,
+        "t8_sentences": q_t8_sentences,
+        "i18n_localize": q_i18n_localize,
+        "dedup_minhash_lsh": q_dedup_minhash_lsh,
+        "dedup_ngram_jaccard": q_dedup_ngram_jaccard,
     }
 
 
@@ -2873,6 +2974,43 @@ def _domain_profile_oracle() -> str:
     """
 
 
+def _cms_oracle() -> str:
+    """DuckDB twin of ``q_cms_hitters``: the md5-slice count-min
+    formula replayed from the operator's OWN constants (the
+    _hll/_bloom_oracle discipline). Cells are exact BIGINT sums over
+    4-nibble hex slices read directly (no modulo), the estimate is the
+    min over the d per-row cells, and the 1%-of-total cut uses integer
+    arithmetic — bit-for-bit the distributed plan, including any
+    (deterministic) collision overcounts."""
+    from docling_translate_spark.operators.sketch import CMS_D
+
+    return f"""
+        WITH tr AS ({_TOKEN_ROWS_SQL}),
+        cells AS (
+            SELECT j.range AS row,
+                   ('0x' || substr(md5(tok), 1 + 4 * j.range, 4))
+                       ::UBIGINT::BIGINT AS col,
+                   count(*)::BIGINT AS cnt
+            FROM tr, range({CMS_D}) j
+            GROUP BY 1, 2
+        ),
+        truth AS (SELECT tok, count(*)::BIGINT AS n_true FROM tr GROUP BY 1),
+        est AS (
+            SELECT t.tok, t.n_true,
+                   min(coalesce(c.cnt, 0))::BIGINT AS cms_count
+            FROM truth t
+            CROSS JOIN range({CMS_D}) j
+            LEFT JOIN cells c ON c.row = j.range
+                 AND c.col = ('0x' || substr(md5(t.tok), 1 + 4 * j.range, 4))
+                                 ::UBIGINT::BIGINT
+            GROUP BY 1, 2
+        )
+        SELECT tok, cms_count, n_true
+        FROM est
+        WHERE cms_count * 100 >= (SELECT count(*) FROM tr)
+    """
+
+
 def _badwords_oracle() -> str:
     """DuckDB twin of ``q_badwords_filter``: token grammar, word list,
     and phrase boundary patterns all interpolated from the operator's
@@ -3752,6 +3890,31 @@ w AS MATERIALIZED (
         # Generated from scrub._ORDERED so the two sides cannot drift.
         "pii_redact": _pii_oracle(),
         "badwords_filter": _badwords_oracle(),
+        "cms_hitters": _cms_oracle(),
+        # shard_manifest: the one global md5 permutation as a plain
+        # row_number (the oracle can afford the single sort the
+        # distributed plan avoids), same integer shard arithmetic
+        "shard_manifest": """
+            WITH ranked AS (
+                SELECT doc_id, coalesce(length(text), 0)::BIGINT AS len,
+                       row_number() OVER (
+                           ORDER BY md5(CAST(doc_id AS VARCHAR)), doc_id
+                       ) - 1 AS rk
+                FROM documents
+            ), asg AS (
+                SELECT doc_id, len,
+                       CAST(rk // 64 AS BIGINT) AS shard_id,
+                       CAST(rk % 64 AS BIGINT) AS pos_in_shard
+                FROM ranked
+            ), summ AS (
+                SELECT shard_id, count(*)::BIGINT AS shard_docs,
+                       sum(len)::BIGINT AS shard_chars
+                FROM asg GROUP BY 1
+            )
+            SELECT a.doc_id, a.shard_id, a.pos_in_shard,
+                   shard_docs, shard_chars
+            FROM asg a JOIN summ USING (shard_id)
+        """,
         "html_main_content": _html_main_oracle(),
         "curation_pipeline": _curation_oracle(),
         # decontamination: inverted 4-gram index join against the
@@ -4681,6 +4844,26 @@ w AS MATERIALIZED (
         + ") UNION ALL SELECT 's10_history' AS branch, filename AS c1,"
         " src AS c2, dest AS c3, ts_display AS c4 FROM ("
         + sql["s10_history_parse"]
+        + ")"
+    )
+    # nearpair_battery = tagged union of the two near-dup pair oracles
+    # VERBATIM (embeddup_battery discipline)
+    sql["nearpair_battery"] = (
+        "SELECT 'minhash' AS part, id_a, id_b FROM ("
+        + sql["dedup_minhash_lsh"]
+        + ") UNION ALL SELECT 'ngram' AS part, id_a, id_b FROM ("
+        + sql["dedup_ngram_jaccard"]
+        + ")"
+    )
+    # sentloc_battery = tagged union of the T8 + i18n oracles VERBATIM
+    # (scan_battery discipline), columns harmonized to strings
+    sql["sentloc_battery"] = (
+        "SELECT 't8' AS branch, doc_id,"
+        " CAST(n_sentences AS VARCHAR) AS c1, '' AS c2, '' AS c3 FROM ("
+        + sql["t8_sentences"]
+        + ") UNION ALL SELECT 'i18n' AS branch, doc_id, ui_key AS c1,"
+        " ui_lang AS c2, localized AS c3 FROM ("
+        + sql["i18n_localize"]
         + ")"
     )
     # cleanse_battery = tagged union of the PII + decontamination

@@ -245,6 +245,70 @@ def pack_sequences(
     )
 
 
+def shard_manifest(
+    df: DataFrame,
+    shard_size: int,
+    id_col: str = "doc_id",
+    bucket_nibbles: int = 2,
+) -> DataFrame:
+    """Deterministic training-order sharding — the last step before a
+    corpus ships to trainers: every document gets a position in ONE
+    global pseudo-random permutation (order by ``(md5(id), id)``) and
+    is assigned ``shard_id = rank div shard_size`` /
+    ``pos_in_shard = rank % shard_size``. The permutation is a pure
+    function of the ids, so any engine, any cluster size, and any
+    input split produce byte-identical shard files — re-running the
+    job after adding one source re-shuffles deterministically rather
+    than depending on task scheduling like ``orderBy(rand())`` would.
+
+    Scale shape — two-phase global rank (the ``pack_sequences``
+    pattern, keyed on hash prefixes instead of id ranges): a single
+    global ``row_number`` window would sort the corpus on one task, so
+    ranks split into (a) per-bucket base offsets — bucket = first
+    ``bucket_nibbles`` hex nibbles of the md5, a uniform-by-
+    construction prefix range of hash space; counts prefix-sum on a
+    tiny 16^nibbles-row table — and (b) a within-bucket ``row_number``
+    ordered by (hash, id), which carries only slim (id, hash) rows.
+    Global order is preserved because the bucket IS the hash prefix:
+    fixed-width hex compares identically lexicographically and
+    numerically. Default 256 buckets suits sandbox scale; at 10^12
+    rows pass ``bucket_nibbles=5`` (1M buckets ⇒ ~10^6 rows per
+    within-bucket sort). Ties are impossible (md5 of distinct ids) but
+    ``id_col`` rides second in the order anyway so duplicate ids
+    cannot make the output nondeterministic.
+    """
+    if shard_size <= 0:
+        raise ValueError("shard_size must be positive")
+    if not 1 <= bucket_nibbles <= 8:
+        raise ValueError("bucket_nibbles must be in [1, 8]")
+    h = F.md5(F.col(id_col).cast("string"))
+    slim = df.select(
+        F.col(id_col),
+        h.alias("_h"),
+        F.conv(F.substring(h, 1, bucket_nibbles), 16, 10)
+        .cast("long")
+        .alias("_bkt"),
+    )
+    counts = slim.groupBy("_bkt").agg(F.count("*").alias("_n"))
+    # prefix over the tiny per-bucket table (16^nibbles rows — the one
+    # window that may run single-task, on kilobytes)
+    wb = Window.orderBy("_bkt").rowsBetween(Window.unboundedPreceding, -1)
+    bases = counts.select(
+        "_bkt", F.coalesce(F.sum("_n").over(wb), F.lit(0)).alias("_base")
+    )
+    wl = Window.partitionBy("_bkt").orderBy("_h", id_col)
+    ranked = slim.join(F.broadcast(bases), "_bkt").withColumn(
+        "_rank", (F.col("_base") + F.row_number().over(wl) - 1).cast("long")
+    )
+    # `div` not `/`: float division would misplace a row once ranks
+    # pass 2^53 (plausible at the 10^12-row design point)
+    return ranked.select(
+        id_col,
+        F.expr(f"_rank div {int(shard_size)}").alias("shard_id"),
+        (F.col("_rank") % shard_size).cast("long").alias("pos_in_shard"),
+    )
+
+
 def _dsir_gram_buckets(
     df: DataFrame, id_col: str, text_col: str, m_buckets: int
 ) -> DataFrame:

@@ -57,6 +57,10 @@ __all__ = [
     "bloom_merge",
     "bloom_probe",
     "bloom_decontaminate",
+    "cms_build",
+    "cms_merge",
+    "cms_estimate",
+    "cms_heavy_hitters",
 ]
 
 M = 4096  # registers (p = 12 bits, nibble-aligned so bucket = 3 hex chars)
@@ -405,6 +409,192 @@ def bloom_decontaminate(
         candidates, eval_df, text_col, id_col, eval_text_col, eval_id_col,
         n=n, min_hits=min_hits,
     )
+
+
+# --------------------------------------------------------------------
+# Portable count-min sketch (heavy hitters)
+#
+# The third sketch of the family: HLL answers "how many distinct",
+# Bloom answers "seen this?", count-min answers "ABOUT HOW OFTEN have
+# we seen this" in constant space — the heavy-hitter primitive behind
+# boilerplate discovery (which exact sentences/templates dominate a
+# crawl), hot-key detection ahead of a skew-prone join, and stop-token
+# lists, all without shuffling one row per distinct value.
+#
+# Same portability constraint as HLL/Bloom: every cell position derives
+# from md5 nibbles, every counter is an exact BIGINT sum, so any engine
+# reproduces the sketch bit-for-bit and estimates are deterministic.
+#
+# - depth d = CMS_D rows; row j's column is FOUR md5 hex nibbles at
+#   disjoint offset 4j read exactly as a 16-bit integer (w = 2^16
+#   columns, no modulo bias). d <= 8 fits md5's 32 nibbles.
+# - The sketch is a SPARSE relation (group, row, col, cnt BIGINT):
+#   sum-aggregated, absent cell = 0, map-side combine collapses each
+#   task's occurrences before the exchange; <= d * 65,536 rows (~2 MB)
+#   per group forever, regardless of corpus size.
+# - estimate(v) = min over rows of cell(j, col_j(v)) — NEVER an
+#   underestimate (each cell sums v's true count plus nonneg collision
+#   mass), within eps*N of truth with prob 1-delta for d = ln(1/delta),
+#   eps = e/w (Cormode & Muthukrishnan 2005).
+# - Mergeable: union + sum per (group, row, col) (``cms_merge``) — the
+#   committed-snapshot recipe shared with hll_merge/bloom_merge.
+# - Weighted inserts supported (weight_col) for char-volume heavy
+#   hitters rather than occurrence counts.
+# --------------------------------------------------------------------
+
+CMS_D = 4  # depth (rows); 4 disjoint 4-nibble slices of one md5
+CMS_W = 1 << 16  # width: 4 hex nibbles per column index, read exactly
+_CMS_MAX_D = 8  # 8 disjoint 4-nibble slices fit md5's 32 nibbles
+# d is carried as column metadata on ``cnt`` (same contract as the
+# Bloom filter's k): estimating with a different d than the build's
+# would probe rows that were never summed and silently return 0
+_CMS_META_D = "cms_d"
+
+
+def _cms_cols(col, d: int) -> list:
+    """d 16-bit column indexes from disjoint 4-nibble md5 slices."""
+    if not 1 <= d <= _CMS_MAX_D:
+        raise ValueError(f"d must be in [1, {_CMS_MAX_D}], got {d}")
+    h = F.md5(col)
+    return [
+        F.conv(F.substring(h, 1 + 4 * j, 4), 16, 10).cast("long")
+        for j in range(d)
+    ]
+
+
+def _cms_d(sketch: DataFrame):
+    md = sketch.schema["cnt"].metadata or {}
+    return md.get(_CMS_META_D)
+
+
+def cms_build(
+    df: DataFrame,
+    value_col: str,
+    group_cols: Sequence[str] = (),
+    weight_col: str | None = None,
+    d: int = CMS_D,
+) -> DataFrame:
+    """Sparse count-min sketch over ``value_col``: one row per touched
+    (group, row, col) with ``cnt`` = total inserted weight (1 per
+    occurrence unless ``weight_col``). NULL values insert nothing
+    (md5(NULL) is NULL — the family convention); NULL weights count 0.
+    ``d`` is recorded as column metadata so a mismatched estimate call
+    is rejected."""
+    group_cols = list(group_cols)
+    w = (
+        F.coalesce(F.col(weight_col).cast("long"), F.lit(0))
+        if weight_col
+        else F.lit(1).cast("long")
+    )
+    cols = _cms_cols(F.col(value_col), d)
+    rows = df.filter(F.col(value_col).isNotNull()).select(
+        *group_cols,
+        F.posexplode(F.array(*cols)).alias("row", "col"),
+        w.alias("_w"),
+    )
+    return (
+        rows.groupBy(*group_cols, "row", "col")
+        .agg(F.sum("_w").alias("cnt"))
+        .withMetadata("cnt", {_CMS_META_D: d})
+    )
+
+
+def cms_merge(*sketches: DataFrame) -> DataFrame:
+    """Merge sparse sketches (same schema, same d/w) by summing per
+    (group, row, col) — lossless vs building over the unioned raw
+    data. Inputs built with different ``d`` are rejected."""
+    if not sketches:
+        raise ValueError("need at least one sketch")
+    ds = {_cms_d(t) for t in sketches} - {None}
+    if len(ds) > 1:
+        raise ValueError(f"cannot merge sketches built with different d: {ds}")
+    u = sketches[0]
+    for t in sketches[1:]:
+        u = u.unionByName(t)
+    keys = [c for c in u.columns if c != "cnt"]
+    merged = u.groupBy(*keys).agg(F.sum("cnt").alias("cnt"))
+    if ds:
+        merged = merged.withMetadata("cnt", {_CMS_META_D: ds.pop()})
+    return merged
+
+
+def cms_estimate(
+    candidates: DataFrame,
+    sketch: DataFrame,
+    value_col: str,
+    group_cols: Sequence[str] = (),
+    d: int = CMS_D,
+    out_col: str = "cms_count",
+) -> DataFrame:
+    """Frequency estimate: ``out_col`` = min over the d rows of the
+    value's cell counters (absent cell = 0; never an underestimate of
+    the inserted weight). NULL values estimate 0.
+
+    Scale shape: d broadcast LEFT joins on the (row, col) key — the
+    candidate side never shuffles or aggregates, so the estimate is a
+    map-side-only decoration at any corpus size (the sketch is ~2 MB
+    per group by construction). ``d`` must equal the build's: when the
+    sketch carries its build-time metadata a mismatch raises. Group
+    keys match NULL-SAFELY (a NULL group is a real group)."""
+    group_cols = list(group_cols)
+    built_d = _cms_d(sketch)
+    if built_d is not None and built_d != d:
+        raise ValueError(
+            f"sketch was built with d={built_d}, estimate requested d={d}"
+        )
+    cols = _cms_cols(F.col(value_col), d)
+    out = candidates
+    cells = []
+    for j, cexpr in enumerate(cols):
+        out = out.withColumn(f"_cc{j}", cexpr)
+        sj = sketch.select(
+            *[F.col(g).alias(f"_cg{j}_{i}") for i, g in enumerate(group_cols)],
+            F.col("row").alias(f"_cr{j}"),
+            F.col("col").alias(f"_ccol{j}"),
+            F.col("cnt").alias(f"_ccnt{j}"),
+        ).filter(F.col(f"_cr{j}") == j)
+        cond = out[f"_cc{j}"] == sj[f"_ccol{j}"]
+        for i, g in enumerate(group_cols):
+            cond = cond & out[g].eqNullSafe(sj[f"_cg{j}_{i}"])
+        out = out.join(F.broadcast(sj), cond, "left").drop(
+            f"_cr{j}",
+            f"_ccol{j}",
+            *[f"_cg{j}_{i}" for i in range(len(group_cols))],
+        )
+        cells.append(F.coalesce(F.col(f"_ccnt{j}"), F.lit(0).cast("long")))
+    out = out.withColumn(
+        out_col,
+        F.when(F.col(value_col).isNull(), F.lit(0).cast("long")).otherwise(
+            F.least(*cells) if len(cells) > 1 else cells[0]
+        ),
+    )
+    return out.drop(
+        *[f"_cc{j}" for j in range(d)], *[f"_ccnt{j}" for j in range(d)]
+    )
+
+
+def cms_heavy_hitters(
+    df: DataFrame,
+    value_col: str,
+    min_count: int,
+    group_cols: Sequence[str] = (),
+    d: int = CMS_D,
+) -> DataFrame:
+    """One-call heavy hitters: build the sketch over ``df``, estimate
+    every distinct value, keep those with ``cms_count >= min_count``.
+    Guaranteed superset of the true heavy hitters (no-underestimate
+    property); collision mass can admit extras near the cut, all
+    deterministic.
+
+    At production scale the two passes are the point: pass one reduces
+    the corpus to a ~2 MB sketch (map-side combine), pass two decorates
+    only DISTINCT values via broadcast joins — the full corpus is never
+    shuffled on the value key at width; a direct groupBy-count would
+    move every (value, count) pair to one exchange."""
+    sketch = cms_build(df, value_col, group_cols, d=d).cache()
+    cand = df.select(*group_cols, value_col).distinct()
+    est = cms_estimate(cand, sketch, value_col, group_cols, d=d)
+    return est.filter(F.col("cms_count") >= min_count)
 
 
 def hll_corrected(row_estimate: int, v_zero: int) -> float:
