@@ -829,6 +829,57 @@ def q_ann_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).select("query_id", "neighbor_id", F.col("rank").cast("long").alias("rank"))
 
 
+def q_ann_battery(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Blocked exact kNN + LSH ANN top-5 in ONE gate slot (recorded-cap
+    discipline; identical (query_id, neighbor_id, rank) schemas):
+    plain tagged union, branches verbatim."""
+    ex = q_ann_topk(spark, sf_dir).select(
+        F.lit("exact").alias("part"), "query_id", "neighbor_id", "rank"
+    )
+    ls = q_ann_lsh(spark, sf_dir).select(
+        F.lit("lsh").alias("part"), "query_id", "neighbor_id", "rank"
+    )
+    return ex.unionByName(ls)
+
+
+def q_quality_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deequ-style one-pass data-quality audit (engine addition,
+    operators/metrics.py): six contract rules — presence, key
+    uniqueness, numeric range, code shape, code vocabulary, and a
+    cross-field consistency check — over documents decorated with
+    deterministic violations (every 19th text NULLed, every 13th lang
+    malformed, every 29th char count negated, ids folded mod 450 so
+    duplicates exist). One aggregation pass; the oracle recomputes
+    every count independently as scalar subqueries."""
+    from docling_translate_spark.operators.metrics import quality_audit
+
+    i = F.col("doc_id")
+    d = _docs(spark, sf_dir).select(
+        (i % 450).alias("key"),
+        F.when(i % 19 == 0, F.lit(None).cast("string"))
+        .otherwise(F.col("text"))
+        .alias("text"),
+        F.when(i % 13 == 0, F.lit("EN ")).otherwise(F.col("lang")).alias(
+            "lang"
+        ),
+        F.when(i % 29 == 0, F.lit(-1))
+        .otherwise(F.col("n_chars"))
+        .cast("long")
+        .alias("n_chars"),
+    )
+    return quality_audit(
+        d,
+        [
+            ("not_null", "text_present", "text"),
+            ("unique", "key_unique", "key"),
+            ("in_range", "chars_range", "n_chars", 1, 100000),
+            ("matches", "lang_shape", "lang", "^[a-z]{2}$"),
+            ("in_set", "lang_known", "lang", ["en", "fr", "de", "es", "zh"]),
+            ("check", "chars_consistent", "n_chars = length(text)"),
+        ],
+    )
+
+
 def q_ann_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
     """IVF approximate top-5 (k-means coarse quantizer + cell probe;
     rows-only — recall pinned by pytest)."""
@@ -1186,6 +1237,67 @@ def q_pack_sequences(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     return pack_sequences(_docs(spark, sf_dir), 512).select(
         "doc_id", "ws_tokens", "seq_bin"
+    )
+
+
+def q_docstat_battery(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Repetition gates + sequence packing in ONE gate slot
+    (recorded-cap discipline): both branches verbatim, typed columns
+    harmonized (longs stay long, ratios stay double — no float→string
+    repr casts, which are not engine-portable)."""
+    rep = q_repetition(spark, sf_dir).select(
+        F.lit("repetition").alias("branch"),
+        "doc_id",
+        F.col("n_lines").alias("l1"),
+        F.lit(0).cast("long").alias("l2"),
+        F.col("dup_line_ratio").cast("double").alias("d1"),
+        F.col("top_bigram_ratio").cast("double").alias("d2"),
+    )
+    pk = q_pack_sequences(spark, sf_dir).select(
+        F.lit("packing").alias("branch"),
+        "doc_id",
+        F.col("ws_tokens").cast("long").alias("l1"),
+        F.col("seq_bin").cast("long").alias("l2"),
+        F.lit(0.0).cast("double").alias("d1"),
+        F.lit(0.0).cast("double").alias("d2"),
+    )
+    return rep.unionByName(pk)
+
+
+def q_snapshot_churn(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Snapshot diff + churn rollup (engine addition,
+    operators/metrics.py): the new snapshot drops every 11th doc
+    (removed), rewrites every 5th doc's text (changed), and adds a
+    fresh doc per every 17th id (added); per-doc status rows joined
+    with the per-status counts. The join moves slim (id, digest) rows
+    — text never shuffles (plan-pinned in tests)."""
+    from docling_translate_spark.operators.metrics import (
+        snapshot_churn,
+        snapshot_diff,
+    )
+
+    d = _docs(spark, sf_dir)
+    i = F.col("doc_id")
+    old = d.select("doc_id", "text")
+    new = (
+        d.filter(i % 11 != 0)
+        .select(
+            "doc_id",
+            F.when(i % 5 == 0, F.concat(F.col("text"), F.lit(" v2")))
+            .otherwise(F.col("text"))
+            .alias("text"),
+        )
+        .union(
+            d.filter(i % 17 == 0).select(
+                (i + 10000).alias("doc_id"),
+                F.concat(F.lit("fresh "), i.cast("string")).alias("text"),
+            )
+        )
+    )
+    diff = snapshot_diff(old, new)
+    churn = snapshot_churn(old, new).withColumnRenamed("n_docs", "n_status")
+    return diff.join(F.broadcast(churn), "status").select(
+        "doc_id", "status", "n_status"
     )
 
 
@@ -1721,6 +1833,59 @@ def q_dedup_segments(spark: SparkSession, sf_dir: str) -> DataFrame:
     return dedup_segments(_docs(spark, sf_dir), seg_words=10)
 
 
+def q_dedupops_battery(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Near-dup connected components + C4 duplicate-segment removal in
+    ONE gate slot (recorded-cap discipline, nearpair/sentloc battery
+    precedent): both branches verbatim, columns harmonized to strings."""
+    comp = q_dedup_components(spark, sf_dir).select(
+        F.lit("components").alias("branch"),
+        "doc_id",
+        F.col("comp_id").cast("string").alias("c1"),
+        F.lit("").alias("c2"),
+    )
+    seg = q_dedup_segments(spark, sf_dir).select(
+        F.lit("segments").alias("branch"),
+        "doc_id",
+        F.col("clean_text").alias("c1"),
+        F.col("n_kept_segments").cast("string").alias("c2"),
+    )
+    return comp.unionByName(seg)
+
+
+def q_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Integer PageRank over a deterministically-decorated link graph
+    (engine addition, operators/graph.py): docs link to md5-chosen hub
+    pages (hot-key in-degree skew by construction), every 7th doc's
+    budget instead goes to a hub→hub ring edge (cycles), and the ring
+    covers only 13 of the 23 hubs so the other 10 are DANGLING —
+    exercising the out-degree split, the agg-shaped gather, and the
+    dangling redistribution in one graph. All-BIGINT floor arithmetic
+    makes the unrolled DuckDB oracle bit-identical (module docstring)."""
+    from docling_translate_spark.operators.graph import pagerank
+
+    d = _docs(spark, sf_dir)
+    i = F.col("doc_id")
+
+    def hub(e):
+        return F.concat(F.lit("h"), e.cast("string"))
+
+    def pick(tag):
+        h = F.md5(F.concat(F.lit("e"), i.cast("string"), F.lit(tag)))
+        return F.conv(F.substring(h, 1, 8), 16, 10).cast("long") % 23
+
+    doc_src = F.concat(F.lit("d"), i.cast("string"))
+    e0 = d.filter(i % 7 != 0).select(
+        doc_src.alias("src"), hub(pick(":0")).alias("dst")
+    )
+    e1 = d.filter(i % 7 != 0).select(
+        doc_src.alias("src"), hub(pick(":1")).alias("dst")
+    )
+    ring = d.filter(i % 7 == 0).select(
+        hub(i % 13).alias("src"), hub((i + 1) % 13).alias("dst")
+    )
+    return pagerank(e0.union(e1).union(ring), iters=4)
+
+
 def q_unigram_logprob(spark: SparkSession, sf_dir: str) -> DataFrame:
     """CCNet-style unigram-LM quality score: mean −log2 p(token) under
     the corpus's own unigram MLE (full oracle)."""
@@ -1923,16 +2088,24 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # the never-recorded shard_manifest engine addition
         "nearpair_battery": q_nearpair_battery,
         "shard_manifest": q_shard_manifest,
-        "dedup_components": q_dedup_components,
-        "dedup_segments": q_dedup_segments,
-        "ann_topk": q_ann_topk,
+        # dedup_components+dedup_segments (both r3-green) consolidate
+        # into dedupops_battery (branches verbatim); the originals ride
+        # at the tail and the freed slot goes to the never-recorded
+        # pagerank engine addition
+        "dedupops_battery": q_dedupops_battery,
+        "pagerank": q_pagerank,
+        # ann_topk+ann_lsh (both r3-green, identical top-k schemas)
+        # consolidate into ann_battery; the originals ride at the tail
+        # and the freed slot goes to the never-recorded quality_audit
+        # engine addition
+        "ann_battery": q_ann_battery,
         # embed_near_dup_exact + embed_near_dup (both r3-green,
         # identical (id_a, id_b) schemas) consolidate into
         # embeddup_battery — one recorded slot carries both rows'
         # pairs verbatim; the originals ride at the tail and the freed
         # slot goes to the never-recorded bloom_filter sketch
         "embeddup_battery": q_embeddup_battery,
-        "ann_lsh": q_ann_lsh,
+        "quality_audit": q_quality_audit,
         "ann_ivf": q_ann_ivf,
         # lang_id / quality_scores / token_counts (all r3-green)
         # consolidate into text_battery — one recorded slot carries all
@@ -1952,10 +2125,14 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # winnow_pairs (r3-green) rides at the tail this round: the
         # winnowing row keeps winnow_fingerprints recorded; the
         # never-recorded dom_tokens takes the freed slot (below)
-        "repetition": q_repetition,
+        # repetition+pack_sequences (both r3-green, doc_id-keyed)
+        # consolidate into docstat_battery (typed columns, no
+        # float→string casts); the originals ride at the tail and the
+        # freed slot goes to the never-recorded snapshot_churn
+        "docstat_battery": q_docstat_battery,
         "sample_battery": q_sample_battery,
         "dsir_weights": q_dsir_weights,
-        "pack_sequences": q_pack_sequences,
+        "snapshot_churn": q_snapshot_churn,
         # t8_sentences+i18n_localize (both r3-green) consolidate into
         # sentloc_battery (branches verbatim); the originals ride at
         # the tail and the freed slot goes to the never-recorded
@@ -2036,6 +2213,12 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "i18n_localize": q_i18n_localize,
         "dedup_minhash_lsh": q_dedup_minhash_lsh,
         "dedup_ngram_jaccard": q_dedup_ngram_jaccard,
+        "dedup_components": q_dedup_components,
+        "dedup_segments": q_dedup_segments,
+        "ann_topk": q_ann_topk,
+        "ann_lsh": q_ann_lsh,
+        "repetition": q_repetition,
+        "pack_sequences": q_pack_sequences,
     }
 
 
@@ -3011,6 +3194,78 @@ def _cms_oracle() -> str:
     """
 
 
+def _pagerank_oracle() -> str:
+    """DuckDB twin of ``q_pagerank``: the same decorated edge build,
+    then the operator's integer arithmetic UNROLLED one CTE chain per
+    iteration (fixed iteration count is part of the operator contract
+    precisely so the oracle can replay it). Every division is DuckDB's
+    integer ``//`` mirroring Spark's ``div``; the damping product uses
+    the same overflow-safe split identity; sums are BIGINT-exact, so
+    the match is bit-for-bit."""
+    from docling_translate_spark.operators.graph import (
+        PR_DAMP_DEN as D,
+        PR_DAMP_NUM as A,
+        PR_SCALE,
+    )
+
+    iters = 4
+    base = ((D - A) * PR_SCALE) // D
+
+    def pick(tag: str) -> str:
+        return (
+            "('0x' || substr(md5('e' || CAST(doc_id AS VARCHAR) ||"
+            f" '{tag}'), 1, 8))::UBIGINT::BIGINT % 23"
+        )
+
+    steps = []
+    for k in range(1, iters + 1):
+        p = f"r{k - 1}"
+        x = "(coalesce(g.insum, 0) + d.share)"
+        steps.append(f"""
+        , g{k} AS (
+            SELECT e.dst AS v, sum(p.r // o.c)::BIGINT AS insum
+            FROM eds e
+            JOIN {p} p ON e.src = p.v
+            JOIN outdeg o ON o.src = e.src
+            GROUP BY 1
+        ), d{k} AS (
+            SELECT coalesce(sum(p.r), 0) // (SELECT n FROM nv) AS share
+            FROM {p} p LEFT JOIN outdeg o ON p.v = o.src
+            WHERE o.src IS NULL
+        ), r{k} AS (
+            SELECT verts.v,
+                   CAST({base} + {A} * ({x} // {D})
+                        + ({A} * ({x} % {D})) // {D} AS BIGINT) AS r
+            FROM verts CROSS JOIN d{k} d
+            LEFT JOIN g{k} g ON g.v = verts.v
+        )""")
+
+    return f"""
+        WITH raw AS (
+            SELECT 'd' || CAST(doc_id AS VARCHAR) AS src,
+                   'h' || CAST({pick(":0")} AS VARCHAR) AS dst
+            FROM documents WHERE doc_id % 7 <> 0
+            UNION ALL
+            SELECT 'd' || CAST(doc_id AS VARCHAR),
+                   'h' || CAST({pick(":1")} AS VARCHAR)
+            FROM documents WHERE doc_id % 7 <> 0
+            UNION ALL
+            SELECT 'h' || CAST(doc_id % 13 AS VARCHAR),
+                   'h' || CAST((doc_id + 1) % 13 AS VARCHAR)
+            FROM documents WHERE doc_id % 7 = 0
+        ), eds AS (SELECT DISTINCT src, dst FROM raw),
+        outdeg AS (SELECT src, count(*)::BIGINT AS c FROM eds GROUP BY 1),
+        verts AS (
+            SELECT DISTINCT v
+            FROM (SELECT src AS v FROM eds UNION SELECT dst FROM eds)
+        ),
+        nv AS (SELECT count(*)::BIGINT AS n FROM verts),
+        r0 AS (SELECT v, CAST({PR_SCALE} AS BIGINT) AS r FROM verts)
+        {"".join(steps)}
+        SELECT v AS vertex, r AS rank_units FROM r{iters}
+    """
+
+
 def _badwords_oracle() -> str:
     """DuckDB twin of ``q_badwords_filter``: token grammar, word list,
     and phrase boundary patterns all interpolated from the operator's
@@ -3891,6 +4146,73 @@ w AS MATERIALIZED (
         "pii_redact": _pii_oracle(),
         "badwords_filter": _badwords_oracle(),
         "cms_hitters": _cms_oracle(),
+        "pagerank": _pagerank_oracle(),
+        # snapshot_churn: same decorated new snapshot; status via
+        # NULL-safe direct text comparison (equivalent to the
+        # operator's injective digest equality — digests are a pure
+        # function of the values)
+        "snapshot_churn": """
+            WITH old AS (SELECT doc_id, text FROM documents),
+            new AS (
+                SELECT doc_id,
+                       CASE WHEN doc_id % 5 = 0 THEN text || ' v2'
+                            ELSE text END AS text
+                FROM documents WHERE doc_id % 11 <> 0
+                UNION ALL
+                SELECT doc_id + 10000, 'fresh ' || CAST(doc_id AS VARCHAR)
+                FROM documents WHERE doc_id % 17 = 0
+            ), j AS (
+                SELECT coalesce(o.doc_id, n.doc_id) AS doc_id,
+                       CASE WHEN o.doc_id IS NULL THEN 'added'
+                            WHEN n.doc_id IS NULL THEN 'removed'
+                            WHEN o.text IS DISTINCT FROM n.text
+                                THEN 'changed'
+                            ELSE 'unchanged' END AS status
+                FROM old o FULL OUTER JOIN new n ON o.doc_id = n.doc_id
+            ), c AS (
+                SELECT status, count(*)::BIGINT AS n_status
+                FROM j GROUP BY 1
+            )
+            SELECT j.doc_id, j.status, c.n_status
+            FROM j JOIN c USING (status)
+        """,
+        # quality_audit: every rule's count recomputed independently as
+        # a scalar subquery over the same decorated relation; the check
+        # rule's NULL-is-violation via NOT coalesce(expr, FALSE)
+        "quality_audit": """
+            WITH src AS (
+                SELECT doc_id % 450 AS key,
+                       CASE WHEN doc_id % 19 = 0 THEN NULL
+                            ELSE text END AS text,
+                       CASE WHEN doc_id % 13 = 0 THEN 'EN '
+                            ELSE lang END AS lang,
+                       (CASE WHEN doc_id % 29 = 0 THEN -1
+                             ELSE n_chars END)::BIGINT AS n_chars
+                FROM documents
+            ), n AS (SELECT count(*)::BIGINT AS c FROM src)
+            SELECT 'text_present' AS rule_id,
+                   (SELECT count(*) FROM src WHERE text IS NULL)::BIGINT
+                       AS n_violations,
+                   c AS n_rows FROM n
+            UNION ALL SELECT 'key_unique',
+                   (SELECT count(key) - count(DISTINCT key)
+                    FROM src)::BIGINT, c FROM n
+            UNION ALL SELECT 'chars_range',
+                   (SELECT count(*) FROM src WHERE n_chars IS NOT NULL
+                    AND (n_chars < 1 OR n_chars > 100000))::BIGINT, c FROM n
+            UNION ALL SELECT 'lang_shape',
+                   (SELECT count(*) FROM src WHERE lang IS NOT NULL
+                    AND NOT regexp_matches(lang, '^[a-z]{2}$'))::BIGINT,
+                   c FROM n
+            UNION ALL SELECT 'lang_known',
+                   (SELECT count(*) FROM src WHERE lang IS NOT NULL
+                    AND lang NOT IN ('en', 'fr', 'de', 'es', 'zh'))::BIGINT,
+                   c FROM n
+            UNION ALL SELECT 'chars_consistent',
+                   (SELECT count(*) FROM src
+                    WHERE NOT coalesce(n_chars = length(text),
+                                       FALSE))::BIGINT, c FROM n
+        """,
         # shard_manifest: the one global md5 permutation as a plain
         # row_number (the oracle can afford the single sort the
         # distributed plan avoids), same integer shard arithmetic
@@ -4864,6 +5186,40 @@ w AS MATERIALIZED (
         + ") UNION ALL SELECT 'i18n' AS branch, doc_id, ui_key AS c1,"
         " ui_lang AS c2, localized AS c3 FROM ("
         + sql["i18n_localize"]
+        + ")"
+    )
+    # docstat_battery = tagged union of the repetition + packing
+    # oracles VERBATIM, typed columns (no float→string repr casts)
+    sql["docstat_battery"] = (
+        "SELECT 'repetition' AS branch, doc_id, n_lines AS l1,"
+        " 0::BIGINT AS l2, dup_line_ratio::DOUBLE AS d1,"
+        " top_bigram_ratio::DOUBLE AS d2 FROM ("
+        + sql["repetition"]
+        + ") UNION ALL SELECT 'packing' AS branch, doc_id,"
+        " ws_tokens::BIGINT AS l1, seq_bin::BIGINT AS l2,"
+        " 0.0::DOUBLE AS d1, 0.0::DOUBLE AS d2 FROM ("
+        + sql["pack_sequences"]
+        + ")"
+    )
+    # ann_battery = tagged union of the exact + LSH top-k oracles
+    # VERBATIM (nearpair_battery discipline)
+    sql["ann_battery"] = (
+        "SELECT 'exact' AS part, query_id, neighbor_id, rank FROM ("
+        + sql["ann_topk"]
+        + ") UNION ALL SELECT 'lsh' AS part, query_id, neighbor_id, rank"
+        " FROM ("
+        + sql["ann_lsh"]
+        + ")"
+    )
+    # dedupops_battery = tagged union of the components + segments
+    # oracles VERBATIM (nearpair_battery discipline), harmonized
+    sql["dedupops_battery"] = (
+        "SELECT 'components' AS branch, doc_id,"
+        " CAST(comp_id AS VARCHAR) AS c1, '' AS c2 FROM ("
+        + sql["dedup_components"]
+        + ") UNION ALL SELECT 'segments' AS branch, doc_id,"
+        " clean_text AS c1, CAST(n_kept_segments AS VARCHAR) AS c2 FROM ("
+        + sql["dedup_segments"]
         + ")"
     )
     # cleanse_battery = tagged union of the PII + decontamination

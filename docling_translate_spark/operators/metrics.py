@@ -151,3 +151,168 @@ def stat_records(extracted: DataFrame) -> DataFrame:
             )
         ).alias("s")
     ).select("s.metric", "s.count", "s.unit")
+
+
+# --------------------------------------------------------------------
+# Declarative data-quality audit (the Deequ/Great-Expectations step)
+#
+# Before a 100 TB corpus ships to trainers, the pipeline asserts a
+# contract over it: keys unique, required fields present, values in
+# range, codes well-formed, cross-field invariants hold. Deequ's
+# insight is that ALL such constraints reduce to aggregates, so an
+# arbitrary rule battery costs ONE pass over the data: every rule
+# becomes a conditional-sum column in a single groupBy-less agg
+# (partial aggregation map-side; the exchange moves one row per
+# partition), then the 1-row result unpivots to one row per rule.
+#
+# The one exception is uniqueness, which needs count(distinct):
+# Spark plans n distinct aggregates in one agg via Expand (input
+# amplified (n+1)x before the partial agg). One unique rule per audit
+# is the sweet spot at scale; for several, run audits per key or use
+# the HLL sketch (sketch.py::hll_distinct) and accept the estimate.
+# --------------------------------------------------------------------
+
+
+def quality_audit(df: DataFrame, rules) -> DataFrame:
+    """One-pass rule battery: ``(rule_id, n_violations, n_rows)`` per
+    rule, all BIGINT. Rules are tuples:
+
+    - ``("not_null", rid, col)`` — violations = NULL values
+    - ``("unique", rid, col)`` — violations = non-null rows minus
+      distinct values (excess duplicate rows; 0 <=> all values unique)
+    - ``("in_range", rid, col, lo, hi)`` — non-null values outside
+      [lo, hi] (NULLs are not range violations — pair with not_null)
+    - ``("matches", rid, col, regex)`` — non-null values not fully
+      matching ``regex``
+    - ``("in_set", rid, col, values)`` — non-null values outside the
+      literal set
+    - ``("check", rid, sql_bool_expr)`` — rows where the expression is
+      not TRUE (a NULL result is a violation: an invariant that cannot
+      be evaluated is not satisfied)
+
+    Pure aggregation: deterministic at any partitioning, one job, no
+    shuffle wider than one row per partition.
+    """
+    exprs = []
+    seen = set()
+    for r in rules:
+        kind, rid = r[0], r[1]
+        if rid in seen:
+            raise ValueError(f"duplicate rule_id {rid!r}")
+        seen.add(rid)
+        if kind == "not_null":
+            v = F.sum(F.col(r[2]).isNull().cast("long"))
+        elif kind == "unique":
+            v = F.count(F.col(r[2])) - F.count_distinct(F.col(r[2]))
+        elif kind == "in_range":
+            c, lo, hi = F.col(r[2]), F.lit(r[3]), F.lit(r[4])
+            v = F.sum((c.isNotNull() & ((c < lo) | (c > hi))).cast("long"))
+        elif kind == "matches":
+            c = F.col(r[2])
+            v = F.sum((c.isNotNull() & ~c.rlike(r[3])).cast("long"))
+        elif kind == "in_set":
+            c = F.col(r[2])
+            v = F.sum((c.isNotNull() & ~c.isin(list(r[3]))).cast("long"))
+        elif kind == "check":
+            v = F.sum(
+                F.when(F.expr(r[2]), F.lit(0)).otherwise(F.lit(1))
+            )
+        else:
+            raise ValueError(f"unknown rule kind {kind!r}")
+        exprs.append(F.coalesce(v, F.lit(0)).cast("long").alias(f"_v{len(exprs)}"))
+    if not exprs:
+        raise ValueError("need at least one rule")
+
+    agg_row = df.agg(*exprs, F.count("*").cast("long").alias("_n"))
+    structs = [
+        F.struct(
+            F.lit(r[1]).alias("rule_id"),
+            F.col(f"_v{i}").alias("n_violations"),
+        )
+        for i, r in enumerate(rules)
+    ]
+    return agg_row.select(
+        F.explode(F.array(*structs)).alias("r"), F.col("_n").alias("n_rows")
+    ).select("r.rule_id", "r.n_violations", "n_rows")
+
+
+# --------------------------------------------------------------------
+# Snapshot diff / corpus churn (continuous-crawl version accounting)
+#
+# A continuously-recrawled corpus ships as versioned snapshots
+# (sources/checkpoint.py); the first question about any new snapshot
+# is its churn: what was added, what disappeared, what changed in
+# place, what is byte-stable. The diff drives incremental downstreams
+# (re-embed only changed docs, re-run dedup only against added ones)
+# and is the canary for crawler regressions (a 40% "changed" spike is
+# a parser change, not the web).
+#
+# Scale shape: the join moves slim (id, digest) rows — the text
+# payload itself never shuffles. The digest is md5 over the same
+# fixed-width per-column encoding as scrub.py's row id ('n' for NULL,
+# 'v' + md5(value) otherwise), so it is injective over NUL-bearing
+# scraped text and engine-portable. Precondition: ids unique within
+# each snapshot (the quality_audit `unique` rule is the gate for
+# that); duplicate ids would cross-multiply in the full-outer join.
+# --------------------------------------------------------------------
+
+DIFF_STATUSES = ("added", "removed", "changed", "unchanged")
+
+
+def _content_digest(content_cols) -> F.Column:
+    return F.md5(
+        F.concat(
+            *[
+                F.when(F.col(c).isNull(), F.lit("n")).otherwise(
+                    F.concat(F.lit("v"), F.md5(F.col(c).cast("string")))
+                )
+                for c in content_cols
+            ]
+        )
+    )
+
+
+def snapshot_diff(
+    old: DataFrame,
+    new: DataFrame,
+    id_col: str = "doc_id",
+    content_cols=("text",),
+) -> DataFrame:
+    """``(id_col, status)`` per id appearing in either snapshot:
+    ``added`` (new only), ``removed`` (old only), ``changed`` (both,
+    content digests differ), ``unchanged``. NULL content participates
+    via the injective encoding (NULL == NULL ⇒ unchanged)."""
+    cols = list(content_cols)
+    o = old.select(F.col(id_col).alias("_id"), _content_digest(cols).alias("_oh"))
+    n = new.select(F.col(id_col).alias("_id"), _content_digest(cols).alias("_nh"))
+    return o.join(n, "_id", "full_outer").select(
+        F.col("_id").alias(id_col),
+        F.when(F.col("_oh").isNull(), F.lit("added"))
+        .when(F.col("_nh").isNull(), F.lit("removed"))
+        .when(F.col("_oh") != F.col("_nh"), F.lit("changed"))
+        .otherwise(F.lit("unchanged"))
+        .alias("status"),
+    )
+
+
+def snapshot_churn(
+    old: DataFrame,
+    new: DataFrame,
+    id_col: str = "doc_id",
+    content_cols=("text",),
+) -> DataFrame:
+    """``(status, n_docs)`` rollup of :func:`snapshot_diff` on a
+    COMPLETE status axis — all four statuses always present (zero
+    counts included) so downstream consumers get a stable frame (the
+    classifier's complete-bucket-axis discipline)."""
+    counts = (
+        snapshot_diff(old, new, id_col, content_cols)
+        .groupBy("status")
+        .agg(F.count("*").cast("long").alias("_n"))
+    )
+    axis = old.sparkSession.createDataFrame(
+        [(s,) for s in DIFF_STATUSES], "status string"
+    )
+    return axis.join(counts, "status", "left").select(
+        "status", F.coalesce(F.col("_n"), F.lit(0)).cast("long").alias("n_docs")
+    )
