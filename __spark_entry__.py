@@ -891,6 +891,42 @@ def q_ann_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).select("query_id", "neighbor_id", F.col("rank").cast("long").alias("rank"))
 
 
+def q_quantized_ann(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Int8-quantized maximum-inner-product top-5 (engine addition,
+    operators/similarity.py): symmetric per-vector quantization (no
+    order-dependent float sums anywhere — amax is a max, the grid map
+    is one IEEE multiply/divide/floor), then the blocked packed×packed
+    GEMM with EXACT BIGINT scores, so unlike the float-cosine queries
+    the score column itself is value-hashed at the gate."""
+    from docling_translate_spark.operators.similarity import quantized_ip_topk
+
+    emb = _emb(spark, sf_dir)
+    return quantized_ip_topk(emb, emb, k=5, n_blocks=8)
+
+
+def q_docquality_battery(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """HTML main-content extraction + unigram-LM quality in ONE gate
+    slot (recorded-cap discipline): both branches verbatim, typed
+    columns harmonized (ratios stay double)."""
+    hm = q_html_main_content(spark, sf_dir).select(
+        F.lit("html_main").alias("branch"),
+        "doc_id",
+        F.col("main_text").alias("c1"),
+        F.col("n_blocks").cast("long").alias("l1"),
+        F.col("n_content_blocks").cast("long").alias("l2"),
+        F.col("boilerplate_ratio").cast("double").alias("d1"),
+    )
+    ug = q_unigram_logprob(spark, sf_dir).select(
+        F.lit("unigram").alias("branch"),
+        "doc_id",
+        F.lit("").alias("c1"),
+        F.col("n_tokens").cast("long").alias("l1"),
+        F.lit(0).cast("long").alias("l2"),
+        F.col("avg_neg_log2p").cast("double").alias("d1"),
+    )
+    return hm.unionByName(ug)
+
+
 def q_lang_id(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Stopword-battery language ID."""
     from docling_translate_spark.operators.text_analysis import lang_id
@@ -2114,8 +2150,12 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # never-recorded nb_quality and corpus_profile
         "text_battery": q_text_battery,
         "nb_quality": q_nb_quality,
-        "unigram_logprob": q_unigram_logprob,
-        "html_main_content": q_html_main_content,
+        # unigram_logprob+html_main_content (both r3-green, doc-keyed)
+        # consolidate into docquality_battery; the originals ride at
+        # the tail and the freed slot goes to the never-recorded
+        # quantized_ann engine addition
+        "docquality_battery": q_docquality_battery,
+        "quantized_ann": q_quantized_ann,
         "corpus_profile": q_corpus_profile,
         # fingerprint (r3-green, driver-recorded) rides at the tail this
         # round: its fingerprinting row keeps TWO recorded winnowing
@@ -2219,6 +2259,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ann_lsh": q_ann_lsh,
         "repetition": q_repetition,
         "pack_sequences": q_pack_sequences,
+        "unigram_logprob": q_unigram_logprob,
+        "html_main_content": q_html_main_content,
     }
 
 
@@ -4147,6 +4189,38 @@ w AS MATERIALIZED (
         "badwords_filter": _badwords_oracle(),
         "cms_hitters": _cms_oracle(),
         "pagerank": _pagerank_oracle(),
+        # quantized_ann: quantization replayed per vector (max is
+        # accumulation-free, the grid map is one IEEE mul/div/floor),
+        # dots on the BIGINT lists — exact in float64 for |q| <= 127,
+        # dim 64, so the CAST is lossless
+        "quantized_ann": """
+            WITH base AS (
+                SELECT vec_id, embedding,
+                       CAST(list_max(list_transform(embedding,
+                            x -> abs(CAST(x AS DOUBLE)))) AS DOUBLE) AS amax
+                FROM embeddings
+            ), q AS (
+                SELECT vec_id,
+                       CASE WHEN amax = 0
+                            THEN list_transform(embedding, x -> 0::BIGINT)
+                            ELSE list_transform(embedding,
+                                 x -> floor(127.0 * CAST(x AS DOUBLE)
+                                            / amax + 0.5)::BIGINT)
+                       END AS qv
+                FROM base
+            ), pairs AS (
+                SELECT a.vec_id AS query_id, b.vec_id AS neighbor_id,
+                       CAST(list_dot_product(a.qv, b.qv) AS BIGINT) AS qdot
+                FROM q a JOIN q b ON a.vec_id <> b.vec_id
+            ), ranked AS (
+                SELECT query_id, neighbor_id, qdot,
+                       row_number() OVER (PARTITION BY query_id
+                           ORDER BY qdot DESC, neighbor_id) AS rank
+                FROM pairs
+            )
+            SELECT query_id, neighbor_id, qdot, rank
+            FROM ranked WHERE rank <= 5
+        """,
         # snapshot_churn: same decorated new snapshot; status via
         # NULL-safe direct text comparison (equivalent to the
         # operator's injective digest equality — digests are a pure
@@ -5186,6 +5260,19 @@ w AS MATERIALIZED (
         + ") UNION ALL SELECT 'i18n' AS branch, doc_id, ui_key AS c1,"
         " ui_lang AS c2, localized AS c3 FROM ("
         + sql["i18n_localize"]
+        + ")"
+    )
+    # docquality_battery = tagged union of the HTML main-content +
+    # unigram oracles VERBATIM, typed columns
+    sql["docquality_battery"] = (
+        "SELECT 'html_main' AS branch, doc_id, main_text AS c1,"
+        " n_blocks::BIGINT AS l1, n_content_blocks::BIGINT AS l2,"
+        " boilerplate_ratio::DOUBLE AS d1 FROM ("
+        + sql["html_main_content"]
+        + ") UNION ALL SELECT 'unigram' AS branch, doc_id, '' AS c1,"
+        " n_tokens::BIGINT AS l1, 0::BIGINT AS l2,"
+        " avg_neg_log2p::DOUBLE AS d1 FROM ("
+        + sql["unigram_logprob"]
         + ")"
     )
     # docstat_battery = tagged union of the repetition + packing

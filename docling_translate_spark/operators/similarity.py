@@ -761,3 +761,144 @@ def cosine_near_dup_pairs(
         .filter(F.col("cosine") >= threshold)
         .select("id_a", "id_b", "cosine")
     )
+
+
+# --------------------------------------------------------------------
+# Int8 scalar quantization + exact-integer inner-product top-k
+#
+# At 10^9+ vectors the float32 corpus is the ANN cost driver: 64-dim
+# float32 = 256 B/vector of scan, shuffle, and GEMM traffic. Symmetric
+# per-vector int8 quantization (the FAISS SQ8 recipe) cuts that 4x
+# with bounded error, and — the property this engine cares about —
+# makes downstream scoring EXACT INTEGER arithmetic: quantized values
+# are integers in [-127, 127], so every product and partial sum of a
+# dot product is an integer below 2^53, meaning even a float64 GEMM
+# computes it exactly and any engine agrees bit-for-bit. Quantization
+# itself is also engine-exact: amax = max(|x_i|) involves no
+# accumulation (float comparison is exact), and floor(127*x/amax+0.5)
+# is one IEEE multiply + divide + floor — no order-dependent sums
+# anywhere, unlike L2 normalization (which is why the float cosine
+# operators emit no value-hashed floats while this one can emit its
+# scores straight to the gate).
+# --------------------------------------------------------------------
+
+QUANT_LEVELS = 127  # symmetric int8 grid: q in [-QUANT_LEVELS, QUANT_LEVELS]
+
+
+def quantize_embeddings(
+    df: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """``(id_col, qvec array<bigint>, scale double)``: symmetric
+    per-vector int8 quantization q_i = floor(127 * x_i / amax + 0.5)
+    (round-half-up — floor is tie-deterministic on every engine,
+    unlike round()'s HALF_UP vs banker's drift). ``scale`` = amax/127
+    dequantizes (x ≈ q * scale). All-zero vectors quantize to all
+    zeros with scale 0; NULL vectors pass through as NULL. Zero
+    shuffle — one codegen projection."""
+    amax = F.array_max(
+        F.transform(F.col(vec_col), lambda x: F.abs(x.cast("double")))
+    )
+    with_amax = df.select(
+        F.col(id_col), F.col(vec_col).alias("_v"), amax.alias("_amax")
+    )
+    lv = F.lit(float(QUANT_LEVELS))
+    q = F.when(
+        F.col("_amax") == 0.0,
+        F.transform(F.col("_v"), lambda x: F.lit(0).cast("long")),
+    ).otherwise(
+        F.transform(
+            F.col("_v"),
+            lambda x: F.floor(
+                lv * x.cast("double") / F.col("_amax") + F.lit(0.5)
+            ).cast("long"),
+        )
+    )
+    return with_amax.select(
+        id_col,
+        q.alias("qvec"),
+        (F.col("_amax") / lv).alias("scale"),
+    )
+
+
+def quantized_ip_topk(
+    corpus: DataFrame,
+    queries: DataFrame,
+    k: int = 5,
+    n_blocks: int = 8,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Top-k by EXACT integer inner product of int8-quantized vectors
+    (maximum-inner-product search over the compressed corpus; for
+    cosine semantics feed pre-normalized vectors). Same blocked
+    packed×packed GEMM shape as :func:`brute_force_topk_blocked` — no
+    broadcast, no driver collect — but the scores are exact BIGINTs
+    (|dot| ≤ 127² · dim < 2^53 through dim ~5·10^11), so ties and
+    ranks are engine-reproducible and the gate can value-hash ``qdot``
+    directly. Self-matches excluded; ties break on neighbor id."""
+    cq = quantize_embeddings(corpus, id_col, vec_col)
+    qq = quantize_embeddings(queries, id_col, vec_col)
+    cpacked = _pack_blocks(cq, n_blocks, id_col, "qvec", "cb", "cids", "cvecs")
+    qpacked = _pack_blocks(qq, n_blocks, id_col, "qvec", "qb", "qids", "qvecs")
+    joined = qpacked.crossJoin(cpacked)
+
+    out_schema = StructType(
+        [
+            StructField("query_id", LongType(), False),
+            StructField("neighbor_id", LongType(), False),
+            StructField("qdot", LongType(), False),
+        ]
+    )
+
+    def block_topk(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            if not len(pdf):
+                continue
+            out = {"query_id": [], "neighbor_id": [], "qdot": []}
+            for _, row in pdf.iterrows():
+                qids = np.asarray(row["qids"], dtype=np.int64)
+                qmat = np.stack(
+                    [np.asarray(v, dtype=np.int64) for v in row["qvecs"]]
+                )
+                cids = np.asarray(row["cids"], dtype=np.int64)
+                cmat = np.stack(
+                    [np.asarray(v, dtype=np.int64) for v in row["cvecs"]]
+                )
+                dots = qmat @ cmat.T  # int64 GEMM: exact
+                for i, qid in enumerate(qids):
+                    srow = dots[i]
+                    cand = np.lexsort((cids, -srow))
+                    taken = 0
+                    for j in cand:
+                        if cids[j] == qid:
+                            continue
+                        taken += 1
+                        out["query_id"].append(int(qid))
+                        out["neighbor_id"].append(int(cids[j]))
+                        out["qdot"].append(int(srow[j]))
+                        if taken >= k:
+                            break
+            yield (
+                pd.DataFrame(out)
+                if out["query_id"]
+                else pd.DataFrame(
+                    {
+                        "query_id": pd.array([], dtype="int64"),
+                        "neighbor_id": pd.array([], dtype="int64"),
+                        "qdot": pd.array([], dtype="int64"),
+                    }
+                )
+            )
+
+    scored = joined.mapInPandas(block_topk, out_schema)
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("qdot").desc(), F.col("neighbor_id")
+    )
+    # merge window is bounded: n_blocks * k candidate rows per query
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select("query_id", "neighbor_id", "qdot", F.col("rank").cast("long").alias("rank"))
+    )
