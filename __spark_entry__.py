@@ -1390,6 +1390,46 @@ def q_media_features(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_topk_group(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Scale-safe per-group top-k (engine addition,
+    operators/retrieval.py): top-3 docs per source by char count —
+    salted two-phase ranking, no hot-key window (both window phases
+    bounded; plan-pinned in tests)."""
+    from docling_translate_spark.operators.retrieval import topk_per_group
+
+    return topk_per_group(
+        _docs(spark, sf_dir).select("source", "doc_id", "n_chars"),
+        ["source"],
+        "n_chars",
+        3,
+        ["doc_id"],
+        salt_buckets=8,
+    )
+
+
+def q_eventmedia_battery(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sessionization + multimodal features in ONE gate slot
+    (recorded-cap discipline): both branches verbatim; the session
+    start rides as a formatted STRING (the w_window_agg hash-robustness
+    convention — no raw TIMESTAMP reaches the gate's type-sensitive
+    value hash)."""
+    sw = q_session_window(spark, sf_dir).select(
+        F.lit("session").alias("branch"),
+        F.col("user_id").cast("string").alias("k1"),
+        F.date_format("session_start", "yyyy-MM-dd HH:mm:ss").alias("c1"),
+        F.lit("").alias("c2"),
+        F.col("n_events").cast("long").alias("l1"),
+    )
+    mf = q_media_features(spark, sf_dir).select(
+        F.lit("media").alias("branch"),
+        F.col("media_id").cast("string").alias("k1"),
+        F.col("kind").alias("c1"),
+        F.col("hex_sha256").alias("c2"),
+        F.col("n_bytes").cast("long").alias("l1"),
+    )
+    return sw.unionByName(mf)
+
+
 def q_a7_per_kind_counter(spark: SparkSession, sf_dir: str) -> DataFrame:
     """A7 per-kind sequential numbering (ref utils.py:64-66)."""
     w = Window.partitionBy("user_id", "event_type").orderBy("ts", "event_id")
@@ -2178,7 +2218,12 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # the tail and the freed slot goes to the never-recorded
         # cms_hitters sketch (below, at t8's old position)
         "sentloc_battery": q_sentloc_battery,
-        "session_window": q_session_window,
+        # session_window+media_features (both r3-green) consolidate
+        # into eventmedia_battery (session start as a formatted string
+        # — the w_window_agg convention); the originals ride at the
+        # tail and the freed slots go to the never-recorded topk_group
+        # (below, at media_features' old position)
+        "eventmedia_battery": q_eventmedia_battery,
         # Driver gate records only the first 50 entries (r2 verdict #3):
         # every newly-added or previously-failed query sits inside the
         # cap; queries whose SURVEY row has a SECOND driver-checked query
@@ -2197,7 +2242,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # url_frontier engine addition (above, with dup_spans)
         "scan_battery": q_scan_battery,
         "curation_pipeline": q_curation_pipeline,
-        "media_features": q_media_features,
+        "topk_group": q_topk_group,
         "hll_distinct": q_hll_distinct,
         "cms_hitters": q_cms_hitters,
         # s7_render_html+s28_table_spans (both r1-green span renders)
@@ -2261,6 +2306,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "pack_sequences": q_pack_sequences,
         "unigram_logprob": q_unigram_logprob,
         "html_main_content": q_html_main_content,
+        "session_window": q_session_window,
+        "media_features": q_media_features,
     }
 
 
@@ -4189,6 +4236,19 @@ w AS MATERIALIZED (
         "badwords_filter": _badwords_oracle(),
         "cms_hitters": _cms_oracle(),
         "pagerank": _pagerank_oracle(),
+        # topk_group: the oracle affords the plain hot-key window the
+        # distributed plan avoids
+        "topk_group": """
+            WITH ranked AS (
+                SELECT source, doc_id, n_chars,
+                       row_number() OVER (PARTITION BY source
+                           ORDER BY n_chars DESC NULLS LAST, doc_id)
+                           ::BIGINT AS rank
+                FROM documents
+            )
+            SELECT source, doc_id, n_chars, rank
+            FROM ranked WHERE rank <= 3
+        """,
         # quantized_ann: quantization replayed per vector (max is
         # accumulation-free, the grid map is one IEEE mul/div/floor),
         # dots on the BIGINT lists — exact in float64 for |q| <= 127,
@@ -5260,6 +5320,20 @@ w AS MATERIALIZED (
         + ") UNION ALL SELECT 'i18n' AS branch, doc_id, ui_key AS c1,"
         " ui_lang AS c2, localized AS c3 FROM ("
         + sql["i18n_localize"]
+        + ")"
+    )
+    # eventmedia_battery = tagged union of the sessionization + media
+    # oracles VERBATIM; session start formatted (w_window_agg
+    # convention) so no raw TIMESTAMP reaches the gate hash
+    sql["eventmedia_battery"] = (
+        "SELECT 'session' AS branch, CAST(user_id AS VARCHAR) AS k1,"
+        " strftime(session_start, '%Y-%m-%d %H:%M:%S') AS c1, '' AS c2,"
+        " n_events::BIGINT AS l1 FROM ("
+        + sql["session_window"]
+        + ") UNION ALL SELECT 'media' AS branch,"
+        " CAST(media_id AS VARCHAR) AS k1, kind AS c1, hex_sha256 AS c2,"
+        " n_bytes::BIGINT AS l1 FROM ("
+        + sql["media_features"]
         + ")"
     )
     # docquality_battery = tagged union of the HTML main-content +

@@ -43,6 +43,7 @@ from __future__ import annotations
 from functools import reduce
 
 from pyspark.sql import DataFrame, functions as F
+from pyspark.sql.window import Window
 
 # row-local fast path bound: beyond this the per-row battery of
 # size(filter(...)) columns stops beating an explode + groupBy plan
@@ -248,4 +249,68 @@ def _bm25_scores_exploded(
             F.coalesce(F.col("_micro"), F.lit(0).cast("long")).cast("double")
             / F.lit(1e6)
         ).alias("score"),
+    )
+
+
+# --------------------------------------------------------------------
+# Scale-safe per-group top-k (salted two-phase ranking)
+#
+# "Best k docs per domain by quality" is the curation step after
+# scoring (§2.16 NB classifier, unigram LM, BM25), and its naive plan
+# is the hot-key window this repo bans: row_number() over
+# (partitionBy group) colocates EVERY row of a viral group — one
+# domain with 10^8 pages at 10^12 rows — in one task for the sort
+# (the dedup_segments docstring's "would melt" shape). The fix is the
+# same two-phase idea as the salted conversation_rollup above, applied
+# to ranking: rank within (group, salt) first — a hot group spreads
+# over salt_buckets tasks and each bucket keeps only k survivors —
+# then rank the <= k * salt_buckets survivors per group. Both phases
+# are windows, but every partition is bounded: group_size/salt_buckets
+# in phase 1 (size the bucket count to the expected hot group),
+# k * salt_buckets in phase 2.
+# --------------------------------------------------------------------
+
+
+def topk_per_group(
+    df: DataFrame,
+    group_cols,
+    score_col: str,
+    k: int,
+    tie_cols,
+    salt_buckets: int = 64,
+    ascending: bool = False,
+) -> DataFrame:
+    """Top-``k`` rows per group by ``score_col`` (descending unless
+    ``ascending``), ties broken by ``tie_cols`` ascending — which must
+    totally order rows WITHIN a group (e.g. a unique id), or the
+    selection at the k boundary is not well-defined on any engine.
+    Output: the input columns plus ``rank`` (1-based). Deterministic
+    at any partitioning; NULL scores sort last (never outrank a
+    value)."""
+    group_cols, tie_cols = list(group_cols), list(tie_cols)
+    if k < 1:
+        raise ValueError(f"k must be >= 1, got {k}")
+    if salt_buckets < 1:
+        raise ValueError(f"salt_buckets must be >= 1, got {salt_buckets}")
+    if not tie_cols:
+        raise ValueError("tie_cols must name at least one column")
+    score = F.col(score_col)
+    order = [
+        score.asc_nulls_last() if ascending else score.desc_nulls_last()
+    ] + [F.col(c).asc() for c in tie_cols]
+
+    salted = df.withColumn(
+        "_salt",
+        F.pmod(F.xxhash64(*group_cols, *tie_cols), F.lit(salt_buckets)),
+    )
+    w1 = Window.partitionBy(*group_cols, "_salt").orderBy(*order)
+    survivors = (
+        salted.withColumn("_r1", F.row_number().over(w1))
+        .filter(F.col("_r1") <= k)
+        .drop("_r1", "_salt")
+    )
+    w2 = Window.partitionBy(*group_cols).orderBy(*order)
+    return (
+        survivors.withColumn("rank", F.row_number().over(w2).cast("long"))
+        .filter(F.col("rank") <= k)
     )
