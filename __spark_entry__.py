@@ -374,22 +374,36 @@ def q_wscan_battery(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def q_probe_battery(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """J3 identity-fallback probe + O1 longest-first top-k in ONE gate
-    slot — both documents-table queries kept verbatim, columns
-    harmonized, each branch value-checked by the merged oracle."""
+    """J3 identity-fallback probe + O1 longest-first top-k + J2
+    broadcast-join rollup in ONE gate slot — all three queries kept
+    verbatim, columns harmonized; J2's DECIMAL sum rides as BIGINT
+    integer cents (exact: DECIMAL(18,2) × 100 — the w_window_agg
+    hash-robustness convention)."""
     j3 = q_j3_left_join_fallback(spark, sf_dir).select(
         F.lit("j3").alias("part"),
-        "doc_id",
+        F.col("doc_id").cast("string").alias("key"),
         "out_text",
         F.lit(None).cast("long").alias("text_len"),
+        F.lit(None).cast("long").alias("n_orders"),
+        F.lit(None).cast("long").alias("total_cents"),
     )
     o1 = q_o1_longest_first(spark, sf_dir).select(
         F.lit("o1").alias("part"),
-        "doc_id",
+        F.col("doc_id").cast("string").alias("key"),
         F.lit(None).cast("string").alias("out_text"),
         "text_len",
+        F.lit(None).cast("long").alias("n_orders"),
+        F.lit(None).cast("long").alias("total_cents"),
     )
-    return j3.unionByName(o1)
+    j2 = q_j2_broadcast_join(spark, sf_dir).select(
+        F.lit("j2").alias("part"),
+        F.col("c_mktsegment").alias("key"),
+        F.lit(None).cast("string").alias("out_text"),
+        F.lit(None).cast("long").alias("text_len"),
+        F.col("n_orders").cast("long").alias("n_orders"),
+        (F.col("total_price") * 100).cast("long").alias("total_cents"),
+    )
+    return j3.unionByName(o1).unionByName(j2)
 
 
 _ASOF_BUCKET_US = 3_600_000_000  # 1-hour buckets, the skew knob
@@ -1962,6 +1976,32 @@ def q_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
     return pagerank(e0.union(e1).union(ring), iters=4)
 
 
+def q_anchor_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-target anchor-text profile (engine addition,
+    operators/graph.py::anchor_text_rollup): every doc links one of 7
+    md5-chosen hubs with an anchor phrase cycled from a 4-phrase list
+    — top-2 anchors per hub by reference count, ties lexicographic,
+    ranked via the salted two-phase topk (no hot-key window)."""
+    from docling_translate_spark.operators.graph import anchor_text_rollup
+
+    d = _docs(spark, sf_dir)
+    i = F.col("doc_id")
+    h = F.conv(
+        F.substring(F.md5(F.concat(F.lit("a"), i.cast("string"))), 1, 8),
+        16,
+        10,
+    ).cast("long")
+    anchors = F.array(
+        F.lit("home"), F.lit("click here"), F.lit("read more"), F.lit("docs")
+    )
+    edges = d.select(
+        F.concat(F.lit("d"), i.cast("string")).alias("src"),
+        F.concat(F.lit("h"), (h % 7).cast("string")).alias("dst"),
+        F.element_at(anchors, ((i % 4) + 1).cast("int")).alias("anchor"),
+    )
+    return anchor_text_rollup(edges, k=2, salt_buckets=8)
+
+
 def q_unigram_logprob(spark: SparkSession, sf_dir: str) -> DataFrame:
     """CCNet-style unigram-LM quality score: mean −log2 p(token) under
     the corpus's own unigram MLE (full oracle)."""
@@ -2146,7 +2186,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # and the freed slots go to the never-recorded asof_join and
         # hll_distinct engine additions
         "wscan_battery": q_wscan_battery,
-        "j2_broadcast_join": q_j2_broadcast_join,
+        # j2 (r3-green) folds into probe_battery as a third branch
+        # (decimal → BIGINT cents, the w_window_agg convention); the
+        # original rides at the tail and the freed slot goes to the
+        # never-recorded anchor_rollup engine addition
+        "anchor_rollup": q_anchor_rollup,
         "url_frontier": q_url_frontier,
         "probe_battery": q_probe_battery,
         "asof_join": q_asof_join,
@@ -2308,6 +2352,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "html_main_content": q_html_main_content,
         "session_window": q_session_window,
         "media_features": q_media_features,
+        "j2_broadcast_join": q_j2_broadcast_join,
     }
 
 
@@ -3902,15 +3947,25 @@ w AS MATERIALIZED (
                 SELECT DISTINCT text, '<<' || text || '>>' AS mapped
                 FROM documents WHERE lang = 'en'
             )
-            SELECT 'j3' AS part, d.doc_id, coalesce(m.mapped, d.text) AS out_text,
-                   NULL::BIGINT AS text_len
+            SELECT 'j3' AS part, CAST(d.doc_id AS VARCHAR) AS key,
+                   coalesce(m.mapped, d.text) AS out_text,
+                   NULL::BIGINT AS text_len, NULL::BIGINT AS n_orders,
+                   NULL::BIGINT AS total_cents
             FROM documents d LEFT JOIN map_side m ON d.text = m.text
             UNION ALL
-            SELECT 'o1', doc_id, NULL::VARCHAR, text_len
+            SELECT 'o1', CAST(doc_id AS VARCHAR), NULL::VARCHAR, text_len,
+                   NULL::BIGINT, NULL::BIGINT
             FROM (
                 SELECT doc_id, length(text) AS text_len
                 FROM documents ORDER BY length(text) DESC, doc_id LIMIT 10
             )
+            UNION ALL
+            SELECT 'j2', c_mktsegment, NULL::VARCHAR, NULL::BIGINT,
+                   count(*)::BIGINT,
+                   CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) * 100
+                        AS BIGINT)
+            FROM orders JOIN customer ON o_custkey = c_custkey
+            GROUP BY c_mktsegment
         """,
         # as-of join: DuckDB's native ASOF LEFT JOIN over the identical
         # pre-aggregated build side (max payload struct per (user, ts)
@@ -4236,6 +4291,28 @@ w AS MATERIALIZED (
         "badwords_filter": _badwords_oracle(),
         "cms_hitters": _cms_oracle(),
         "pagerank": _pagerank_oracle(),
+        # anchor_rollup: same decorated edges; oracle affords the
+        # plain per-target window the distributed plan avoids
+        "anchor_rollup": """
+            WITH e AS (
+                SELECT 'h' || CAST(('0x' || substr(md5('a' ||
+                           CAST(doc_id AS VARCHAR)), 1, 8))
+                           ::UBIGINT::BIGINT % 7 AS VARCHAR) AS dst,
+                       (['home', 'click here', 'read more', 'docs'])
+                           [CAST(doc_id % 4 AS INT) + 1] AS anchor
+                FROM documents
+            ), counts AS (
+                SELECT dst, anchor, count(*)::BIGINT AS n_refs
+                FROM e GROUP BY 1, 2
+            ), ranked AS (
+                SELECT dst, anchor, n_refs,
+                       row_number() OVER (PARTITION BY dst
+                           ORDER BY n_refs DESC NULLS LAST, anchor)
+                           ::BIGINT AS rank
+                FROM counts
+            )
+            SELECT dst, anchor, n_refs, rank FROM ranked WHERE rank <= 2
+        """,
         # topk_group: the oracle affords the plain hot-key window the
         # distributed plan avoids
         "topk_group": """

@@ -58,7 +58,13 @@ from __future__ import annotations
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
-__all__ = ["PR_SCALE", "PR_DAMP_NUM", "PR_DAMP_DEN", "pagerank"]
+__all__ = [
+    "PR_SCALE",
+    "PR_DAMP_NUM",
+    "PR_DAMP_DEN",
+    "pagerank",
+    "anchor_text_rollup",
+]
 
 PR_SCALE = 1_000_000  # micro-units of rank mass per vertex at init
 PR_DAMP_NUM = 85  # damping factor 0.85 as an exact rational
@@ -162,3 +168,39 @@ def pagerank(
     outdeg.unpersist()
     verts.unpersist()
     return ranks
+
+
+def anchor_text_rollup(
+    edges: DataFrame,
+    dst: str = "dst",
+    anchor: str = "anchor",
+    k: int = 3,
+    salt_buckets: int = 64,
+) -> DataFrame:
+    """Per-target anchor-text profile: ``(dst, anchor, n_refs, rank)``
+    — the top-``k`` distinct anchor phrases pointing at each target,
+    ranked by reference count (ties lexicographic on the phrase).
+
+    Anchor text is the web graph's free labeling signal: the phrases
+    OTHER pages use to link a target describe it better than its own
+    title (the classic web-IR observation behind anchor-text fields,
+    and the recipe behind query-document training pairs mined from
+    crawls). NULL targets/anchors drop (no vertex / no signal).
+
+    Scale shape: the (dst, anchor) count is agg-shaped — map-side
+    combine collapses a mega-hub's repeated anchors before the
+    exchange — and the per-target cut reuses the salted two-phase
+    :func:`~docling_translate_spark.operators.retrieval.topk_per_group`
+    (every window partition bounded), so a target with 10^8 in-links
+    never colocates in one task.
+    """
+    from docling_translate_spark.operators.retrieval import topk_per_group
+
+    counts = (
+        edges.filter(F.col(dst).isNotNull() & F.col(anchor).isNotNull())
+        .groupBy(dst, anchor)
+        .agg(F.count("*").cast("long").alias("n_refs"))
+    )
+    return topk_per_group(
+        counts, [dst], "n_refs", k, [anchor], salt_buckets=salt_buckets
+    )

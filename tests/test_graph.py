@@ -118,3 +118,36 @@ def test_plan_shape(spark):
     # 3-round join pyramid
     assert plan.count("SortMergeJoin") + plan.count("BroadcastHashJoin") == 0
     assert dict(out.dtypes)["rank_units"] == "bigint"
+
+
+def test_anchor_text_rollup(spark):
+    from docling_translate_spark.operators.graph import anchor_text_rollup
+
+    edges = [
+        # target h: "home" x3, "start" x2, "main" x1 -> top-2 cuts main
+        ("s1", "h", "home"),
+        ("s2", "h", "home"),
+        ("s3", "h", "home"),
+        ("s1", "h", "start"),
+        ("s4", "h", "start"),
+        ("s5", "h", "main"),
+        # target p: 1-1 tie -> lexicographic anchors
+        ("s1", "p", "beta"),
+        ("s2", "p", "alpha"),
+        # dropped rows
+        ("s1", None, "ghost"),
+        ("s2", "h", None),
+    ]
+    df = spark.createDataFrame(edges, "src string, dst string, anchor string")
+    got = {}
+    for r in sorted(
+        anchor_text_rollup(df, k=2, salt_buckets=4).collect(),
+        key=lambda r: (r["dst"], r["rank"]),
+    ):
+        got.setdefault(r["dst"], []).append(
+            (r["anchor"], r["n_refs"], r["rank"])
+        )
+    assert got == {
+        "h": [("home", 3, 1), ("start", 2, 2)],
+        "p": [("alpha", 1, 1), ("beta", 1, 2)],
+    }
