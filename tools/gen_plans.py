@@ -137,6 +137,45 @@ def main() -> None:
             blocklist=blocklist,
         )
     )
+    from docling_translate_spark.operators.graph import (
+        anchor_text_rollup,
+        pagerank,
+    )
+    from docling_translate_spark.operators.metrics import (
+        quality_audit,
+        snapshot_diff,
+    )
+    from docling_translate_spark.operators.retrieval import topk_per_group
+    from docling_translate_spark.operators.sampling import shard_manifest
+    from docling_translate_spark.operators.similarity import quantized_ip_topk
+    from docling_translate_spark.operators.sketch import cms_build, cms_estimate
+
+    edges = docs.selectExpr(
+        "'d' || CAST(doc_id AS STRING) AS src",
+        "'h' || CAST(doc_id % 7 AS STRING) AS dst",
+        "CAST(doc_id % 4 AS STRING) AS anchor",
+    )
+    pr = plan(pagerank(edges, iters=2))
+    anchor = plan(anchor_text_rollup(edges, k=2, salt_buckets=4))
+    audit = plan(
+        quality_audit(
+            docs,
+            [
+                ("not_null", "text_present", "text"),
+                ("unique", "id_unique", "doc_id"),
+                ("matches", "lang_shape", "lang", "^[a-z]{2}$"),
+            ],
+        )
+    )
+    sdiff = plan(snapshot_diff(docs, docs.filter(F.col("doc_id") % 2 == 0)))
+    topk = plan(
+        topk_per_group(docs, ["source"], "n_chars", 3, ["doc_id"], 8)
+    )
+    quant = plan(quantized_ip_topk(emb, emb, k=3, n_blocks=4))
+    shard = plan(shard_manifest(docs, shard_size=64))
+    cms_sketch = cms_build(docs.selectExpr("doc_id", "text"), "text")
+    cms = plan(cms_estimate(docs.selectExpr("text"), cms_sketch, "text"))
+
     md = f"""# PLANS — physical plans of the extraction + headline scale operators
 
 Captured with `.explain("formatted")` over a parquet transcript table
@@ -406,6 +445,90 @@ codegen; no Python, no Window.
 
 ```
 {bloom}
+```
+
+## Integer PageRank (`pagerank`, 2 iterations shown)
+
+The final plan reads localCheckpoint'd RDD state (no join pyramid —
+one flat scan regardless of iteration count); inside each round the
+gather is `partial_sum` below its exchange on dst (a mega-hub's
+in-mass collapses per map task) and the dangling share is a 1-row
+BroadcastNestedLoopJoin. All BIGINT `div`/`%` — no floats anywhere.
+
+```
+{pr}
+```
+
+## Anchor-text rollup (`anchor_text_rollup`)
+
+(dst, anchor) counts: `partial_count` below the exchange; the
+per-target cut is the salted two-phase top-k — first Window partitions
+on (dst, _salt), second on dst over ≤ k·salt_buckets survivors.
+
+```
+{anchor}
+```
+
+## One-pass quality audit (`quality_audit`)
+
+Every rule is a conditional-sum column of ONE aggregate:
+`partial_count`/`partial_sum` below a single-row exchange; the unique
+rule contributes the documented Expand. The unpivot is a `Generate`
+over the 1-row result. No Window, no Python.
+
+```
+{audit}
+```
+
+## Snapshot diff (`snapshot_diff`)
+
+Digests project below the join exchanges — the exchanges carry only
+(id, 32-char digest) rows; the text column never shuffles.
+
+```
+{sdiff}
+```
+
+## Per-group top-k (`topk_per_group`)
+
+Two bounded Windows: the first partitions on (group, _salt) — a hot
+group spreads over salt_buckets tasks — the second on group over
+≤ k·salt_buckets survivors.
+
+```
+{topk}
+```
+
+## Quantized MIPS (`quantized_ip_topk`)
+
+Quantization is a codegen Project below the block-pack aggregates;
+then the packed×packed GEMM shape of the float kNN (cartesian of two
+tiny packed relations, one `MapInPandas`), and the bounded
+n_blocks·k-per-query merge window.
+
+```
+{quant}
+```
+
+## Training-order sharding (`shard_manifest`)
+
+Two-phase global rank: the per-bucket prefix-sum table is a tiny
+aggregate (16^nibbles rows) broadcast back; the within-bucket
+`row_number` Window partitions on the hash-prefix bucket — never a
+single global sort task.
+
+```
+{shard}
+```
+
+## Count-min estimate (`cms_estimate`)
+
+The candidate side never shuffles: d per-row cell lookups are
+BroadcastHashJoins against the sparse sketch relation; the min-over-d
+is a per-candidate aggregate over exactly d rows.
+
+```
+{cms}
 ```
 
 Notes:
