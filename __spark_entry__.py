@@ -561,6 +561,29 @@ def q_cms_hitters(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_sketch_battery(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """HLL cardinality + CMS heavy hitters in ONE gate slot
+    (recorded-cap discipline, sentloc/scan battery precedent): both
+    sketch queries verbatim, columns harmonized — every payload column
+    is already an exact BIGINT in both operators, so the union is
+    hash-safe by construction."""
+    hll = q_hll_distinct(spark, sf_dir).select(
+        F.lit("hll").alias("branch"),
+        F.concat_ws("|", "scope", "source").alias("k"),
+        F.col("v_zero").cast("long").alias("n1"),
+        F.col("hll_units").cast("long").alias("n2"),
+        F.col("hll_estimate").cast("long").alias("n3"),
+    )
+    cms = q_cms_hitters(spark, sf_dir).select(
+        F.lit("cms").alias("branch"),
+        F.col("tok").alias("k"),
+        F.col("cms_count").cast("long").alias("n1"),
+        F.col("n_true").cast("long").alias("n2"),
+        F.lit(0).cast("long").alias("n3"),
+    )
+    return hll.unionByName(cms)
+
+
 def q_shard_manifest(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Deterministic training-order sharding (engine addition,
     operators/sampling.py): every doc's position in the one global
@@ -1349,6 +1372,45 @@ def q_snapshot_churn(spark: SparkSession, sf_dir: str) -> DataFrame:
     return diff.join(F.broadcast(churn), "status").select(
         "doc_id", "status", "n_status"
     )
+
+
+def q_conv_shape(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Conversation shape profile (engine addition,
+    operators/metrics.py::conversation_shape): transcript rows derived
+    deterministically from ``documents`` — md5-picked roles (so
+    adjacent repeats occur naturally), every 23rd turn an off-axis
+    'observer' role, every 29th a NULL role (→ folds to '' = other),
+    every 3rd a tool call, every 31st a NULL timestamp — so every
+    branch of the operator (axis counts, other-bucket, NULL folding,
+    repeat counter, tool ratio, duration with NULL exclusion) is
+    value-checked. Output is all BIGINT/STRING (the w_window_agg
+    convention: no TIMESTAMP/DECIMAL reaches the gate hash)."""
+    from docling_translate_spark.operators.metrics import conversation_shape
+
+    i = F.col("doc_id")
+    pick = (
+        F.conv(F.substring(F.md5(i.cast("string")), 1, 15), 16, 10).cast("long")
+        % 4
+    )
+    roles4 = F.array(
+        F.lit("system"), F.lit("user"), F.lit("assistant"), F.lit("tool")
+    )
+    t = _docs(spark, sf_dir).select(
+        F.col("source").alias("conv_id"),
+        i.cast("int").alias("turn_idx"),
+        F.when(i % 29 == 0, F.lit(None).cast("string"))
+        .when(i % 23 == 0, F.lit("observer"))
+        .otherwise(F.element_at(roles4, (pick + 1).cast("int")))
+        .alias("role"),
+        F.col("text"),
+        F.when(i % 3 == 0, F.lit("python")).otherwise(F.lit("")).alias("tool"),
+        F.timestamp_seconds(
+            F.when(i % 31 == 0, F.lit(None).cast("long")).otherwise(
+                F.lit(1700000000) + i * 37
+            )
+        ).alias("ts"),
+    )
+    return conversation_shape(t)
 
 
 def q_i18n_localize(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -2287,8 +2349,13 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "scan_battery": q_scan_battery,
         "curation_pipeline": q_curation_pipeline,
         "topk_group": q_topk_group,
-        "hll_distinct": q_hll_distinct,
-        "cms_hitters": q_cms_hitters,
+        # hll_distinct+cms_hitters (both sketch-family engine
+        # additions, all-BIGINT payloads) consolidate into
+        # sketch_battery (branches verbatim); the originals ride at
+        # the tail and the freed slot goes to the never-recorded
+        # conv_shape engine addition
+        "sketch_battery": q_sketch_battery,
+        "conv_shape": q_conv_shape,
         # s7_render_html+s28_table_spans (both r1-green span renders)
         # consolidate into render_battery; the originals ride at the
         # tail (s7_render_document already does — its S7 row keeps the
@@ -2307,6 +2374,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "bm25_topk": q_bm25_topk,
         "scalar_battery": q_scalar_battery,
         # --- entries 51+: recorded by `make oracle`, not the driver ---
+        "hll_distinct": q_hll_distinct,
+        "cms_hitters": q_cms_hitters,
         "a1_distinct_dedup": q_a1_distinct_dedup,
         "embed_near_dup_exact": q_embed_near_dup_exact,
         "embed_near_dup": q_embed_near_dup,
@@ -3992,6 +4061,70 @@ w AS MATERIALIZED (
               ON p.user_id = b.user_id AND p.t >= b.t
         """,
         "hll_distinct": _hll_oracle(),
+        # merged oracle for the sketch_battery slot: HLL + CMS oracles
+        # verbatim as subqueries, columns harmonized (all BIGINT)
+        "sketch_battery": f"""
+            SELECT 'hll' AS branch, scope || '|' || source AS k,
+                   CAST(v_zero AS BIGINT) AS n1,
+                   CAST(hll_units AS BIGINT) AS n2,
+                   CAST(hll_estimate AS BIGINT) AS n3
+            FROM ({_hll_oracle()})
+            UNION ALL
+            SELECT 'cms' AS branch, tok AS k,
+                   CAST(cms_count AS BIGINT) AS n1,
+                   CAST(n_true AS BIGINT) AS n2,
+                   CAST(0 AS BIGINT) AS n3
+            FROM ({_cms_oracle()})
+        """,
+        # conversation shape profile: the decorated transcript build
+        # (md5 role pick, off-axis/NULL decorations, NULL ts) and every
+        # aggregate replayed relationally; duration recomputed from the
+        # same integers that fed timestamp_seconds (cast(ts AS BIGINT)
+        # inverts it exactly), so no TIMESTAMP reaches the gate hash
+        "conv_shape": """
+            WITH t AS (
+              SELECT source AS conv_id,
+                     CAST(doc_id AS INTEGER) AS turn_idx,
+                     CASE WHEN doc_id % 29 = 0 THEN ''
+                          WHEN doc_id % 23 = 0 THEN 'observer'
+                          ELSE (['system','user','assistant','tool'])[
+                              CAST(('0x' || substr(md5(CAST(doc_id AS VARCHAR)),
+                                    1, 15))::BIGINT % 4 AS INTEGER) + 1]
+                     END AS role,
+                     coalesce(length(text), 0) AS len,
+                     CASE WHEN doc_id % 3 = 0 THEN 1 ELSE 0 END AS tool_flag,
+                     CASE WHEN doc_id % 31 = 0 THEN NULL
+                          ELSE 1700000000 + doc_id * 37 END AS sec
+              FROM documents
+            ), m AS (
+              SELECT *, lag(role) OVER (PARTITION BY conv_id
+                                        ORDER BY turn_idx) AS prev
+              FROM t
+            )
+            SELECT conv_id,
+                   count(*) AS n_turns,
+                   CAST(sum(CASE WHEN role = 'system' THEN 1 ELSE 0 END)
+                        AS BIGINT) AS n_role_system,
+                   CAST(sum(CASE WHEN role = 'user' THEN 1 ELSE 0 END)
+                        AS BIGINT) AS n_role_user,
+                   CAST(sum(CASE WHEN role = 'assistant' THEN 1 ELSE 0 END)
+                        AS BIGINT) AS n_role_assistant,
+                   CAST(sum(CASE WHEN role = 'tool' THEN 1 ELSE 0 END)
+                        AS BIGINT) AS n_role_tool,
+                   CAST(sum(CASE WHEN role NOT IN
+                        ('system','user','assistant','tool')
+                        THEN 1 ELSE 0 END) AS BIGINT) AS n_role_other,
+                   CAST(sum(tool_flag) AS BIGINT) AS n_tool_calls,
+                   CAST(coalesce(sum(CASE WHEN role = prev THEN 1 ELSE 0 END),
+                        0) AS BIGINT) AS n_role_repeats,
+                   arg_min(role, turn_idx) AS first_role,
+                   arg_max(role, turn_idx) AS last_role,
+                   CAST(sum(len) AS BIGINT) AS total_chars,
+                   CAST(max(len) AS BIGINT) AS max_turn_chars,
+                   CAST(coalesce(max(sec) - min(sec), 0) AS BIGINT)
+                       AS duration_sec
+            FROM m GROUP BY conv_id
+        """,
         "j2_broadcast_join": """
             SELECT c_mktsegment,
                    count(*) AS n_orders,

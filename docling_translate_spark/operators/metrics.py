@@ -154,6 +154,89 @@ def stat_records(extracted: DataFrame) -> DataFrame:
 
 
 # --------------------------------------------------------------------
+# Conversation shape profile (transcript-native corpus QA)
+#
+# Before a 10^12-turn transcript corpus trains anything, the pipeline
+# profiles its SHAPE: turn counts per role, tool-call density, role
+# alternation discipline (a user/assistant protocol where the same
+# role speaks twice in a row usually marks a broken scrape or a
+# concatenation bug), degenerate single-role monologues, and wall-time
+# span. This is the transcript analog of the per-document stats the
+# reference logs per file (segment/translatable counts,
+# src/text_html_generator.py:434-435) lifted to the conversation axis.
+#
+# Scale shape: one window computes adjacent-role repeats over SLIM
+# (conv_id, turn_idx, role, len, flags) rows — the text column is
+# projected to its length BEFORE the window, so no window partition
+# ever carries the payload (the lsh_ann discipline). The window
+# partition is one conversation: bounded by the longest transcript (a
+# physical artifact measured in 10^4-10^6 rows, each a few dozen
+# bytes here), never by the corpus. The groupBy that follows reuses
+# the window's hash partitioning on conv_id, and every aggregate is
+# algebraic, so map-side partial aggregation collapses hot
+# conversations before any further exchange.
+# --------------------------------------------------------------------
+
+ROLE_AXIS = ("system", "user", "assistant", "tool")
+
+
+def conversation_shape(df: DataFrame, roles=ROLE_AXIS) -> DataFrame:
+    """Per-conversation transcript-shape metrics over the north-rule
+    input table ``(conv_id, turn_idx, role, text, tool, ts)``.
+
+    One row per ``conv_id``:
+
+    - ``n_turns`` — total turns
+    - ``n_role_{r}`` for each role on the axis, plus ``n_role_other``
+      (roles off the axis; NULL role folds to ``''`` ⇒ other)
+    - ``n_tool_calls`` — turns with a non-empty ``tool``
+    - ``n_role_repeats`` — adjacent turn pairs (by ``turn_idx`` order)
+      where the same (folded) role speaks twice — the alternation-
+      discipline violation counter
+    - ``first_role`` / ``last_role`` — arg-min/arg-max by ``turn_idx``
+      (deterministic: ``turn_idx`` is unique within a conversation)
+    - ``total_chars`` / ``max_turn_chars`` — NULL text counts 0
+    - ``duration_sec`` — ``max(ts) - min(ts)`` in whole epoch seconds
+      as BIGINT (NULL-``ts`` turns are excluded; all-NULL ⇒ 0), so no
+      TIMESTAMP reaches a value hash (the w_window_agg convention)
+
+    All outputs are BIGINT/STRING — hash-exact across engines.
+    """
+    role = F.coalesce(F.col("role"), F.lit(""))
+    slim = df.select(
+        "conv_id",
+        "turn_idx",
+        role.alias("_role"),
+        F.length(F.coalesce(F.col("text"), F.lit(""))).cast("long").alias("_len"),
+        (F.coalesce(F.col("tool"), F.lit("")) != "").cast("long").alias("_tool"),
+        F.col("ts").cast("long").alias("_sec"),
+    )
+    w = Window.partitionBy("conv_id").orderBy("turn_idx")
+    marked = slim.withColumn(
+        "_rep", (F.col("_role") == F.lag("_role").over(w)).cast("long")
+    )
+    return marked.groupBy("conv_id").agg(
+        F.count("*").alias("n_turns"),
+        *[
+            F.sum((F.col("_role") == F.lit(r)).cast("long")).alias(f"n_role_{r}")
+            for r in roles
+        ],
+        F.sum((~F.col("_role").isin(list(roles))).cast("long")).alias(
+            "n_role_other"
+        ),
+        F.sum("_tool").alias("n_tool_calls"),
+        F.coalesce(F.sum("_rep"), F.lit(0)).cast("long").alias("n_role_repeats"),
+        F.min(F.struct("turn_idx", "_role"))["_role"].alias("first_role"),
+        F.max(F.struct("turn_idx", "_role"))["_role"].alias("last_role"),
+        F.sum("_len").alias("total_chars"),
+        F.max("_len").alias("max_turn_chars"),
+        F.coalesce(F.max("_sec") - F.min("_sec"), F.lit(0))
+        .cast("long")
+        .alias("duration_sec"),
+    )
+
+
+# --------------------------------------------------------------------
 # Declarative data-quality audit (the Deequ/Great-Expectations step)
 #
 # Before a 100 TB corpus ships to trainers, the pipeline asserts a
