@@ -1303,6 +1303,60 @@ def q_dom_tokens(spark: SparkSession, sf_dir: str) -> DataFrame:
     return dom_tokens_flat(d.select("doc_id", html.alias("text")))
 
 
+def q_parse_battery(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Layout reading order + DOM token lexer in ONE gate slot
+    (recorded-cap discipline, sketch_battery precedent): both parse
+    queries verbatim, columns harmonized (strings stay strings, longs
+    stay longs; nullable caption_of folds to -1 — block ids are
+    non-negative, so the fold is injective)."""
+    lo = q_layout_order(spark, sf_dir).select(
+        F.lit("layout").alias("branch"),
+        "doc_id",
+        F.col("block_id").cast("long").alias("k"),
+        F.col("kind").alias("s1"),
+        F.col("role").alias("s2"),
+        F.col("page").cast("long").alias("l1"),
+        F.col("col_idx").alias("l2"),
+        F.col("order_idx").alias("l3"),
+        F.col("char_start").cast("long").alias("l4"),
+        F.col("char_end").cast("long").alias("l5"),
+        F.coalesce(F.col("caption_of").cast("long"), F.lit(-1)).alias("l6"),
+    )
+    dm = q_dom_tokens(spark, sf_dir).select(
+        F.lit("dom").alias("branch"),
+        "doc_id",
+        F.col("tok_idx").alias("k"),
+        F.col("kind").alias("s1"),
+        F.col("tok").alias("s2"),
+        F.col("nbytes").alias("l1"),
+        F.lit(0).cast("long").alias("l2"),
+        F.lit(0).cast("long").alias("l3"),
+        F.lit(0).cast("long").alias("l4"),
+        F.lit(0).cast("long").alias("l5"),
+        F.lit(0).cast("long").alias("l6"),
+    )
+    return lo.unionByName(dm)
+
+
+def q_bigram_lm(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Stupid-backoff bigram LM (engine addition,
+    operators/text_analysis.py::bigram_lm_train/score, Brants et al.
+    2007): counts trained on the md5-chosen 80% of documents, every
+    document scored against them — so ~20% of docs genuinely exercise
+    the unseen-bigram backoff and OOV floor. Per doc: bigram positions,
+    backed-off positions, and mean −log2 S rounded to 6 decimals (the
+    unigram_logprob FP discipline)."""
+    from docling_translate_spark.functions.hashing import md5_prefix60
+    from docling_translate_spark.operators.text_analysis import (
+        bigram_lm_score,
+        bigram_lm_train,
+    )
+
+    d = _docs(spark, sf_dir)
+    train = d.filter(md5_prefix60(F.col("doc_id").cast("string")) % 5 < 4)
+    return bigram_lm_score(d, bigram_lm_train(train))
+
+
 def q_pack_sequences(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Concat-and-chunk sequence packing: seq_bin = starting token
     offset div budget, per source in stable id order."""
@@ -2363,8 +2417,12 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # never-recorded chunk_tokens engine addition
         "render_battery": q_render_battery,
         "chunk_tokens": q_chunk_tokens,
-        "layout_order": q_layout_order,
-        "dom_tokens": q_dom_tokens,
+        # layout_order+dom_tokens (both parse-family engine additions)
+        # consolidate into parse_battery (branches verbatim); the
+        # originals ride at the tail and the freed slot goes to the
+        # never-recorded bigram_lm engine addition
+        "parse_battery": q_parse_battery,
+        "bigram_lm": q_bigram_lm,
         # pii_redact+decontaminate (both r3-green) consolidate into
         # cleanse_battery (branches verbatim); the originals ride at
         # the tail and the freed slot goes to the never-recorded
@@ -2374,6 +2432,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "bm25_topk": q_bm25_topk,
         "scalar_battery": q_scalar_battery,
         # --- entries 51+: recorded by `make oracle`, not the driver ---
+        "layout_order": q_layout_order,
+        "dom_tokens": q_dom_tokens,
         "hll_distinct": q_hll_distinct,
         "cms_hitters": q_cms_hitters,
         "a1_distinct_dedup": q_a1_distinct_dedup,
@@ -5443,6 +5503,80 @@ w AS MATERIALIZED (
     sql["bm25_topk"] = _bm25_oracle()
     sql["layout_order"] = _layout_oracle()
     sql["dom_tokens"] = _dom_tokens_oracle()
+    # parse_battery = tagged union of the two parse oracles VERBATIM
+    # (sketch_battery discipline); nullable caption_of folds to -1 on
+    # both sides, constants union-coerce to the first branch's BIGINTs
+    sql["parse_battery"] = (
+        "SELECT 'layout' AS branch, doc_id, CAST(block_id AS BIGINT) AS k, "
+        "kind AS s1, role AS s2, CAST(page AS BIGINT) AS l1, "
+        "CAST(col_idx AS BIGINT) AS l2, CAST(order_idx AS BIGINT) AS l3, "
+        "CAST(char_start AS BIGINT) AS l4, CAST(char_end AS BIGINT) AS l5, "
+        "CAST(coalesce(caption_of, -1) AS BIGINT) AS l6 FROM ("
+        + sql["layout_order"]
+        + ") UNION ALL SELECT 'dom' AS branch, doc_id, "
+        "CAST(tok_idx AS BIGINT) AS k, kind AS s1, tok AS s2, "
+        "CAST(nbytes AS BIGINT) AS l1, CAST(0 AS BIGINT) AS l2, "
+        "CAST(0 AS BIGINT) AS l3, CAST(0 AS BIGINT) AS l4, "
+        "CAST(0 AS BIGINT) AS l5, CAST(0 AS BIGINT) AS l6 FROM ("
+        + sql["dom_tokens"]
+        + ")"
+    )
+    # stupid-backoff bigram LM: the md5 80% train split, row-local pair
+    # build, count tables, and the backoff CASE replayed relationally;
+    # FP association matches the query exactly ((0.4 * x) / y), mean
+    # rounded to 6 decimals (the unigram_logprob discipline)
+    sql["bigram_lm"] = r"""
+        WITH tk AS (
+          SELECT doc_id,
+                 list_filter(string_split_regex(trim(lower(coalesce(text,
+                             ''))), '\s+'), x -> x <> '') AS t
+          FROM documents
+        ), tr AS (
+          SELECT t FROM tk
+          WHERE ('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 15))::BIGINT
+                % 5 < 4
+        ), uni AS (
+          SELECT w, count(*)::BIGINT AS c_uni
+          FROM (SELECT unnest(t) AS w FROM tr) GROUP BY w
+        ), big AS (
+          SELECT (p).w1 AS w1, (p).w2 AS w2, count(*)::BIGINT AS c_big
+          FROM (SELECT unnest(list_transform(range(1, len(t)),
+                       i -> struct_pack(w1 := t[i], w2 := t[i+1]))) AS p
+                FROM tr WHERE len(t) >= 2)
+          GROUP BY 1, 2
+        ), tot AS (
+          SELECT (SELECT count(*) FROM (SELECT unnest(t) FROM tr))
+                     AS n_tokens,
+                 (SELECT count(*) FROM uni) AS n_vocab
+        ), pr AS (
+          SELECT doc_id, (p).w1 AS w1, (p).w2 AS w2
+          FROM (SELECT doc_id, unnest(list_transform(range(1, len(t)),
+                       i -> struct_pack(w1 := t[i], w2 := t[i+1]))) AS p
+                FROM tk WHERE len(t) >= 2)
+        ), sc AS (
+          SELECT pr.doc_id,
+                 CASE WHEN b.c_big IS NOT NULL
+                      THEN b.c_big / u1.c_uni
+                      ELSE 0.4::DOUBLE * (coalesce(u2.c_uni, 0) + 1)
+                           / (tot.n_tokens + tot.n_vocab + 1) END AS s,
+                 CASE WHEN b.c_big IS NULL THEN 1 ELSE 0 END AS bo
+          FROM pr
+          LEFT JOIN big b ON b.w1 = pr.w1 AND b.w2 = pr.w2
+          LEFT JOIN uni u1 ON u1.w = pr.w1
+          LEFT JOIN uni u2 ON u2.w = pr.w2
+          CROSS JOIN tot
+        ), ag AS (
+          SELECT doc_id, count(*) AS n_bigrams,
+                 CAST(sum(bo) AS BIGINT) AS n_backoff,
+                 round(avg(-log2(s)), 6) AS avg_neg_log2s
+          FROM sc GROUP BY doc_id
+        )
+        SELECT d.doc_id,
+               coalesce(a.n_bigrams, 0) AS n_bigrams,
+               coalesce(a.n_backoff, 0) AS n_backoff,
+               coalesce(a.avg_neg_log2s, 0.0) AS avg_neg_log2s
+        FROM documents d LEFT JOIN ag a USING (doc_id)
+    """
     # embeddup_battery = tagged union of the two embedding near-dup
     # oracles VERBATIM (single source of truth — a battery branch can
     # never drift from the standalone query it consolidates)

@@ -473,3 +473,159 @@ def unigram_logprob(
             F.coalesce(F.col("avg_neg_log2p"), F.lit(0.0)).alias("avg_neg_log2p"),
         )
     )
+
+
+# --------------------------------------------------------------------
+# Bigram LM with stupid backoff (Brants et al. 2007, "Large Language
+# Models in Machine Translation" — THE distributed-LM recipe: counts
+# are pure aggregation, scoring is joins, no normalization pass).
+#
+# The CCNet quality gate above (unigram_logprob) ranks documents by
+# their own corpus's unigram MLE; the bigram LM is the next rung:
+# train counts on a TRUSTED subset, score any candidate set against
+# them. Unseen bigrams back off to α·P_uni; unseen unigrams (OOV) hit
+# an add-one floor so every position scores a finite logprob:
+#
+#   S(w2|w1) = c(w1 w2)/c(w1)            if c(w1 w2) > 0
+#            = α · (c(w2)+1)/(N+V+1)     otherwise (add-one unigram,
+#                                         V+1 folds all OOV into one
+#                                         pseudo-type)
+#
+# Scale shape: bigram pairs are built ROW-LOCALLY from the token array
+# (zero shuffle — no positioned self-join); both count tables are
+# agg-shaped with map-side combine (hot bigrams collapse per map
+# task); scoring attaches counts via AQE-planned joins (broadcast when
+# the model is small, shuffle+skew-split when it is not — nothing
+# assumes the model fits anywhere); (N, V) ride a 1-row broadcast.
+# The exploded pair relation is deliberately NOT persisted (the
+# unigram_logprob rationale: corpus-sized, cheap to recompute).
+# --------------------------------------------------------------------
+
+STUPID_BACKOFF_ALPHA = 0.4  # Brants et al. 2007 §3, the recommended value
+
+
+def _lm_token_array(text_col: str) -> Column:
+    """Whitespace tokens, lowercased, ''-free (shared with the oracle:
+    trim/lower/\\s+ split — the unigram_logprob convention)."""
+    return F.filter(
+        F.split(
+            F.trim(F.lower(F.coalesce(F.col(text_col), F.lit("")))), r"\s+"
+        ),
+        lambda x: x != "",
+    )
+
+
+def _lm_pair_array(toks: Column) -> Column:
+    """Adjacent-token pairs from the array, row-local. Guarded: Spark's
+    ``sequence(1, 0)`` DESCENDS, so short arrays must short-circuit to
+    an empty pair list instead."""
+    pairs = F.transform(
+        F.sequence(F.lit(1), F.size(toks) - 1),
+        lambda i: F.struct(
+            F.element_at(toks, i).alias("w1"),
+            F.element_at(toks, i + 1).alias("w2"),
+        ),
+    )
+    return F.when(F.size(toks) >= 2, pairs).otherwise(
+        F.array().cast("array<struct<w1:string,w2:string>>")
+    )
+
+
+def bigram_lm_train(df: DataFrame, text_col: str = "text") -> dict:
+    """Count-based stupid-backoff model from a trusted corpus:
+    ``{"unigrams": (w, c_uni), "bigrams": (w1, w2, c_big),
+    "totals": 1 row (n_tokens, n_vocab)}`` — all BIGINT, all pure
+    aggregation (map-side combined), mergeable by summing counts.
+
+    The vocab table is persisted: it is model-sized (≪ corpus) and has
+    three consumers (the scorer's w1 prejoin, the w2 backoff join, and
+    ``totals``) — without it each consumer re-runs the corpus-wide
+    token aggregation. ``totals`` derives FROM the vocab table
+    (N = Σ c_uni, V = count(*)), so training scans the corpus exactly
+    twice (unigram agg + bigram agg), never a third time. The internal
+    persist stays materialized for the session (the model DataFrames
+    are lazy, so eager unpersist would re-trigger the scan — the
+    winnow_overlap_pairs note)."""
+    toks = _lm_token_array(text_col)
+    uni = (
+        df.select(F.explode(toks).alias("w"))
+        .groupBy("w")
+        .agg(F.count("*").alias("c_uni"))
+        .persist()
+    )
+    big = (
+        df.select(F.explode(_lm_pair_array(toks)).alias("p"))
+        .select("p.w1", "p.w2")
+        .groupBy("w1", "w2")
+        .agg(F.count("*").alias("c_big"))
+    )
+    totals = uni.agg(
+        F.sum("c_uni").cast("long").alias("n_tokens"),
+        F.count("*").alias("n_vocab"),
+    )
+    return {"unigrams": uni, "bigrams": big, "totals": totals}
+
+
+def bigram_lm_score(
+    df: DataFrame,
+    model: dict,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    alpha: float = STUPID_BACKOFF_ALPHA,
+) -> DataFrame:
+    """Per-document stupid-backoff surprisal vs a trained model:
+    ``(id_col, n_bigrams, n_backoff, avg_neg_log2s)`` — bigram
+    positions scored, positions that backed off to the unigram tier,
+    and the mean −log2 S (rounded to 6 decimals, the unigram_logprob
+    FP discipline: double error after a per-doc mean is ~1e-15
+    relative). Documents with <2 tokens score (0, 0, 0.0)."""
+    toks = _lm_token_array(text_col)
+    pair_rows = df.select(
+        F.col(id_col).alias("_did"), F.explode(_lm_pair_array(toks)).alias("p")
+    ).select("_did", "p.w1", "p.w2")
+    # prejoin the w1 denominator INTO the model (model-sized join — an
+    # observed bigram's w1 is always in the vocab), so the corpus-sized
+    # pair relation shuffles twice (seen-score + backoff), not three
+    # times; the division c_big/c_uni is the identical double op either
+    # way, so scores are bit-unchanged
+    uni1 = model["unigrams"].select(
+        F.col("w").alias("w1"), F.col("c_uni").alias("_c1")
+    )
+    seen = model["bigrams"].join(uni1, "w1").select(
+        "w1", "w2", (F.col("c_big") / F.col("_c1")).alias("_s_seen")
+    )
+    uni2 = model["unigrams"].select(
+        F.col("w").alias("w2"), F.col("c_uni").alias("_cu2")
+    )
+    scored = (
+        pair_rows.join(seen, ["w1", "w2"], "left")
+        .join(uni2, "w2", "left")
+        .crossJoin(F.broadcast(model["totals"]))
+    )
+    s = F.coalesce(
+        F.col("_s_seen"),
+        F.lit(alpha)
+        * (F.coalesce(F.col("_cu2"), F.lit(0)) + 1)
+        / (F.col("n_tokens") + F.col("n_vocab") + 1),
+    )
+    per_doc = scored.groupBy("_did").agg(
+        F.count("*").alias("n_bigrams"),
+        F.sum(F.col("_s_seen").isNull().cast("long")).alias("n_backoff"),
+        F.round(F.avg(-F.log2(s)), 6).alias("avg_neg_log2s"),
+    )
+    return (
+        df.select(F.col(id_col).alias("_did"))
+        .join(per_doc, "_did", "left")
+        .select(
+            F.col("_did").alias(id_col),
+            F.coalesce(F.col("n_bigrams"), F.lit(0).cast("long")).alias(
+                "n_bigrams"
+            ),
+            F.coalesce(F.col("n_backoff"), F.lit(0).cast("long")).alias(
+                "n_backoff"
+            ),
+            F.coalesce(F.col("avg_neg_log2s"), F.lit(0.0)).alias(
+                "avg_neg_log2s"
+            ),
+        )
+    )
