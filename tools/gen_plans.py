@@ -176,6 +176,16 @@ def main() -> None:
     cms_sketch = cms_build(docs.selectExpr("doc_id", "text"), "text")
     cms = plan(cms_estimate(docs.selectExpr("text"), cms_sketch, "text"))
 
+    from docling_translate_spark.operators.metrics import conversation_shape
+    from docling_translate_spark.operators.text_analysis import (
+        bigram_lm_score,
+        bigram_lm_train,
+    )
+
+    convshape = plan(conversation_shape(df))
+    lm_model = bigram_lm_train(docs.filter(F.col("doc_id") % 5 != 0))
+    bigram = plan(bigram_lm_score(docs, lm_model))
+
     md = f"""# PLANS — physical plans of the extraction + headline scale operators
 
 Captured with `.explain("formatted")` over a parquet transcript table
@@ -529,6 +539,30 @@ is a per-candidate aggregate over exactly d rows.
 
 ```
 {cms}
+```
+
+## Conversation shape profile (`conversation_shape`)
+
+The only Window partitions on conv_id over SLIM projected rows — its
+`ReadSchema`/child Project carries role/turn_idx/length flags, never
+the text payload; the groupBy after it reuses the window's hash
+partitioning and every aggregate is algebraic (partial HashAggregate
+below the exchange).
+
+```
+{convshape}
+```
+
+## Bigram LM scoring (`bigram_lm_score`)
+
+The corpus-sized pair relation (narrow Generate, no positioned
+self-join) shuffles exactly twice — once against the prejoined seen
+table, once against the backoff vocab — AQE picks broadcast when the
+model is small; the (N, V) totals ride a BroadcastNestedLoopJoin of a
+1-row relation; no Window, no Python.
+
+```
+{bigram}
 ```
 
 Notes:
