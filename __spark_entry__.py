@@ -569,7 +569,10 @@ def q_sketch_battery(spark: SparkSession, sf_dir: str) -> DataFrame:
     hash-safe by construction."""
     hll = q_hll_distinct(spark, sf_dir).select(
         F.lit("hll").alias("branch"),
-        F.concat_ws("|", "scope", "source").alias("k"),
+        # concat (not concat_ws): NULL must propagate exactly like the
+        # oracle's || operator would, so a NULL source can never make
+        # the two sides disagree
+        F.concat(F.col("scope"), F.lit("|"), F.col("source")).alias("k"),
         F.col("v_zero").cast("long").alias("n1"),
         F.col("hll_units").cast("long").alias("n2"),
         F.col("hll_estimate").cast("long").alias("n3"),

@@ -559,8 +559,12 @@ def bigram_lm_train(df: DataFrame, text_col: str = "text") -> dict:
         .groupBy("w1", "w2")
         .agg(F.count("*").alias("c_big"))
     )
+    # coalesce: sum over an EMPTY vocab (token-free training corpus) is
+    # NULL, which would NULL-poison the backoff denominator and fold
+    # every score to the 0.0 coalesce — with 0 the denominator is 1 and
+    # the OOV floor stays finite (= the oracle's count(*) semantics)
     totals = uni.agg(
-        F.sum("c_uni").cast("long").alias("n_tokens"),
+        F.coalesce(F.sum("c_uni"), F.lit(0)).cast("long").alias("n_tokens"),
         F.count("*").alias("n_vocab"),
     )
     return {"unigrams": uni, "bigrams": big, "totals": totals}

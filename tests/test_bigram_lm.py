@@ -91,6 +91,23 @@ def test_in_corpus_never_backs_off(spark, model):
     assert out[1]["n_bigrams"] == 4
 
 
+def test_empty_training_corpus_stays_finite(spark):
+    # sum over an empty vocab must coalesce to 0, not NULL-poison the
+    # backoff denominator: S = α·1/(0+0+1) = α for every position
+    empty = spark.createDataFrame(
+        [(1, "   "), (2, None)], "doc_id long, text string"
+    )
+    model = bigram_lm_train(empty)
+    tot = model["totals"].collect()[0]
+    assert (tot["n_tokens"], tot["n_vocab"]) == (0, 0)
+    out = _score(spark, model, [(20, "x y")])
+    r = out[20]
+    assert r["n_backoff"] == 1
+    assert r["avg_neg_log2s"] == pytest.approx(
+        round(-math.log2(STUPID_BACKOFF_ALPHA), 6), abs=1e-6
+    )
+
+
 def test_repartition_invariance(spark, model):
     rows = [(i, f"a b token{i} c a b") for i in range(40)]
     df = spark.createDataFrame(rows, "doc_id long, text string")
