@@ -1306,6 +1306,22 @@ def q_dom_tokens(spark: SparkSession, sf_dir: str) -> DataFrame:
     return dom_tokens_flat(d.select("doc_id", html.alias("text")))
 
 
+# shared by q_tfidf_keywords and its oracle (constants hoisted so the
+# two sides cannot drift — the bm25 k1/b discipline)
+TFIDF_K = 5
+
+
+def q_tfidf_keywords(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-document top-k TF-IDF keywords (engine addition,
+    operators/retrieval.py::tfidf_keywords): micro-quantized idf so the
+    ranking is BIGINT-exact (the dsir/bm25 discipline); the ranking
+    window partitions on one document — bounded by its distinct-term
+    count, never the corpus."""
+    from docling_translate_spark.operators.retrieval import tfidf_keywords
+
+    return tfidf_keywords(_docs(spark, sf_dir), k=TFIDF_K)
+
+
 def q_parse_battery(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Layout reading order + DOM token lexer in ONE gate slot
     (recorded-cap discipline, sketch_battery precedent): both parse
@@ -1699,7 +1715,13 @@ def q_cleanse_battery(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.lit("").alias("c1"),
         F.concat_ws("|", "n_hits", "n_eval_docs").alias("c2"),
     )
-    return pii.unionByName(dec)
+    bad = q_badwords_filter(spark, sf_dir).select(
+        F.lit("badwords").alias("branch"),
+        "doc_id",
+        F.col("bad_terms").alias("c1"),
+        F.concat_ws("|", "n_bad", "kept").alias("c2"),
+    )
+    return pii.unionByName(dec).unionByName(bad)
 
 
 def q_pii_redact(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -2430,11 +2452,16 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # cleanse_battery (branches verbatim); the originals ride at
         # the tail and the freed slot goes to the never-recorded
         # badwords_filter engine addition
+        # badwords_filter (r4-new) folds into cleanse_battery as a
+        # third branch (probe_battery precedent); the original rides at
+        # the tail and the freed slot goes to the never-recorded
+        # tfidf_keywords engine addition
         "cleanse_battery": q_cleanse_battery,
-        "badwords_filter": q_badwords_filter,
+        "tfidf_keywords": q_tfidf_keywords,
         "bm25_topk": q_bm25_topk,
         "scalar_battery": q_scalar_battery,
         # --- entries 51+: recorded by `make oracle`, not the driver ---
+        "badwords_filter": q_badwords_filter,
         "layout_order": q_layout_order,
         "dom_tokens": q_dom_tokens,
         "hll_distinct": q_hll_distinct,
@@ -5742,5 +5769,40 @@ w AS MATERIALIZED (
         " '' AS c1, CAST(n_hits AS VARCHAR) || '|' ||"
         " CAST(n_eval_docs AS VARCHAR) AS c2"
         " FROM (" + sql["decontaminate"] + ")"
+        " UNION ALL SELECT 'badwords' AS branch, doc_id,"
+        " bad_terms AS c1, CAST(n_bad AS VARCHAR) || '|' ||"
+        " CAST(kept AS VARCHAR) AS c2"
+        " FROM (" + sql["badwords_filter"] + ")"
     )
+    # per-doc TF-IDF keywords: tokenization, tf/df counts, the
+    # micro-quantized idf, and the bounded per-doc ranking replayed
+    # relationally (ties broken on the term — a total order because
+    # terms are unique within a document's tf relation)
+    sql["tfidf_keywords"] = r"""
+        WITH tk AS (
+          SELECT doc_id,
+                 unnest(list_filter(string_split_regex(trim(lower(
+                        coalesce(text, ''))), '\s+'), x -> x <> '')) AS term
+          FROM documents
+        ), tf AS (
+          SELECT doc_id, term, count(*)::BIGINT AS tf
+          FROM tk GROUP BY 1, 2
+        ), dfreq AS (
+          SELECT term, count(*)::BIGINT AS df FROM tf GROUP BY 1
+        ), n AS (
+          SELECT count(*)::BIGINT AS n_docs FROM documents
+        ), sc AS (
+          SELECT tf.doc_id, tf.term, tf.tf,
+                 tf.tf * CAST(round(ln((n.n_docs + 1) / (d.df + 1))
+                                    * 1000000.0) AS BIGINT) AS score_micro
+          FROM tf JOIN dfreq d USING (term) CROSS JOIN n
+        ), rk AS (
+          SELECT doc_id, term, tf, score_micro,
+                 CAST(row_number() OVER (PARTITION BY doc_id
+                      ORDER BY score_micro DESC, term) AS BIGINT) AS rank
+          FROM sc
+        )
+        SELECT doc_id, term, tf, score_micro, rank
+        FROM rk WHERE rank <= __TFIDF_K__
+    """.replace("__TFIDF_K__", str(TFIDF_K))
     return sql

@@ -314,3 +314,83 @@ def topk_per_group(
         survivors.withColumn("rank", F.row_number().over(w2).cast("long"))
         .filter(F.col("rank") <= k)
     )
+
+
+# --------------------------------------------------------------------
+# Per-document TF-IDF keywords (the classic keyword-extraction /
+# auto-tagging pass a corpus data card ships: which terms characterize
+# each document against the whole corpus). Deliberately the plain
+# smoothed formulation — score = tf · ln((N+1)/(df+1)) — because the
+# oracle must replay it exactly; BM25 above covers the saturated/
+# length-normalized ranking family.
+#
+# Scale shape: explode → (doc, term) tf agg (map-side combine; the
+# partition key is (doc, term), never a hot corpus-wide key), df is an
+# agg OVER the tf relation (one row per (doc, term), so df = count(*)
+# per term with map-side combine), N rides a 1-row broadcast. The
+# final ranking window partitions on ONE document — bounded by its
+# distinct-term count, never the corpus (the dup_spans bound). The tf
+# relation has two consumers (df + scoring); it is deliberately NOT
+# persisted — corpus-sized, and the narrow re-derivation is cheap (the
+# unigram_logprob rationale; BM25's persisted tf is query-filtered and
+# tiny, a different regime).
+#
+# Cross-engine FP stability: the idf is quantized to integer
+# micro-units (round(ln((N+1)/(df+1))·1e6) → BIGINT) and the score is
+# tf · idf_micro — BIGINT-exact, so ranking never compares
+# engine-local doubles (the dsir_weights/bm25 discipline, incl. its
+# documented ~1e-8-grid-units ln residual).
+# --------------------------------------------------------------------
+
+
+def tfidf_keywords(
+    df: DataFrame,
+    k: int = 5,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """Top-``k`` TF-IDF keywords per document:
+    ``(id_col, term, tf, score_micro, rank)`` — tf and score BIGINT,
+    rank 1-based BIGINT, ties broken lexicographically on the term
+    (total order: terms are unique within a document's tf relation).
+    Token-free documents emit no rows."""
+    if k < 1:
+        raise ValueError(f"k must be >= 1, got {k}")
+    toks = df.select(
+        F.col(id_col).alias("_did"),
+        F.explode(
+            F.split(
+                F.trim(F.lower(F.coalesce(F.col(text_col), F.lit("")))), r"\s+"
+            )
+        ).alias("term"),
+    ).filter(F.col("term") != "")
+    tf = toks.groupBy("_did", "term").agg(F.count("*").alias("tf"))
+    dfreq = tf.groupBy("term").agg(F.count("*").alias("_df"))
+    n = df.agg(F.count("*").alias("_n"))
+    idf_micro = F.round(
+        F.log((F.col("_n") + 1) / (F.col("_df") + 1)) * F.lit(1000000.0)
+    ).cast("long")
+    scored = (
+        tf.join(dfreq, "term")
+        .crossJoin(F.broadcast(n))
+        .select(
+            "_did",
+            "term",
+            "tf",
+            (F.col("tf") * idf_micro).alias("score_micro"),
+        )
+    )
+    w = Window.partitionBy("_did").orderBy(
+        F.col("score_micro").desc(), F.col("term").asc()
+    )
+    return (
+        scored.withColumn("rank", F.row_number().over(w).cast("long"))
+        .filter(F.col("rank") <= k)
+        .select(
+            F.col("_did").alias(id_col),
+            "term",
+            "tf",
+            "score_micro",
+            "rank",
+        )
+    )
