@@ -1486,6 +1486,49 @@ def q_conv_shape(spark: SparkSession, sf_dir: str) -> DataFrame:
     return conversation_shape(t)
 
 
+def q_audit_battery(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Quality audit + snapshot churn in ONE gate slot (recorded-cap
+    discipline, sketch/parse battery precedent): both corpus-QA queries
+    verbatim, columns harmonized to (branch, k, l1, l2) — all
+    BIGINT/STRING already."""
+    au = q_quality_audit(spark, sf_dir).select(
+        F.lit("audit").alias("branch"),
+        F.col("rule_id").alias("k"),
+        F.col("n_violations").alias("l1"),
+        F.col("n_rows").alias("l2"),
+    )
+    ch = q_snapshot_churn(spark, sf_dir).select(
+        F.lit("churn").alias("branch"),
+        F.concat(F.col("doc_id").cast("string"), F.lit("|"), F.col("status"))
+        .alias("k"),
+        F.col("n_status").alias("l1"),
+        F.lit(0).cast("long").alias("l2"),
+    )
+    return au.unionByName(ch)
+
+
+def q_vocab_divergence(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus drift via smoothed unigram KL (engine addition,
+    operators/text_analysis.py::vocab_divergence): corpus A = even docs
+    decorated with deterministic drift terms, corpus B = odd docs — so
+    the operator demonstrably surfaces the injected drift vocabulary at
+    the top ranks. Per-term contributions are nano-quantized BIGINTs
+    (order-independent sums, the dsir discipline)."""
+    from docling_translate_spark.operators.text_analysis import (
+        vocab_divergence,
+    )
+
+    d = _docs(spark, sf_dir)
+    i = F.col("doc_id")
+    a = d.filter(i % 2 == 0).select(
+        F.concat(
+            F.col("text"), F.lit(" drift"), (i % 7).cast("string")
+        ).alias("text")
+    )
+    b = d.filter(i % 2 == 1).select("text")
+    return vocab_divergence(a, b, k=20)
+
+
 def q_i18n_localize(spark: SparkSession, sf_dir: str) -> DataFrame:
     """UI-string localization with the reference's fallback chain
     (lang table → en → key; ref i18n.py t())."""
@@ -2366,7 +2409,12 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # pairs verbatim; the originals ride at the tail and the freed
         # slot goes to the never-recorded bloom_filter sketch
         "embeddup_battery": q_embeddup_battery,
-        "quality_audit": q_quality_audit,
+        # quality_audit+snapshot_churn (both r4-new corpus-QA metrics)
+        # consolidate into audit_battery (branches verbatim); the
+        # originals ride at the tail and the freed slots go to the
+        # never-recorded vocab_divergence engine addition
+        "audit_battery": q_audit_battery,
+        "vocab_divergence": q_vocab_divergence,
         "ann_ivf": q_ann_ivf,
         # lang_id / quality_scores / token_counts (all r3-green)
         # consolidate into text_battery — one recorded slot carries all
@@ -2397,7 +2445,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "docstat_battery": q_docstat_battery,
         "sample_battery": q_sample_battery,
         "dsir_weights": q_dsir_weights,
-        "snapshot_churn": q_snapshot_churn,
         # t8_sentences+i18n_localize (both r3-green) consolidate into
         # sentloc_battery (branches verbatim); the originals ride at
         # the tail and the freed slot goes to the never-recorded
@@ -2461,6 +2508,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "bm25_topk": q_bm25_topk,
         "scalar_battery": q_scalar_battery,
         # --- entries 51+: recorded by `make oracle`, not the driver ---
+        "quality_audit": q_quality_audit,
+        "snapshot_churn": q_snapshot_churn,
         "badwords_filter": q_badwords_filter,
         "layout_order": q_layout_order,
         "dom_tokens": q_dom_tokens,
@@ -5805,4 +5854,65 @@ w AS MATERIALIZED (
         SELECT doc_id, term, tf, score_micro, rank
         FROM rk WHERE rank <= __TFIDF_K__
     """.replace("__TFIDF_K__", str(TFIDF_K))
+    # audit_battery = tagged union of the two corpus-QA oracles
+    # VERBATIM (sketch/parse battery discipline)
+    sql["audit_battery"] = (
+        "SELECT 'audit' AS branch, rule_id AS k,"
+        " CAST(n_violations AS BIGINT) AS l1, CAST(n_rows AS BIGINT) AS l2"
+        " FROM (" + sql["quality_audit"] + ")"
+        " UNION ALL SELECT 'churn' AS branch,"
+        " CAST(doc_id AS VARCHAR) || '|' || status AS k,"
+        " CAST(n_status AS BIGINT) AS l1, CAST(0 AS BIGINT) AS l2"
+        " FROM (" + sql["snapshot_churn"] + ")"
+    )
+    # smoothed-unigram KL drift: decoration, counts, the nano-quantized
+    # contribution (FP association matches the query exactly:
+    # ((pa * ln(pa/pb)) * 1e9)), KL total, and the top-k rank replayed
+    # relationally
+    sql["vocab_divergence"] = r"""
+        WITH da AS (
+          SELECT text || ' drift' || CAST(doc_id % 7 AS VARCHAR) AS text
+          FROM documents WHERE doc_id % 2 = 0
+        ), db AS (
+          SELECT text FROM documents WHERE doc_id % 2 = 1
+        ), ta AS (
+          SELECT unnest(list_filter(string_split_regex(trim(lower(
+                 coalesce(text, ''))), '\s+'), x -> x <> '')) AS term
+          FROM da
+        ), tb AS (
+          SELECT unnest(list_filter(string_split_regex(trim(lower(
+                 coalesce(text, ''))), '\s+'), x -> x <> '')) AS term
+          FROM db
+        ), ca AS (
+          SELECT term, count(*)::BIGINT AS c_a FROM ta GROUP BY 1
+        ), cb AS (
+          SELECT term, count(*)::BIGINT AS c_b FROM tb GROUP BY 1
+        ), m AS (
+          SELECT term, coalesce(c_a, 0) AS c_a, coalesce(c_b, 0) AS c_b
+          FROM ca FULL OUTER JOIN cb USING (term)
+        ), t AS (
+          SELECT CAST(coalesce(sum(c_a), 0) AS BIGINT) AS na,
+                 CAST(coalesce(sum(c_b), 0) AS BIGINT) AS nb,
+                 count(*)::BIGINT AS v
+          FROM m
+        ), sc AS (
+          SELECT term, c_a, c_b,
+                 CAST(round((c_a + 1) / (t.na + t.v)
+                      * ln(((c_a + 1) / (t.na + t.v))
+                           / ((c_b + 1) / (t.nb + t.v)))
+                      * 1000000000.0) AS BIGINT) AS contrib_nano
+          FROM m CROSS JOIN t
+        ), kl AS (
+          SELECT CAST(coalesce(sum(contrib_nano), 0) AS BIGINT)
+                     AS kl_total_nano
+          FROM sc
+        ), rk AS (
+          SELECT term, c_a, c_b, contrib_nano,
+                 CAST(row_number() OVER (ORDER BY contrib_nano DESC, term)
+                      AS BIGINT) AS rank
+          FROM sc
+        )
+        SELECT term, c_a, c_b, contrib_nano, kl.kl_total_nano, rank
+        FROM rk CROSS JOIN kl WHERE rank <= 20
+    """
     return sql

@@ -14,7 +14,7 @@ expressible) unless noted:
 
 from __future__ import annotations
 
-from pyspark.sql import Column, DataFrame, functions as F
+from pyspark.sql import Column, DataFrame, Window, functions as F
 
 # tiny per-language marker sets: enough signal for a heuristic router
 LANG_MARKERS = {
@@ -632,4 +632,100 @@ def bigram_lm_score(
                 "avg_neg_log2s"
             ),
         )
+    )
+
+
+# --------------------------------------------------------------------
+# Vocabulary divergence between two corpora (distribution-drift
+# diagnostics): the question a continuously-recrawled or re-mixed
+# corpus asks after snapshot_churn's "what changed" — did the LANGUAGE
+# change? KL(P_a || P_b) over add-one-smoothed unigram distributions,
+# with the top contributing terms (the words most over-represented in
+# A relative to B) — the standard drift canary for crawler
+# regressions, source-mix shifts, and contamination.
+#
+#   p_a(w) = (c_a(w)+1)/(N_a+V),  p_b likewise, V = |union vocab|
+#   contrib(w) = p_a(w) · ln(p_a(w)/p_b(w));  KL = Σ_w contrib(w)
+#
+# Scale shape: one agg-shaped count per corpus (map-side combine), a
+# slim full-outer join on the term key (counts only — text never
+# shuffles), totals on a 1-row broadcast. Per-term contributions are
+# quantized to integer NANO-units so the corpus-wide KL is a sum of
+# exact BIGINTs — order-independent at any partitioning (the
+# dsir_weights discipline; ln's 1-ulp libm wobble is ~1e-12 grid
+# units from any rounding boundary at this magnitude). Top-k cut via
+# TakeOrdered — never a global sort.
+# --------------------------------------------------------------------
+
+
+def vocab_divergence(
+    df_a: DataFrame,
+    df_b: DataFrame,
+    k: int = 20,
+    text_col: str = "text",
+) -> DataFrame:
+    """Top-``k`` drift terms between corpus A and corpus B:
+    ``(term, c_a, c_b, contrib_nano, kl_total_nano, rank)`` — counts
+    and the nano-quantized KL contribution per term, the corpus-wide
+    KL total (same on every row: the 1-row broadcast), and the 1-based
+    rank by descending contribution (ties broken on the term). All
+    BIGINT/STRING."""
+    if k < 1:
+        raise ValueError(f"k must be >= 1, got {k}")
+
+    def counts(d: DataFrame, alias: str) -> DataFrame:
+        return (
+            d.select(
+                F.explode(
+                    F.split(
+                        F.trim(
+                            F.lower(F.coalesce(F.col(text_col), F.lit("")))
+                        ),
+                        r"\s+",
+                    )
+                ).alias("term")
+            )
+            .filter(F.col("term") != "")
+            .groupBy("term")
+            .agg(F.count("*").alias(alias))
+        )
+
+    ca = counts(df_a, "c_a")
+    cb = counts(df_b, "c_b")
+    merged = ca.join(cb, "term", "full_outer").select(
+        "term",
+        F.coalesce(F.col("c_a"), F.lit(0)).cast("long").alias("c_a"),
+        F.coalesce(F.col("c_b"), F.lit(0)).cast("long").alias("c_b"),
+    )
+    totals = merged.agg(
+        F.coalesce(F.sum("c_a"), F.lit(0)).cast("long").alias("_na"),
+        F.coalesce(F.sum("c_b"), F.lit(0)).cast("long").alias("_nb"),
+        F.count("*").alias("_v"),
+    )
+    pa = (F.col("c_a") + 1) / (F.col("_na") + F.col("_v"))
+    pb = (F.col("c_b") + 1) / (F.col("_nb") + F.col("_v"))
+    contrib = F.round(pa * F.log(pa / pb) * F.lit(1e9)).cast("long")
+    scored = (
+        merged.crossJoin(F.broadcast(totals))
+        .select("term", "c_a", "c_b", contrib.alias("contrib_nano"))
+    )
+    # two consumers (KL total + top-k) of a vocab-sized relation —
+    # persist is cheap and saves a full recount of both corpora
+    scored = scored.persist()
+    kl = scored.agg(
+        F.coalesce(F.sum("contrib_nano"), F.lit(0))
+        .cast("long")
+        .alias("kl_total_nano")
+    )
+    w = Window.orderBy(F.col("contrib_nano").desc(), F.col("term").asc())
+    # the global window is bounded: only the top-k survivors reach it
+    # (TakeOrdered semantics via the limit-pushed row_number is NOT
+    # guaranteed, so cut with a real limit first)
+    top = (
+        scored.orderBy(F.col("contrib_nano").desc(), F.col("term").asc())
+        .limit(k)
+        .withColumn("rank", F.row_number().over(w).cast("long"))
+    )
+    return top.crossJoin(F.broadcast(kl)).select(
+        "term", "c_a", "c_b", "contrib_nano", "kl_total_nano", "rank"
     )
