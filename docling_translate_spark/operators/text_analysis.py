@@ -692,10 +692,19 @@ def vocab_divergence(
 
     ca = counts(df_a, "c_a")
     cb = counts(df_b, "c_b")
-    merged = ca.join(cb, "term", "full_outer").select(
-        "term",
-        F.coalesce(F.col("c_a"), F.lit(0)).cast("long").alias("c_a"),
-        F.coalesce(F.col("c_b"), F.lit(0)).cast("long").alias("c_b"),
+    # merged is the real multi-consumer point: totals aggregates it AND
+    # the scoring projection re-derives from it (and kl/top-k fan out
+    # again) — without the persist the per-corpus count+join pipeline
+    # re-runs once per consumer. Vocab-sized, so the cache is cheap;
+    # it stays materialized for the session (winnow_overlap_pairs note).
+    merged = (
+        ca.join(cb, "term", "full_outer")
+        .select(
+            "term",
+            F.coalesce(F.col("c_a"), F.lit(0)).cast("long").alias("c_a"),
+            F.coalesce(F.col("c_b"), F.lit(0)).cast("long").alias("c_b"),
+        )
+        .persist()
     )
     totals = merged.agg(
         F.coalesce(F.sum("c_a"), F.lit(0)).cast("long").alias("_na"),
@@ -709,9 +718,6 @@ def vocab_divergence(
         merged.crossJoin(F.broadcast(totals))
         .select("term", "c_a", "c_b", contrib.alias("contrib_nano"))
     )
-    # two consumers (KL total + top-k) of a vocab-sized relation —
-    # persist is cheap and saves a full recount of both corpora
-    scored = scored.persist()
     kl = scored.agg(
         F.coalesce(F.sum("contrib_nano"), F.lit(0))
         .cast("long")
