@@ -1486,6 +1486,59 @@ def q_conv_shape(spark: SparkSession, sf_dir: str) -> DataFrame:
     return conversation_shape(t)
 
 
+def q_ranktop_battery(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Anchor-text rollup + per-group top-k in ONE gate slot
+    (recorded-cap discipline; both are salted-two-phase ranking ops —
+    anchor_text_rollup is built ON topk_per_group): branches verbatim,
+    columns harmonized."""
+    an = q_anchor_rollup(spark, sf_dir).select(
+        F.lit("anchor").alias("branch"),
+        F.col("dst").alias("k1"),
+        F.col("anchor").alias("k2"),
+        F.col("n_refs").cast("long").alias("l1"),
+        F.col("rank").cast("long").alias("rank"),
+    )
+    tk = q_topk_group(spark, sf_dir).select(
+        F.lit("topk").alias("branch"),
+        F.col("source").alias("k1"),
+        F.col("doc_id").cast("string").alias("k2"),
+        F.col("n_chars").cast("long").alias("l1"),
+        F.col("rank").cast("long").alias("rank"),
+    )
+    return an.unionByName(tk)
+
+
+def q_template_families(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Template-family detection (engine addition,
+    operators/metrics.py::template_families): documents fan out into
+    ~97 multi-turn conversations (conv = doc_id mod 97, turn = doc_id
+    div 97); every third conversation's FIRST turn is overridden with a
+    numbered system-prompt variant ('You are agent #<n>! ...') — the
+    CCNet normalization folds the digits, so the operator must find
+    exactly that family plus any natural first-turn duplicates."""
+    from docling_translate_spark.operators.metrics import template_families
+
+    d = _docs(spark, sf_dir)
+    i = F.col("doc_id")
+    conv_n = i % 97
+    tidx = F.expr("doc_id div 97")
+    t = d.select(
+        F.concat(F.lit("c"), conv_n.cast("string")).alias("conv_id"),
+        tidx.cast("int").alias("turn_idx"),
+        F.when(
+            (tidx == 0) & (conv_n % 3 == 0),
+            F.concat(
+                F.lit("You are agent #"),
+                conv_n.cast("string"),
+                F.lit("! Be concise; be helpful."),
+            ),
+        )
+        .otherwise(F.col("text"))
+        .alias("text"),
+    )
+    return template_families(t, prefix_chars=80, min_family=2)
+
+
 def q_audit_battery(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Quality audit + snapshot churn in ONE gate slot (recorded-cap
     discipline, sketch/parse battery precedent): both corpus-QA queries
@@ -2374,7 +2427,12 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # (decimal → BIGINT cents, the w_window_agg convention); the
         # original rides at the tail and the freed slot goes to the
         # never-recorded anchor_rollup engine addition
-        "anchor_rollup": q_anchor_rollup,
+        # anchor_rollup+topk_group (both salted-two-phase ranking ops)
+        # consolidate into ranktop_battery (branches verbatim); the
+        # originals ride at the tail and the freed slot goes to the
+        # never-recorded template_families engine addition
+        "ranktop_battery": q_ranktop_battery,
+        "template_families": q_template_families,
         "url_frontier": q_url_frontier,
         "probe_battery": q_probe_battery,
         "asof_join": q_asof_join,
@@ -2474,7 +2532,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # url_frontier engine addition (above, with dup_spans)
         "scan_battery": q_scan_battery,
         "curation_pipeline": q_curation_pipeline,
-        "topk_group": q_topk_group,
         # hll_distinct+cms_hitters (both sketch-family engine
         # additions, all-BIGINT payloads) consolidate into
         # sketch_battery (branches verbatim); the originals ride at
@@ -2508,6 +2565,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "bm25_topk": q_bm25_topk,
         "scalar_battery": q_scalar_battery,
         # --- entries 51+: recorded by `make oracle`, not the driver ---
+        "anchor_rollup": q_anchor_rollup,
+        "topk_group": q_topk_group,
         "quality_audit": q_quality_audit,
         "snapshot_churn": q_snapshot_churn,
         "badwords_filter": q_badwords_filter,
@@ -5854,6 +5913,56 @@ w AS MATERIALIZED (
         SELECT doc_id, term, tf, score_micro, rank
         FROM rk WHERE rank <= __TFIDF_K__
     """.replace("__TFIDF_K__", str(TFIDF_K))
+    # ranktop_battery = tagged union of the two salted-ranking oracles
+    # VERBATIM (sketch/parse battery discipline)
+    sql["ranktop_battery"] = (
+        "SELECT 'anchor' AS branch, dst AS k1, anchor AS k2,"
+        " CAST(n_refs AS BIGINT) AS l1, CAST(rank AS BIGINT) AS rank"
+        " FROM (" + sql["anchor_rollup"] + ")"
+        " UNION ALL SELECT 'topk' AS branch, source AS k1,"
+        " CAST(doc_id AS VARCHAR) AS k2, CAST(n_chars AS BIGINT) AS l1,"
+        " CAST(rank AS BIGINT) AS rank"
+        " FROM (" + sql["topk_group"] + ")"
+    )
+    # template families: the conversation fan-out, first-turn arg-min,
+    # and the CCNet normalization ladder replayed with the operator
+    # module's own constants (the norm_dedup discipline)
+    from docling_translate_spark.operators.text_analysis import (
+        ACCENT_DST,
+        ACCENT_SRC,
+        NORM_PUNCT_RE,
+    )
+
+    _tmpl_punct = NORM_PUNCT_RE.replace("'", "''")
+    sql["template_families"] = rf"""
+        WITH t AS (
+          SELECT 'c' || CAST(doc_id % 97 AS VARCHAR) AS conv_id,
+                 CAST(doc_id // 97 AS INTEGER) AS turn_idx,
+                 CASE WHEN doc_id // 97 = 0 AND (doc_id % 97) % 3 = 0
+                      THEN 'You are agent #' || CAST(doc_id % 97 AS VARCHAR)
+                           || '! Be concise; be helpful.'
+                      ELSE text END AS text
+          FROM documents
+        ), slim AS (
+          SELECT conv_id, turn_idx,
+                 substr(coalesce(text, ''), 1, 80) AS p
+          FROM t
+        ), first AS (
+          SELECT conv_id, arg_min(p, turn_idx) AS p0
+          FROM slim GROUP BY conv_id
+        ), normed AS (
+          SELECT conv_id,
+                 trim(regexp_replace(regexp_replace(regexp_replace(
+                     translate(lower(p0), '{ACCENT_SRC}', '{ACCENT_DST}'),
+                     '[0-9]', '0', 'g'),
+                     '{_tmpl_punct}', '', 'g'),
+                     '\s+', ' ', 'g')) AS norm
+          FROM first
+        )
+        SELECT md5(norm) AS template_fp, count(*) AS n_convs,
+               min(conv_id) AS rep_conv_id, min(norm) AS sample_prefix
+        FROM normed GROUP BY 1 HAVING count(*) >= 2
+    """
     # audit_battery = tagged union of the two corpus-QA oracles
     # VERBATIM (sketch/parse battery discipline)
     sql["audit_battery"] = (

@@ -237,6 +237,65 @@ def conversation_shape(df: DataFrame, roles=ROLE_AXIS) -> DataFrame:
 
 
 # --------------------------------------------------------------------
+# Template-family detection (transcript-native): agent transcripts
+# share system prompts and canned openers — the free clustering signal
+# for corpus accounting ("which harness produced this"), dedup
+# stratification, and leakage audits. A family is the set of
+# conversations whose FIRST turn starts with the same normalized
+# prefix: the CCNet normalization ladder (text_analysis.py::
+# normalize_text_col — lowercase, accents folded, digits→0, punct
+# stripped, whitespace collapsed) folds the "You are agent #37"-style
+# numbered variants into one family.
+#
+# Scale shape: the first turn is an arg-min groupBy (min(struct) —
+# map-side combine collapses a 10^6-turn conversation to one row per
+# input partition; NEVER the hot-key window shape), with the text
+# pre-truncated to the prefix BEFORE the aggregate so the shuffle
+# moves only prefix-sized payloads; the family rollup is a second
+# agg-shaped groupBy on the fingerprint (a viral template collapses
+# map-side). Zero windows, zero Python.
+# --------------------------------------------------------------------
+
+
+def template_families(
+    df: DataFrame, prefix_chars: int = 200, min_family: int = 2
+) -> DataFrame:
+    """Template families over transcripts ``(conv_id, turn_idx, text)``:
+    ``(template_fp, n_convs, rep_conv_id, sample_prefix)`` per family
+    with at least ``min_family`` conversations — the md5 of the
+    normalized first-turn prefix, the family size, the smallest member
+    conv_id, and the shared normalized prefix itself. All
+    BIGINT/STRING."""
+    from docling_translate_spark.operators.text_analysis import (
+        normalize_text_col,
+    )
+
+    if prefix_chars < 1:
+        raise ValueError(f"prefix_chars must be >= 1, got {prefix_chars}")
+    slim = df.select(
+        "conv_id",
+        "turn_idx",
+        F.substring(F.coalesce(F.col("text"), F.lit("")), 1, prefix_chars)
+        .alias("_p"),
+    )
+    first = slim.groupBy("conv_id").agg(
+        F.min(F.struct("turn_idx", "_p"))["_p"].alias("_p0")
+    )
+    normed = first.select(
+        "conv_id", normalize_text_col(F.col("_p0")).alias("_norm")
+    )
+    return (
+        normed.groupBy(F.md5("_norm").alias("template_fp"))
+        .agg(
+            F.count("*").alias("n_convs"),
+            F.min("conv_id").alias("rep_conv_id"),
+            F.min("_norm").alias("sample_prefix"),
+        )
+        .filter(F.col("n_convs") >= min_family)
+    )
+
+
+# --------------------------------------------------------------------
 # Declarative data-quality audit (the Deequ/Great-Expectations step)
 #
 # Before a 100 TB corpus ships to trainers, the pipeline asserts a
