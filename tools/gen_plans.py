@@ -186,6 +186,25 @@ def main() -> None:
     lm_model = bigram_lm_train(docs.filter(F.col("doc_id") % 5 != 0))
     bigram = plan(bigram_lm_score(docs, lm_model))
 
+    from docling_translate_spark.operators.metrics import template_families
+    from docling_translate_spark.operators.retrieval import tfidf_keywords
+    from docling_translate_spark.operators.text_analysis import (
+        vocab_divergence,
+    )
+
+    tfidf = plan(tfidf_keywords(docs, k=5))
+    vdiv = plan(
+        vocab_divergence(
+            docs.filter(F.col("doc_id") % 2 == 0),
+            docs.filter(F.col("doc_id") % 2 == 1),
+        )
+    )
+    tmpl = plan(
+        template_families(
+            df.selectExpr("conv_id", "turn_idx", "text"), prefix_chars=80
+        )
+    )
+
     md = f"""# PLANS — physical plans of the extraction + headline scale operators
 
 Captured with `.explain("formatted")` over a parquet transcript table
@@ -563,6 +582,38 @@ model is small; the (N, V) totals ride a BroadcastNestedLoopJoin of a
 
 ```
 {bigram}
+```
+
+## TF-IDF keywords (`tfidf_keywords`)
+
+(doc, term) tf aggregate with map-side combine; df aggregated over the
+tf relation; the 1-row N broadcast; the per-doc ranking window bounded
+by one document's distinct terms, with Spark's WindowGroupLimit rank
+pushdown below the exchange.
+
+```
+{tfidf}
+```
+
+## Vocabulary divergence (`vocab_divergence`)
+
+Two agg-shaped counts, a slim (term, counts) full-outer join (the
+cached multi-consumer point), 1-row broadcasts for totals and the KL
+scalar, TakeOrderedAndProject for the top-k — never a global sort.
+
+```
+{vdiv}
+```
+
+## Template families (`template_families`)
+
+No Window anywhere: first-turn selection is partial_min(struct) below
+the conv_id exchange (a 10^6-turn conversation collapses map-side),
+and the family rollup is a second partial-aggregated groupBy on the
+md5 fingerprint.
+
+```
+{tmpl}
 ```
 
 Notes:
