@@ -1306,9 +1306,12 @@ def q_dom_tokens(spark: SparkSession, sf_dir: str) -> DataFrame:
     return dom_tokens_flat(d.select("doc_id", html.alias("text")))
 
 
-# shared by q_tfidf_keywords and its oracle (constants hoisted so the
-# two sides cannot drift — the bm25 k1/b discipline)
+# shared by each query and its oracle (constants hoisted so the two
+# sides cannot drift — the bm25 k1/b discipline)
 TFIDF_K = 5
+VDIV_K = 20
+TMPL_PREFIX = 80
+TMPL_MIN_FAMILY = 2
 
 
 def q_tfidf_keywords(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -1536,7 +1539,9 @@ def q_template_families(spark: SparkSession, sf_dir: str) -> DataFrame:
         .otherwise(F.col("text"))
         .alias("text"),
     )
-    return template_families(t, prefix_chars=80, min_family=2)
+    return template_families(
+        t, prefix_chars=TMPL_PREFIX, min_family=TMPL_MIN_FAMILY
+    )
 
 
 def q_audit_battery(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -1579,7 +1584,7 @@ def q_vocab_divergence(spark: SparkSession, sf_dir: str) -> DataFrame:
         ).alias("text")
     )
     b = d.filter(i % 2 == 1).select("text")
-    return vocab_divergence(a, b, k=20)
+    return vocab_divergence(a, b, k=VDIV_K)
 
 
 def q_i18n_localize(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -5945,8 +5950,8 @@ w AS MATERIALIZED (
           FROM documents
         ), slim AS (
           SELECT conv_id, turn_idx,
-                 substr(coalesce(text, ''), 1, 80) AS p
-          FROM t
+                 substr(coalesce(text, ''), 1, __TMPL_PREFIX__) AS p
+          FROM t WHERE turn_idx IS NOT NULL
         ), first AS (
           SELECT conv_id, arg_min(p, turn_idx) AS p0
           FROM slim GROUP BY conv_id
@@ -5961,8 +5966,10 @@ w AS MATERIALIZED (
         )
         SELECT md5(norm) AS template_fp, count(*) AS n_convs,
                min(conv_id) AS rep_conv_id, min(norm) AS sample_prefix
-        FROM normed GROUP BY 1 HAVING count(*) >= 2
-    """
+        FROM normed GROUP BY 1 HAVING count(*) >= __TMPL_MIN_FAMILY__
+    """.replace("__TMPL_PREFIX__", str(TMPL_PREFIX)).replace(
+        "__TMPL_MIN_FAMILY__", str(TMPL_MIN_FAMILY)
+    )
     # audit_battery = tagged union of the two corpus-QA oracles
     # VERBATIM (sketch/parse battery discipline)
     sql["audit_battery"] = (
@@ -6022,6 +6029,6 @@ w AS MATERIALIZED (
           FROM sc
         )
         SELECT term, c_a, c_b, contrib_nano, kl.kl_total_nano, rank
-        FROM rk CROSS JOIN kl WHERE rank <= 20
-    """
+        FROM rk CROSS JOIN kl WHERE rank <= __VDIV_K__
+    """.replace("__VDIV_K__", str(VDIV_K))
     return sql

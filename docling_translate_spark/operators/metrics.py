@@ -265,14 +265,23 @@ def template_families(
     with at least ``min_family`` conversations — the md5 of the
     normalized first-turn prefix, the family size, the smallest member
     conv_id, and the shared normalized prefix itself. All
-    BIGINT/STRING."""
+    BIGINT/STRING.
+
+    Rows with a NULL ``turn_idx`` are excluded (a turn without an
+    index has no position, so it can never be "the first turn" — and
+    SQL arg_min skips NULL ordering keys, so this keeps the operator
+    engine-consistent instead of letting Spark's nulls-first struct
+    ordering silently pick the NULL row). Precondition: ``turn_idx``
+    unique within a conversation (the north-rule table's key); on a
+    duplicated index the struct-min tie-breaks on the smaller prefix,
+    deterministically."""
     from docling_translate_spark.operators.text_analysis import (
         normalize_text_col,
     )
 
     if prefix_chars < 1:
         raise ValueError(f"prefix_chars must be >= 1, got {prefix_chars}")
-    slim = df.select(
+    slim = df.filter(F.col("turn_idx").isNotNull()).select(
         "conv_id",
         "turn_idx",
         F.substring(F.coalesce(F.col("text"), F.lit("")), 1, prefix_chars)

@@ -68,6 +68,25 @@ def test_types_and_fp_shape(fams):
         assert isinstance(v["n_convs"], int)
 
 
+def test_null_turn_idx_excluded(spark):
+    # a turn without an index can never be "the first turn" (and SQL
+    # arg_min skips NULL ordering keys — engine consistency)
+    rows = [
+        ("a", None, "would-be template, must be ignored"),
+        ("a", 3, "real opener"),
+        ("b", 0, "real opener"),
+        # a conversation with ONLY NULL indices vanishes entirely
+        ("z", None, "phantom"),
+    ]
+    df = spark.createDataFrame(rows, SCHEMA)
+    out = {
+        r["sample_prefix"]: r.asDict()
+        for r in template_families(df, prefix_chars=50, min_family=1).collect()
+    }
+    assert list(out) == ["real opener"]
+    assert out["real opener"]["n_convs"] == 2
+
+
 def test_param_validation(spark):
     df = spark.createDataFrame([("a", 0, "x")], SCHEMA)
     with pytest.raises(ValueError):

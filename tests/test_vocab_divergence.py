@@ -96,7 +96,6 @@ def test_plan_disciplines(spark):
     # is a TakeOrdered, never a global sort
     assert "BroadcastNestedLoopJoin" in plan
     assert "TakeOrderedAndProject" in plan
-    assert "Sort [" not in plan or "TakeOrdered" in plan
 
 
 def test_param_validation(spark):
