@@ -1968,6 +1968,52 @@ def q_render_battery(spark: SparkSession, sf_dir: str) -> DataFrame:
     return s7.unionByName(s28)
 
 
+def q_seqprep_battery(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Token chunking + training-order sharding in ONE gate slot
+    (recorded-cap discipline; both are sequence-prep sampling ops):
+    branches verbatim, columns harmonized."""
+    ch = q_chunk_tokens(spark, sf_dir).select(
+        F.lit("chunk").alias("branch"),
+        "doc_id",
+        F.col("chunk_idx").cast("long").alias("l1"),
+        F.col("start_tok").cast("long").alias("l2"),
+        F.col("n_tokens").cast("long").alias("l3"),
+        F.lit(0).cast("long").alias("l4"),
+        F.col("chunk_text").alias("c1"),
+    )
+    sh = q_shard_manifest(spark, sf_dir).select(
+        F.lit("shard").alias("branch"),
+        "doc_id",
+        F.col("shard_id").cast("long").alias("l1"),
+        F.col("pos_in_shard").cast("long").alias("l2"),
+        F.col("shard_docs").cast("long").alias("l3"),
+        F.col("shard_chars").cast("long").alias("l4"),
+        F.lit("").alias("c1"),
+    )
+    return ch.unionByName(sh)
+
+
+# shared by q_weighted_sample and its oracle
+WSAMPLE_N = 50
+
+
+def q_weighted_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A-ES weighted sampling without replacement (engine addition,
+    operators/sampling.py::weighted_sample): weights derived from the
+    char count (mod-cycled so they vary 1..97), top-50 by the
+    nano-quantized ln(u)/w key — reproducible at any cluster size, and
+    the whole draw is one TakeOrdered."""
+    from docling_translate_spark.operators.sampling import weighted_sample
+
+    d = _docs(spark, sf_dir).select(
+        "doc_id", (F.col("n_chars") % 97 + 1).cast("double").alias("w")
+    )
+    out = weighted_sample(d, n=WSAMPLE_N, weight_col="w", id_col="doc_id")
+    return out.select(
+        "doc_id", F.col("w").cast("long").alias("weight"), "key_nano", "rank"
+    )
+
+
 def q_chunk_tokens(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Sliding token-window chunking (SURVEY §2.27): size 32, stride
     24 over the documents table — word-salad docs emit several
@@ -2454,7 +2500,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # the originals ride at the tail and the freed slot goes to
         # the never-recorded shard_manifest engine addition
         "nearpair_battery": q_nearpair_battery,
-        "shard_manifest": q_shard_manifest,
         # dedup_components+dedup_segments (both r3-green) consolidate
         # into dedupops_battery (branches verbatim); the originals ride
         # at the tail and the freed slot goes to the never-recorded
@@ -2550,7 +2595,12 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # battery's s7 branch recorded) and the freed slot goes to the
         # never-recorded chunk_tokens engine addition
         "render_battery": q_render_battery,
-        "chunk_tokens": q_chunk_tokens,
+        # chunk_tokens+shard_manifest (both sequence-prep sampling ops)
+        # consolidate into seqprep_battery (branches verbatim); the
+        # originals ride at the tail and the freed slot goes to the
+        # never-recorded weighted_sample engine addition
+        "seqprep_battery": q_seqprep_battery,
+        "weighted_sample": q_weighted_sample,
         # layout_order+dom_tokens (both parse-family engine additions)
         # consolidate into parse_battery (branches verbatim); the
         # originals ride at the tail and the freed slot goes to the
@@ -2570,6 +2620,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "bm25_topk": q_bm25_topk,
         "scalar_battery": q_scalar_battery,
         # --- entries 51+: recorded by `make oracle`, not the driver ---
+        "chunk_tokens": q_chunk_tokens,
+        "shard_manifest": q_shard_manifest,
         "anchor_rollup": q_anchor_rollup,
         "topk_group": q_topk_group,
         "quality_audit": q_quality_audit,
@@ -5918,6 +5970,42 @@ w AS MATERIALIZED (
         SELECT doc_id, term, tf, score_micro, rank
         FROM rk WHERE rank <= __TFIDF_K__
     """.replace("__TFIDF_K__", str(TFIDF_K))
+    # seqprep_battery = tagged union of the two sequence-prep oracles
+    # VERBATIM (sketch/parse battery discipline)
+    sql["seqprep_battery"] = (
+        "SELECT 'chunk' AS branch, doc_id, CAST(chunk_idx AS BIGINT) AS l1,"
+        " CAST(start_tok AS BIGINT) AS l2, CAST(n_tokens AS BIGINT) AS l3,"
+        " CAST(0 AS BIGINT) AS l4, chunk_text AS c1"
+        " FROM (" + sql["chunk_tokens"] + ")"
+        " UNION ALL SELECT 'shard' AS branch, doc_id,"
+        " CAST(shard_id AS BIGINT) AS l1, CAST(pos_in_shard AS BIGINT) AS l2,"
+        " CAST(shard_docs AS BIGINT) AS l3, CAST(shard_chars AS BIGINT) AS l4,"
+        " '' AS c1"
+        " FROM (" + sql["shard_manifest"] + ")"
+    )
+    # A-ES weighted sample: the md5-uniform draw, the nano-quantized
+    # ln(u)/w key (FP association matches the query: (ln(u)/w)·1e9,
+    # u = CAST(h+1 AS DOUBLE)/2^60), and the top-n cut replayed
+    sql["weighted_sample"] = r"""
+        WITH base AS (
+          SELECT doc_id, CAST(n_chars % 97 + 1 AS DOUBLE) AS w
+          FROM documents
+        ), keyed AS (
+          SELECT doc_id, w,
+                 CAST(round(ln(CAST(('0x' || substr(md5(CAST(doc_id AS
+                                VARCHAR)), 1, 15))::BIGINT + 1 AS DOUBLE)
+                               / CAST(1152921504606846976 AS DOUBLE))
+                            / w * 1000000000.0) AS BIGINT) AS key_nano
+          FROM base WHERE w IS NOT NULL AND w > 0
+        ), rk AS (
+          SELECT doc_id, CAST(w AS BIGINT) AS weight, key_nano,
+                 CAST(row_number() OVER (ORDER BY key_nano DESC, doc_id)
+                      AS BIGINT) AS rank
+          FROM keyed
+        )
+        SELECT doc_id, weight, key_nano, rank
+        FROM rk WHERE rank <= __WSAMPLE_N__
+    """.replace("__WSAMPLE_N__", str(WSAMPLE_N))
     # ranktop_battery = tagged union of the two salted-ranking oracles
     # VERBATIM (sketch/parse battery discipline)
     sql["ranktop_battery"] = (

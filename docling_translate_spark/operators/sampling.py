@@ -537,3 +537,59 @@ def chunk_tokens(
             ).alias("chunk_text"),
         )
     )
+
+
+# --------------------------------------------------------------------
+# Deterministic weighted sampling WITHOUT replacement (Efraimidis &
+# Spirakis 2006, the A-ES one-pass scheme): each row draws a uniform
+# u ∈ (0, 1] and gets key = ln(u)/w; the n LARGEST keys are the sample
+# — inclusion odds proportional to weight, no replacement, and (the
+# property a distributed curation pipeline actually needs) the whole
+# draw reduces to a top-n, so it is one TakeOrdered at any cluster
+# size with no sequential reservoir state.
+#
+# Engine-reproducible randomness: u = (md5_prefix60(id)+1)/2^60 — the
+# repo's portable hash, shifted into (0, 1] so ln never sees 0. The
+# key is quantized to integer NANO-units (round(ln(u)/w · 1e9) →
+# BIGINT) so the ranking never compares engine-local doubles beyond
+# the documented ~libm-ulp residual (the dsir/bm25 discipline), and
+# ties break on the id — a total, engine-exact order.
+#
+# Scale shape: one zero-shuffle projection, then TakeOrdered(n) —
+# never a global sort. Rows with NULL or non-positive weight are
+# excluded (a weight of 0 means "never sample"; negative weights are
+# meaningless in A-ES).
+# --------------------------------------------------------------------
+
+_AES_DENOM = float(1 << 60)  # exact power of two in IEEE double
+
+
+def weighted_sample(
+    df: DataFrame,
+    n: int,
+    weight_col: str,
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Top-``n`` A-ES weighted sample: the input columns plus
+    ``key_nano`` (BIGINT sampling key) and ``rank`` (1-based BIGINT).
+    Deterministic at any partitioning; fewer than ``n`` eligible rows
+    returns them all."""
+    from docling_translate_spark.functions.hashing import md5_prefix60
+
+    if n < 1:
+        raise ValueError(f"n must be >= 1, got {n}")
+    u = (
+        md5_prefix60(F.col(id_col).cast("string")) + F.lit(1)
+    ).cast("double") / F.lit(_AES_DENOM)
+    key = F.round(
+        F.log(u) / F.col(weight_col) * F.lit(1e9)
+    ).cast("long")
+    eligible = df.filter(
+        F.col(weight_col).isNotNull() & (F.col(weight_col) > 0)
+    ).withColumn("key_nano", key)
+    w = Window.orderBy(F.col("key_nano").desc(), F.col(id_col).asc())
+    return (
+        eligible.orderBy(F.col("key_nano").desc(), F.col(id_col).asc())
+        .limit(n)
+        .withColumn("rank", F.row_number().over(w).cast("long"))
+    )
