@@ -1544,6 +1544,63 @@ def q_template_families(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_profile_battery(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-domain profile + corpus data card in ONE gate slot
+    (recorded-cap discipline; both are data-card rollups): branches
+    verbatim, columns harmonized (all BIGINT/STRING already)."""
+    dp = q_domain_profile(spark, sf_dir).select(
+        F.lit("domain").alias("branch"),
+        F.col("domain").alias("k"),
+        F.col("n_docs").cast("long").alias("l1"),
+        F.col("total_chars").cast("long").alias("l2"),
+        F.col("n_pages").cast("long").alias("l3"),
+        F.lit(0).cast("long").alias("l4"),
+        F.lit(0).cast("long").alias("l5"),
+        F.lit(0).cast("long").alias("l6"),
+        F.lit(0).cast("long").alias("l7"),
+    )
+    cp = q_corpus_profile(spark, sf_dir).select(
+        F.lit("corpus").alias("branch"),
+        F.col("source").alias("k"),
+        F.col("n_docs").cast("long").alias("l1"),
+        F.col("total_chars").cast("long").alias("l2"),
+        F.col("distinct_texts").cast("long").alias("l3"),
+        F.col("p25_len").cast("long").alias("l4"),
+        F.col("p50_len").cast("long").alias("l5"),
+        F.col("p75_len").cast("long").alias("l6"),
+        F.col("p90_len").cast("long").alias("l7"),
+    )
+    return dp.unionByName(cp)
+
+
+def q_source_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cross-source shingle-overlap matrix (engine addition,
+    operators/text_analysis.py::source_overlap): every 5th doc carries
+    a ubiquitous phrase (present in ~all sources → its shingles are
+    dropped by the max_sources=10 stop cap, value-checking the cap
+    path) and every 37th a rare leak phrase (survives and creates the
+    overlap pairs the operator exists to find). Exact integer Jaccard
+    in micro-units — no FP anywhere."""
+    from docling_translate_spark.operators.text_analysis import (
+        source_overlap,
+    )
+
+    i = F.col("doc_id")
+    d = _docs(spark, sf_dir).select(
+        "source",
+        F.concat(
+            F.col("text"),
+            F.when(
+                i % 5 == 0, F.lit(" ubiquitous shared phrase everywhere")
+            ).otherwise(F.lit("")),
+            F.when(
+                i % 37 == 0, F.lit(" rare leak signature phrase")
+            ).otherwise(F.lit("")),
+        ).alias("text"),
+    )
+    return source_overlap(d, n=3, max_sources=10)
+
+
 def q_audit_battery(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Quality audit + snapshot churn in ONE gate slot (recorded-cap
     discipline, sketch/parse battery precedent): both corpus-QA queries
@@ -2494,7 +2551,12 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # tail and the freed slot goes to the never-recorded
         # domain_profile engine addition
         "hashsig_battery": q_hashsig_battery,
-        "domain_profile": q_domain_profile,
+        # domain_profile+corpus_profile (both data-card rollups)
+        # consolidate into profile_battery (branches verbatim); the
+        # originals ride at the tail and the freed slot goes to the
+        # never-recorded source_overlap engine addition
+        "profile_battery": q_profile_battery,
+        "source_overlap": q_source_overlap,
         # dedup_minhash_lsh+dedup_ngram_jaccard (both r3-green,
         # identical pair schemas) consolidate into nearpair_battery;
         # the originals ride at the tail and the freed slot goes to
@@ -2537,7 +2599,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # quantized_ann engine addition
         "docquality_battery": q_docquality_battery,
         "quantized_ann": q_quantized_ann,
-        "corpus_profile": q_corpus_profile,
         # fingerprint (r3-green, driver-recorded) rides at the tail this
         # round: its fingerprinting row keeps TWO recorded winnowing
         # queries below, and the cap rule sends never-yet-recorded
@@ -2620,6 +2681,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "bm25_topk": q_bm25_topk,
         "scalar_battery": q_scalar_battery,
         # --- entries 51+: recorded by `make oracle`, not the driver ---
+        "domain_profile": q_domain_profile,
+        "corpus_profile": q_corpus_profile,
         "chunk_tokens": q_chunk_tokens,
         "shard_manifest": q_shard_manifest,
         "anchor_rollup": q_anchor_rollup,
@@ -5970,6 +6033,73 @@ w AS MATERIALIZED (
         SELECT doc_id, term, tf, score_micro, rank
         FROM rk WHERE rank <= __TFIDF_K__
     """.replace("__TFIDF_K__", str(TFIDF_K))
+    # profile_battery = tagged union of the two data-card oracles
+    # VERBATIM (sketch/parse battery discipline)
+    sql["profile_battery"] = (
+        "SELECT 'domain' AS branch, domain AS k,"
+        " CAST(n_docs AS BIGINT) AS l1, CAST(total_chars AS BIGINT) AS l2,"
+        " CAST(n_pages AS BIGINT) AS l3, CAST(0 AS BIGINT) AS l4,"
+        " CAST(0 AS BIGINT) AS l5, CAST(0 AS BIGINT) AS l6,"
+        " CAST(0 AS BIGINT) AS l7"
+        " FROM (" + sql["domain_profile"] + ")"
+        " UNION ALL SELECT 'corpus' AS branch, source AS k,"
+        " CAST(n_docs AS BIGINT) AS l1, CAST(total_chars AS BIGINT) AS l2,"
+        " CAST(distinct_texts AS BIGINT) AS l3, CAST(p25_len AS BIGINT) AS l4,"
+        " CAST(p50_len AS BIGINT) AS l5, CAST(p75_len AS BIGINT) AS l6,"
+        " CAST(p90_len AS BIGINT) AS l7"
+        " FROM (" + sql["corpus_profile"] + ")"
+    )
+    # cross-source shingle overlap: decoration, tokenization, 3-gram
+    # shingles (short docs contribute their whole token string), the
+    # max_sources stop cap, the a<b pair join, and the exact-integer
+    # micro Jaccard replayed relationally
+    sql["source_overlap"] = r"""
+        WITH d AS (
+          SELECT source,
+                 text
+                 || CASE WHEN doc_id % 5 = 0
+                         THEN ' ubiquitous shared phrase everywhere'
+                         ELSE '' END
+                 || CASE WHEN doc_id % 37 = 0
+                         THEN ' rare leak signature phrase'
+                         ELSE '' END AS text
+          FROM documents
+        ), tk AS (
+          SELECT source,
+                 list_filter(string_split_regex(trim(lower(coalesce(text,
+                             ''))), '\s+'), x -> x <> '') AS t
+          FROM d WHERE source IS NOT NULL
+        ), sh0 AS (
+          SELECT source AS g,
+                 unnest(list_transform(range(0, len(t) - 2),
+                        i -> t[i+1] || ' ' || t[i+2] || ' ' || t[i+3])) AS s
+          FROM tk WHERE len(t) >= 3
+          UNION ALL
+          SELECT source AS g, array_to_string(t, ' ') AS s
+          FROM tk WHERE len(t) < 3
+        ), sh AS (
+          SELECT DISTINCT g, s FROM sh0 WHERE s <> ''
+        ), per AS (
+          SELECT g, count(*)::BIGINT AS n FROM sh GROUP BY g
+        ), cnt AS (
+          SELECT s, count(*)::BIGINT AS k FROM sh GROUP BY s
+        ), kept AS (
+          SELECT sh.g, sh.s FROM sh JOIN cnt USING (s) WHERE cnt.k <= 10
+        ), shared AS (
+          SELECT x.g AS source_a, y.g AS source_b,
+                 count(*)::BIGINT AS shared_shingles
+          FROM kept x JOIN kept y ON x.s = y.s AND x.g < y.g
+          GROUP BY 1, 2
+        )
+        SELECT source_a, source_b, shared_shingles,
+               pa.n AS n_a, pb.n AS n_b,
+               CAST(shared_shingles * 1000000
+                    // (pa.n + pb.n - shared_shingles) AS BIGINT)
+                   AS jaccard_micro
+        FROM shared
+        JOIN per pa ON pa.g = source_a
+        JOIN per pb ON pb.g = source_b
+    """
     # seqprep_battery = tagged union of the two sequence-prep oracles
     # VERBATIM (sketch/parse battery discipline)
     sql["seqprep_battery"] = (

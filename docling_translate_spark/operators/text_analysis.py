@@ -735,3 +735,110 @@ def vocab_divergence(
     return top.crossJoin(F.broadcast(kl)).select(
         "term", "c_a", "c_b", "contrib_nano", "kl_total_nano", "rank"
     )
+
+
+# --------------------------------------------------------------------
+# Cross-source shingle-overlap matrix (corpus overlap / leakage
+# report): which sources share content? The pairwise complement of the
+# per-document near-dup suite — one number per SOURCE PAIR, the view a
+# data card ships ("mirror detection": two crawls of the same site,
+# a dataset embedded inside another, eval material leaked into a
+# training source).
+#
+#   shared(a,b) = |shingles(a) ∩ shingles(b)|
+#   jaccard_micro = shared·10^6 div (n_a + n_b − shared)   (exact
+#   integer arithmetic end to end — no FP anywhere in this operator)
+#
+# Scale shape: distinct (shingle, source) via agg with map-side
+# combine (a shingle repeated 10^9 times in one source collapses per
+# map task); ubiquitous shingles — present in more than max_sources
+# sources — are dropped BEFORE the pair join (they carry no
+# discrimination and their pair fan-out is sources², the same
+# stop-shingle cap discipline as dedup.py); the self-join fan-out per
+# surviving shingle is then ≤ max_sources². Per-source totals ride a
+# slim broadcast-sized relation (one row per source).
+# --------------------------------------------------------------------
+
+
+def source_overlap(
+    df: DataFrame,
+    group_col: str = "source",
+    text_col: str = "text",
+    n: int = 3,
+    max_sources: int = 100,
+) -> DataFrame:
+    """Pairwise shingle overlap between groups:
+    ``(source_a, source_b, shared_shingles, n_a, n_b, jaccard_micro)``
+    for every group pair sharing at least one surviving shingle
+    (``source_a < source_b``). All BIGINT/STRING, fully engine-exact.
+
+    ``n``-word shingles from the whitespace/lowercase tokenization;
+    documents shorter than ``n`` tokens contribute their whole token
+    string as one shingle (the dedup.py convention). NULL groups are
+    excluded."""
+    if n < 1:
+        raise ValueError(f"n must be >= 1, got {n}")
+    if max_sources < 2:
+        raise ValueError(f"max_sources must be >= 2, got {max_sources}")
+    toks = F.filter(
+        F.split(
+            F.trim(F.lower(F.coalesce(F.col(text_col), F.lit("")))), r"\s+"
+        ),
+        lambda x: x != "",
+    )
+    shingles = F.when(
+        F.size(toks) >= n,
+        F.transform(
+            F.sequence(F.lit(0), F.size(toks) - n),
+            lambda i: F.concat_ws(
+                " ", *[F.element_at(toks, i + j + 1) for j in range(n)]
+            ),
+        ),
+    ).otherwise(F.array(F.array_join(toks, " ")))
+    pairs = (
+        df.filter(F.col(group_col).isNotNull())
+        .select(
+            F.col(group_col).alias("_g"), F.explode(shingles).alias("_s")
+        )
+        .filter(F.col("_s") != "")
+        .distinct()
+    )
+    # three consumers (per-source totals, the per-shingle cap counts,
+    # and the pair join) of the distinct relation — without the persist
+    # each re-runs the explode + distinct SHUFFLE, so the cache trades
+    # disk for three corpus-wide exchanges. The cached rows are two
+    # short columns (no document text), but their count is the distinct
+    # shingle-source cardinality — corpus-scale; at the 100 TB design
+    # point run this operator over a hash sample (hash_sample composes)
+    # or a per-source shingle sketch rather than the raw corpus.
+    pairs = pairs.persist()
+    per_src = pairs.groupBy("_g").agg(F.count("*").alias("_n"))
+    src_count = pairs.groupBy("_s").agg(F.count("*").alias("_k"))
+    kept = pairs.join(
+        src_count.filter(F.col("_k") <= max_sources).select("_s"), "_s"
+    )
+    a = kept.select(F.col("_s"), F.col("_g").alias("source_a"))
+    b = kept.select(F.col("_s"), F.col("_g").alias("source_b"))
+    shared = (
+        a.join(b, "_s")
+        .filter(F.col("source_a") < F.col("source_b"))
+        .groupBy("source_a", "source_b")
+        .agg(F.count("*").cast("long").alias("shared_shingles"))
+    )
+    na = per_src.select(F.col("_g").alias("source_a"), F.col("_n").alias("n_a"))
+    nb = per_src.select(F.col("_g").alias("source_b"), F.col("_n").alias("n_b"))
+    return (
+        shared.join(F.broadcast(na), "source_a")
+        .join(F.broadcast(nb), "source_b")
+        .select(
+            "source_a",
+            "source_b",
+            "shared_shingles",
+            F.col("n_a").cast("long").alias("n_a"),
+            F.col("n_b").cast("long").alias("n_b"),
+            F.expr(
+                "CAST(shared_shingles * 1000000 div "
+                "(n_a + n_b - shared_shingles) AS BIGINT)"
+            ).alias("jaccard_micro"),
+        )
+    )
