@@ -205,6 +205,18 @@ def main() -> None:
         )
     )
 
+    from docling_translate_spark.operators.sampling import weighted_sample
+    from docling_translate_spark.operators.text_analysis import source_overlap
+
+    wsamp = plan(
+        weighted_sample(
+            docs.selectExpr("doc_id", "CAST(n_chars % 97 + 1 AS DOUBLE) AS w"),
+            n=50,
+            weight_col="w",
+        )
+    )
+    soverlap = plan(source_overlap(docs.selectExpr("source", "text")))
+
     md = f"""# PLANS — physical plans of the extraction + headline scale operators
 
 Captured with `.explain("formatted")` over a parquet transcript table
@@ -614,6 +626,27 @@ md5 fingerprint.
 
 ```
 {tmpl}
+```
+
+## Weighted sampling (`weighted_sample`)
+
+One zero-shuffle projection (the nano-quantized A-ES key) and a
+TakeOrderedAndProject — the whole weighted draw with no reservoir
+state and no global sort.
+
+```
+{wsamp}
+```
+
+## Source overlap (`source_overlap`)
+
+Distinct (shingle, source) collapses map-side (partial HashAggregate
+below the exchange); the stop-cap filter joins slim keys before the
+a<b pair self-join; per-source totals attach as broadcasts; the
+Jaccard is integer arithmetic in the final Project.
+
+```
+{soverlap}
 ```
 
 Notes:
