@@ -6079,12 +6079,13 @@ w AS MATERIALIZED (
           FROM tk WHERE len(t) < 3
         ), sh AS (
           SELECT DISTINCT g, s FROM sh0 WHERE s <> ''
-        ), per AS (
-          SELECT g, count(*)::BIGINT AS n FROM sh GROUP BY g
         ), cnt AS (
           SELECT s, count(*)::BIGINT AS k FROM sh GROUP BY s
         ), kept AS (
           SELECT sh.g, sh.s FROM sh JOIN cnt USING (s) WHERE cnt.k <= 10
+        ), per AS (
+          -- POST-cap totals: consistent numerator/denominator filtering
+          SELECT g, count(*)::BIGINT AS n FROM kept GROUP BY g
         ), shared AS (
           SELECT x.g AS source_a, y.g AS source_b,
                  count(*)::BIGINT AS shared_shingles

@@ -573,7 +573,18 @@ def weighted_sample(
     """Top-``n`` A-ES weighted sample: the input columns plus
     ``key_nano`` (BIGINT sampling key) and ``rank`` (1-based BIGINT).
     Deterministic at any partitioning; fewer than ``n`` eligible rows
-    returns them all."""
+    returns them all.
+
+    Weight-magnitude envelope: the nano grid resolves ln(u)/w, and
+    ln(u) spans [−41.6, 0] — weights should sit in roughly
+    [1e-6, 1e6]. Far above that band the quantized keys collapse into
+    a handful of values and the id tie-break dominates (no longer a
+    weighted draw); far below it |ln(u)/w·1e9| overflows BIGINT (Spark
+    saturates the cast, a SQL twin may raise). A-ES selection is
+    SCALE-FREE in exact arithmetic — multiplying every weight by a
+    positive constant preserves the key order — so rescale raw weights
+    (byte counts, normalized mixture mass) into the band first; it
+    changes nothing else."""
     from docling_translate_spark.functions.hashing import md5_prefix60
 
     if n < 1:

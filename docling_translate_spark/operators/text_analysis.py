@@ -772,35 +772,31 @@ def source_overlap(
     for every group pair sharing at least one surviving shingle
     (``source_a < source_b``). All BIGINT/STRING, fully engine-exact.
 
-    ``n``-word shingles from the whitespace/lowercase tokenization;
-    documents shorter than ``n`` tokens contribute their whole token
-    string as one shingle (the dedup.py convention). NULL groups are
-    excluded."""
+    ``n``-word shingles come from ``dedup.py::shingle_df`` — ONE
+    shingle definition shared with the near-dup suite (documents
+    shorter than ``n`` tokens contribute their whole token string),
+    with NULL/empty shingles (NULL or whitespace-only text) dropped
+    here. NULL groups are excluded. Per-source totals and the shared
+    counts are both measured POST-cap — the consistent-filtering
+    discipline ``dedup.py::informative_shingles`` documents: identical
+    mirrors score jaccard_micro = 10^6 regardless of how much of their
+    content is capped boilerplate."""
+    from docling_translate_spark.operators.dedup import shingle_df
     if n < 1:
         raise ValueError(f"n must be >= 1, got {n}")
     if max_sources < 2:
         raise ValueError(f"max_sources must be >= 2, got {max_sources}")
-    toks = F.filter(
-        F.split(
-            F.trim(F.lower(F.coalesce(F.col(text_col), F.lit("")))), r"\s+"
-        ),
-        lambda x: x != "",
-    )
-    shingles = F.when(
-        F.size(toks) >= n,
-        F.transform(
-            F.sequence(F.lit(0), F.size(toks) - n),
-            lambda i: F.concat_ws(
-                " ", *[F.element_at(toks, i + j + 1) for j in range(n)]
-            ),
-        ),
-    ).otherwise(F.array(F.array_join(toks, " ")))
     pairs = (
-        df.filter(F.col(group_col).isNotNull())
-        .select(
-            F.col(group_col).alias("_g"), F.explode(shingles).alias("_s")
+        shingle_df(
+            df.filter(F.col(group_col).isNotNull()).select(
+                F.col(group_col).alias("_gid"), F.col(text_col)
+            ),
+            text_col=text_col,
+            id_col="_gid",
+            n=n,
         )
-        .filter(F.col("_s") != "")
+        .select(F.col("sid").alias("_g"), F.col("shingle").alias("_s"))
+        .filter(F.col("_s").isNotNull() & (F.col("_s") != ""))
         .distinct()
     )
     # three consumers (per-source totals, the per-shingle cap counts,
@@ -812,11 +808,14 @@ def source_overlap(
     # point run this operator over a hash sample (hash_sample composes)
     # or a per-source shingle sketch rather than the raw corpus.
     pairs = pairs.persist()
-    per_src = pairs.groupBy("_g").agg(F.count("*").alias("_n"))
     src_count = pairs.groupBy("_s").agg(F.count("*").alias("_k"))
     kept = pairs.join(
         src_count.filter(F.col("_k") <= max_sources).select("_s"), "_s"
     )
+    # kept feeds three consumers (totals + both sides of the pair
+    # join) and totals MUST come post-cap (consistent filtering)
+    kept = kept.persist()
+    per_src = kept.groupBy("_g").agg(F.count("*").alias("_n"))
     a = kept.select(F.col("_s"), F.col("_g").alias("source_a"))
     b = kept.select(F.col("_s"), F.col("_g").alias("source_b"))
     shared = (

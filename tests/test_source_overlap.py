@@ -69,6 +69,24 @@ def test_stop_cap_drops_ubiquitous_shingles(spark):
     assert out == {("a", "d"): 1}
 
 
+def test_mirror_invariant_under_cap(spark):
+    # identical mirror sources score jaccard 10^6 even when part of
+    # their content is capped boilerplate (POST-cap totals — the
+    # informative_shingles consistent-filtering discipline)
+    mirror = "common everywhere phrase plus unique mirror content here"
+    rows = [("m1", mirror), ("m2", mirror)] + [
+        (s, "common everywhere phrase") for s in ("x", "y", "z", "w")
+    ]
+    df = spark.createDataFrame(rows, SCHEMA)
+    out = {
+        (r["source_a"], r["source_b"]): r.asDict()
+        for r in source_overlap(df, n=3, max_sources=3).collect()
+    }
+    m = out[("m1", "m2")]
+    assert m["jaccard_micro"] == 1000000
+    assert m["n_a"] == m["n_b"] == m["shared_shingles"]
+
+
 def test_short_docs_whole_string_shingle(spark):
     rows = [("a", "tiny doc"), ("b", "tiny doc"), ("c", "other")]
     df = spark.createDataFrame(rows, SCHEMA)
