@@ -533,6 +533,26 @@ def q_bloom_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
     return words.unionByName(probed)
 
 
+def q_centroid_dots(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-group embedding-centroid inner products (engine addition,
+    operators/similarity.py::group_centroid_dots): vectors fan into 8
+    md5-free deterministic groups (vec_id mod 8) and every pairwise
+    centroid dot plus both self-dots is emitted as exact BIGINTs
+    (quantize → integer milli-means → integer dots; no FP anywhere
+    after the proven LSH grid quantization)."""
+    from docling_translate_spark.operators.similarity import (
+        group_centroid_dots,
+    )
+
+    e = _emb(spark, sf_dir).select(
+        F.concat(F.lit("g"), (F.col("vec_id") % 8).cast("string")).alias(
+            "source"
+        ),
+        "embedding",
+    )
+    return group_centroid_dots(e)
+
+
 def q_cms_hitters(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Portable count-min-sketch heavy hitters (engine addition,
     operators/sketch.py): build the d×2^16 token-frequency sketch over
@@ -584,7 +604,18 @@ def q_sketch_battery(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("n_true").cast("long").alias("n2"),
         F.lit(0).cast("long").alias("n3"),
     )
-    return hll.unionByName(cms)
+    # bloom (third branch, r4 consolidation): NULLs fold to sentinels
+    # BEFORE concat/compare so both engines agree exactly
+    blm = q_bloom_filter(spark, sf_dir).select(
+        F.lit("bloom").alias("branch"),
+        F.concat(
+            F.col("part"), F.lit("|"), F.coalesce(F.col("tok"), F.lit(""))
+        ).alias("k"),
+        F.coalesce(F.col("word"), F.lit(-1)).cast("long").alias("n1"),
+        F.coalesce(F.col("mask"), F.lit(-1)).cast("long").alias("n2"),
+        F.coalesce(F.col("maybe"), F.lit(-1)).cast("long").alias("n3"),
+    )
+    return hll.unionByName(cms).unionByName(blm)
 
 
 def q_shard_manifest(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -2636,7 +2667,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # rides at the tail so the never-yet-recorded winnow_fingerprints
         # and bm25_topk both sit inside the cap.
         "w_window_agg": q_w_window_agg,
-        "bloom_filter": q_bloom_filter,
+        # bloom_filter (r4-new sketch) folds into sketch_battery as a
+        # third branch; the original rides at the tail and the freed
+        # slot goes to the never-recorded centroid_dots engine addition
+        "centroid_dots": q_centroid_dots,
         # s1+s10 (both green §2.1 scans) consolidate into scan_battery
         # (tagged union, sample_battery precedent); the originals ride
         # at the tail and the freed slot goes to the never-recorded
@@ -2681,6 +2715,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "bm25_topk": q_bm25_topk,
         "scalar_battery": q_scalar_battery,
         # --- entries 51+: recorded by `make oracle`, not the driver ---
+        "bloom_filter": q_bloom_filter,
         "domain_profile": q_domain_profile,
         "corpus_profile": q_corpus_profile,
         "chunk_tokens": q_chunk_tokens,
@@ -4393,6 +4428,47 @@ w AS MATERIALIZED (
                    CAST(n_true AS BIGINT) AS n2,
                    CAST(0 AS BIGINT) AS n3
             FROM ({_cms_oracle()})
+            UNION ALL
+            SELECT 'bloom' AS branch,
+                   part || '|' || coalesce(tok, '') AS k,
+                   CAST(coalesce(word, -1) AS BIGINT) AS n1,
+                   CAST(coalesce(mask, -1) AS BIGINT) AS n2,
+                   CAST(coalesce(maybe, -1) AS BIGINT) AS n3
+            FROM ({_bloom_oracle()})
+        """,
+        # per-group centroid dots: the proven LSH quantization grid,
+        # integer milli-means, and exact BIGINT pairwise dots replayed
+        "centroid_dots": """
+            WITH q AS (
+              SELECT 'g' || CAST(vec_id % 8 AS VARCHAR) AS g,
+                     generate_subscripts(embedding, 1) AS d,
+                     CAST(floor(unnest(embedding) * 1024 + 0.5) AS BIGINT)
+                         AS qv
+              FROM embeddings
+            ), s AS (
+              SELECT g, d, CAST(sum(qv) AS BIGINT) AS sm,
+                     count(*)::BIGINT AS n
+              FROM q GROUP BY 1, 2
+            ), m AS (
+              SELECT g, d, CAST(sm * 1000 // n AS BIGINT) AS mm, n FROM s
+            ), c AS (
+              SELECT g, CAST(max(n) AS BIGINT) AS cnt FROM m GROUP BY g
+            ), sd AS (
+              SELECT g, CAST(sum(mm * mm) AS BIGINT) AS dself
+              FROM m GROUP BY g
+            ), dots AS (
+              SELECT x.g AS source_a, y.g AS source_b,
+                     CAST(sum(x.mm * y.mm) AS BIGINT) AS dot_ab
+              FROM m x JOIN m y ON x.d = y.d AND x.g < y.g
+              GROUP BY 1, 2
+            )
+            SELECT source_a, source_b, ca.cnt AS n_a, cb.cnt AS n_b,
+                   dot_ab, da.dself AS dot_aa, db.dself AS dot_bb
+            FROM dots
+            JOIN c ca ON ca.g = source_a
+            JOIN c cb ON cb.g = source_b
+            JOIN sd da ON da.g = source_a
+            JOIN sd db ON db.g = source_b
         """,
         # conversation shape profile: the decorated transcript build
         # (md5 role pick, off-axis/NULL decorations, NULL ts) and every

@@ -902,3 +902,98 @@ def quantized_ip_topk(
         .filter(F.col("rank") <= k)
         .select("query_id", "neighbor_id", "qdot", F.col("rank").cast("long").alias("rank"))
     )
+
+
+# --------------------------------------------------------------------
+# Per-group embedding-centroid inner products (semantic source map):
+# the embedding-space complement of the shingle overlap report — which
+# sources SAY similar things, even with disjoint vocabulary (mirror
+# sites after translation, paraphrase farms, topic-duplicated feeds).
+#
+# All-integer discipline end to end so the gate can value-hash it:
+# per-element quantization q = floor(x·1024 + 0.5) (the LSH-oracle
+# grid), per-(group, dim) BIGINT sums with map-side combine (a
+# 10^9-doc group collapses per map task), then the INTEGER MILLI-MEAN
+# m = S·1000 div n per dimension — bounded by scale·1000 (~2^20)
+# regardless of corpus size, so every pairwise dot is an exact BIGINT
+# far from overflow (dim·2^40 « 2^63) at ANY group cardinality. The
+# one lossy step (milli-mean rounding) is deterministic integer
+# arithmetic, identical in any engine. Cosine needs a sqrt — left to
+# the consumer: emit dot_ab with both self-dots instead.
+#
+# Scale shape: one narrow posexplode (corpus×dim rows, never
+# persisted), one agg-shaped shuffle, then everything downstream is
+# groups×dim-sized (the a<b join is a broadcast-sized self-join).
+# --------------------------------------------------------------------
+
+
+def group_centroid_dots(
+    df: DataFrame,
+    group_col: str = "source",
+    emb_col: str = "embedding",
+    scale: int = 1024,
+) -> DataFrame:
+    """Pairwise centroid inner products between groups:
+    ``(source_a, source_b, n_a, n_b, dot_ab, dot_aa, dot_bb)`` for
+    every group pair (``source_a < source_b``), all BIGINT/STRING.
+    ``cosine(a,b) = dot_ab / sqrt(dot_aa·dot_bb)`` consumer-side.
+    NULL groups and NULL embeddings are excluded; ragged dimensions
+    participate per-dim (missing trailing dims contribute nothing —
+    callers should feed fixed-dim embeddings)."""
+    if scale < 1:
+        raise ValueError(f"scale must be >= 1, got {scale}")
+    q = df.filter(
+        F.col(group_col).isNotNull() & F.col(emb_col).isNotNull()
+    ).select(
+        F.col(group_col).alias("_g"),
+        F.posexplode(emb_col).alias("_d", "_x"),
+    ).select(
+        "_g",
+        "_d",
+        F.floor(F.col("_x").cast("double") * scale + F.lit(0.5))
+        .cast("long")
+        .alias("_q"),
+    )
+    sums = q.groupBy("_g", "_d").agg(
+        F.sum("_q").alias("_s"), F.count("*").alias("_n")
+    )
+    # milli-mean per dimension: exact integer, bounded by scale·1000
+    means = sums.select(
+        "_g",
+        "_d",
+        F.expr("CAST(_s * 1000 div _n AS BIGINT)").alias("_m"),
+        "_n",
+    )
+    counts = means.groupBy("_g").agg(F.max("_n").cast("long").alias("_cnt"))
+    self_dots = means.groupBy("_g").agg(
+        F.sum(F.col("_m") * F.col("_m")).cast("long").alias("_dself")
+    )
+    a = means.select(
+        F.col("_g").alias("source_a"), "_d", F.col("_m").alias("_ma")
+    )
+    b = means.select(
+        F.col("_g").alias("source_b"), "_d", F.col("_m").alias("_mb")
+    )
+    dots = (
+        a.join(b, "_d")
+        .filter(F.col("source_a") < F.col("source_b"))
+        .groupBy("source_a", "source_b")
+        .agg(F.sum(F.col("_ma") * F.col("_mb")).cast("long").alias("dot_ab"))
+    )
+    ca = counts.select(F.col("_g").alias("source_a"), F.col("_cnt").alias("n_a"))
+    cb = counts.select(F.col("_g").alias("source_b"), F.col("_cnt").alias("n_b"))
+    da = self_dots.select(
+        F.col("_g").alias("source_a"), F.col("_dself").alias("dot_aa")
+    )
+    db = self_dots.select(
+        F.col("_g").alias("source_b"), F.col("_dself").alias("dot_bb")
+    )
+    return (
+        dots.join(F.broadcast(ca), "source_a")
+        .join(F.broadcast(cb), "source_b")
+        .join(F.broadcast(da), "source_a")
+        .join(F.broadcast(db), "source_b")
+        .select(
+            "source_a", "source_b", "n_a", "n_b", "dot_ab", "dot_aa", "dot_bb"
+        )
+    )
