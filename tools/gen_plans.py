@@ -217,6 +217,18 @@ def main() -> None:
     )
     soverlap = plan(source_overlap(docs.selectExpr("source", "text")))
 
+    from docling_translate_spark.operators.similarity import (
+        group_centroid_dots,
+    )
+
+    cdots = plan(
+        group_centroid_dots(
+            emb.selectExpr(
+                "'g' || CAST(vec_id % 8 AS STRING) AS source", "embedding"
+            )
+        )
+    )
+
     md = f"""# PLANS — physical plans of the extraction + headline scale operators
 
 Captured with `.explain("formatted")` over a parquet transcript table
@@ -647,6 +659,17 @@ Jaccard is integer arithmetic in the final Project.
 
 ```
 {soverlap}
+```
+
+## Centroid similarity (`group_centroid_dots`)
+
+One narrow Generate (posexplode), one agg-shaped exchange (partial
+HashAggregate collapses a group's rows map-side); everything after is
+groups×dim-sized — the pair self-join and all count/self-dot attaches
+plan as broadcasts.
+
+```
+{cdots}
 ```
 
 Notes:
