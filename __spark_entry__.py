@@ -12,6 +12,7 @@ the Spark query and the oracle SQL.
 
 from __future__ import annotations
 
+import os
 from collections.abc import Callable
 
 import pandas as pd
@@ -239,8 +240,15 @@ def q_dedup_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
     survives), and tailed near-dup copies of snapshot docs (stage-3
     drop). Word-salad corpus ⇒ 4-gram shingles + stop-shingle cap 20 +
     threshold 0.3, the dedup_ngram_jaccard gate convention (organic
-    cross near-dups also flag — the oracle mirrors every decision)."""
-    from docling_translate_spark.operators.dedup import dedup_incremental
+    cross near-dups also flag — the oracle mirrors every decision).
+    Since r5 the query runs the COMMITTED-INDEX path (build_ingest_index
+    once, then the index-fed probe — the production shape at snapshot
+    scale); admission is pytest-pinned bit-identical to the recompute
+    path, so the NOT-EXISTS CTE oracle covers both."""
+    from docling_translate_spark.operators.dedup import (
+        build_ingest_index,
+        dedup_incremental,
+    )
 
     d = _docs(spark, sf_dir).select("doc_id", "text")
     seen = d.filter(F.col("doc_id") % 3 == 0)
@@ -265,8 +273,9 @@ def q_dedup_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
             )
         )
     )
+    idx = build_ingest_index(seen, n=4, max_bucket=20)
     out = dedup_incremental(
-        batch, seen, n=4, threshold=0.3, max_bucket=20
+        batch, seen_index=idx, n=4, threshold=0.3, max_bucket=20
     )
     return out.select("doc_id", F.md5("text").alias("fp"))
 
@@ -951,14 +960,28 @@ def q_quality_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-def q_ann_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """IVF approximate top-5 (k-means coarse quantizer + cell probe;
-    rows-only — recall pinned by pytest)."""
-    from docling_translate_spark.operators.similarity import ivf_topk
+# IVF gate parameters — shared by q_ann_ivf and its oracle so query and
+# SQL cannot drift (the TFIDF_K / VDIV_K hoisting discipline)
+IVF_N_CELLS = 16
+IVF_NPROBE = 6
+IVF_K = 5
+IVF_MAX_TRAIN = 65536
 
-    return ivf_topk(
+
+def q_ann_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF approximate top-5, exact-assignment variant
+    (operators/similarity.py::ivf_topk_exact): seeded k-means training
+    on the bounded hash-ordered sample is deterministic, centroids snap
+    onto the 2^20 integer grid, and cell assignment + nprobe probing are
+    BIGINT dot products — so the oracle replays assignment, probing and
+    the exact rescore from the identical centroid literal emitted by the
+    same recipe (k-means training itself stays pytest-pinned)."""
+    from docling_translate_spark.operators.similarity import ivf_topk_exact
+
+    return ivf_topk_exact(
         _emb(spark, sf_dir),
-        dim=64, k=5, n_cells=16, nprobe=6,
+        dim=64, k=IVF_K, n_cells=IVF_N_CELLS, nprobe=IVF_NPROBE,
+        max_train=IVF_MAX_TRAIN,
     ).select("query_id", "neighbor_id", F.col("rank").cast("long").alias("rank"))
 
 
@@ -3917,6 +3940,35 @@ w AS MATERIALIZED (
   FROM dots GROUP BY vec_id, j // {n_planes}
 )"""
 
+    def _ivf_centroid_values() -> str:
+        """The IVF centroid literal, emitted by the SAME recipe the gate
+        query runs: the deterministic hash-ordered training sample is
+        replayed over the raw parquet in DuckDB (identical `ORDER BY
+        md5(id::VARCHAR), id LIMIT n` total order), then the identical
+        seeded float64 k-means + 2^20 grid snap
+        (similarity.ivf_centroid_ints) — same rows + same seed ⇒
+        bit-identical BIGINTs. The driver gates at sf0.01; local checks
+        at another sf set SPARK_GRAFT_ORACLE_SF (tools/check_oracle.py
+        does). Parity of the two sample paths is pytest-pinned
+        (tests/test_similarity.py::test_ivf_centroid_replay_parity)."""
+        import duckdb as _duck
+
+        from docling_translate_spark.operators.similarity import (
+            ivf_centroid_ints,
+        )
+
+        sf = os.environ.get("SPARK_GRAFT_ORACLE_SF", "/root/testdata/sf0.01")
+        rows = _duck.connect().execute(
+            f"SELECT vec_id, embedding FROM '{sf}/embeddings.parquet' "
+            f"ORDER BY md5(CAST(vec_id AS VARCHAR)), vec_id "
+            f"LIMIT {IVF_MAX_TRAIN}"
+        ).fetchall()
+        cents = ivf_centroid_ints(rows, n_cells=IVF_N_CELLS)
+        return ", ".join(
+            f"({j}, [{','.join(str(v) for v in c)}]::BIGINT[])"
+            for j, c in enumerate(cents)
+        )
+
     # full value oracle for banded MinHash LSH (64 hashes, 16 bands x 4
     # rows, est >= 0.5): signatures, band keys, candidate join and the
     # estimate filter all reproduced in SQL — the a/b hash params are
@@ -5823,8 +5875,53 @@ w AS MATERIALIZED (
                             '%Y-%m-%d %H:%M:%S') AS ts_display
             FROM parsed WHERE ts_raw <> ''
         """,
-        # rows-only (non-SQL-expressible): ann_ivf — iterative k-means
-        # training. Everything else in queries() has an oracle above.
+        # ann_ivf: the centroid literal comes from the SAME deterministic
+        # training recipe the query runs (_ivf_centroid_values); the SQL
+        # replays 2^20-grid quantization, BIGINT cell dots, (score DESC,
+        # cell) assignment + nprobe probing, candidate join, and the
+        # exact-cosine rescore with the (-cosine, id) tie-break — only
+        # _kmeans itself stays pytest-pinned
+        "ann_ivf": f"""
+            WITH cent(cell, qc) AS (VALUES {_ivf_centroid_values()}),
+            q AS (
+              SELECT vec_id,
+                     list_transform(embedding,
+                         x -> CAST(floor(x * 1048576.0 + 0.5) AS BIGINT)
+                     ) AS qe
+              FROM embeddings
+            ), scored AS (
+              SELECT q.vec_id, c.cell,
+                     list_sum(list_transform(range(1, 65),
+                         i -> qe[i] * qc[i])) AS s
+              FROM q, cent c
+            ), ranked AS (
+              SELECT vec_id, cell,
+                     row_number() OVER (PARTITION BY vec_id
+                         ORDER BY s DESC, cell) AS rn
+              FROM scored
+            ), inv AS (
+              SELECT vec_id AS sid, cell FROM ranked WHERE rn = 1
+            ), probes AS (
+              SELECT vec_id AS qid, cell FROM ranked
+              WHERE rn <= {IVF_NPROBE}
+            ), cand AS (
+              SELECT DISTINCT p.qid AS query_id, i.sid AS neighbor_id
+              FROM probes p JOIN inv i USING (cell)
+              WHERE p.qid <> i.sid
+            )
+            SELECT query_id, neighbor_id, CAST(rank AS BIGINT) AS rank
+            FROM (
+              SELECT query_id, neighbor_id,
+                     row_number() OVER (PARTITION BY query_id
+                         ORDER BY list_cosine_similarity(
+                                      ea.embedding, eb.embedding) DESC,
+                                  neighbor_id) AS rank
+              FROM cand
+              JOIN embeddings ea ON ea.vec_id = query_id
+              JOIN embeddings eb ON eb.vec_id = neighbor_id
+            )
+            WHERE rank <= {IVF_K}
+        """,
     }
     # dsir_select = top-50 of dsir_weights under the total order
     # (log_weight DESC, doc_id) — weights are BIGINT-exact, so the

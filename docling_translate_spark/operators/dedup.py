@@ -27,7 +27,7 @@ drivers should ``spark.catalog.clearCache()`` between invocations.
 
 from __future__ import annotations
 
-from typing import Iterator
+from typing import Iterator, NamedTuple
 
 import numpy as np
 import pandas as pd
@@ -62,15 +62,158 @@ def exact_dedup(df: DataFrame, text_col: str = "text", id_col: str = "doc_id") -
     )
 
 
+class IngestIndex(NamedTuple):
+    """The committed seen-side state of :func:`dedup_incremental` — the
+    operator's own stage aggregates, persisted so an ingest never
+    re-scans the snapshot corpus:
+
+    * ``hashes``   — (text_hash)            exact-dup fingerprints
+    * ``shingles`` — (sid, shingle)         inverted n-gram index
+    * ``freq``     — (shingle, df_)         document frequencies
+    * ``sizes``    — (sid, rsz)             per-doc informative set size
+                     under the snapshot-only stop cap (docs whose every
+                     shingle is capped carry no row)
+    * ``n``, ``max_bucket`` — the shingle order and stop cap the tables
+      were built under; a probe with different parameters raises rather
+      than silently mixing semantics (the Bloom k-stamp discipline)
+
+    At cluster scale ``shingles``/``freq`` are stored bucketed by
+    ``shingle`` so the batch-side probes co-locate, and ``hashes`` by
+    ``text_hash``; here they are plain DataFrames/parquet.
+    """
+
+    hashes: DataFrame
+    shingles: DataFrame
+    freq: DataFrame
+    sizes: DataFrame
+    n: int
+    max_bucket: int
+
+
+def build_ingest_index(
+    seen: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    n: int = 3,
+    max_bucket: int = 1000,
+) -> IngestIndex:
+    """Build the committed ingest index from a raw snapshot — the
+    bootstrap (or audit-rebuild) path; steady state maintains it with
+    :func:`updated_ingest_index` instead. Every piece is the exact
+    aggregate :func:`dedup_incremental` used to recompute per ingest."""
+    hashes = seen.select(F.md5(F.col(text_col)).alias("text_hash"))
+    sh = shingle_df(seen, text_col, id_col, n)
+    shingles = sh.select("sid", "shingle")
+    freq = sh.groupBy("shingle").agg(F.count("*").alias("df_"))
+    ok = freq.filter(F.col("df_") <= max_bucket).select("shingle")
+    sizes = (
+        sh.join(ok, "shingle").groupBy("sid").agg(F.count("*").alias("rsz"))
+    )
+    return IngestIndex(hashes, shingles, freq, sizes, n, max_bucket)
+
+
+def updated_ingest_index(
+    index: IngestIndex,
+    admitted: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> IngestIndex:
+    """The commit recipe: fold an admitted ingest batch into the index,
+    producing exactly ``build_ingest_index(seen ∪ admitted)`` without
+    touching the snapshot corpus (equality pytest-pinned).
+
+    Only batch-scale relations aggregate; the corpus-sized tables are
+    touched by append (``shingles``, ``hashes``), by an outer-sum merge
+    on the batch's keys (``freq``), and by a slim adjustment join
+    (``sizes``): a committed doc's informative size can only shrink, and
+    only on shingles the batch itself pushed over the stop cap — a set
+    bounded by the batch's own vocabulary."""
+    adm_sh = shingle_df(admitted, text_col, id_col, index.n)
+    adm_freq = adm_sh.groupBy("shingle").agg(F.count("*").alias("adf"))
+    # combined df for the batch's shingles only (everything else is
+    # untouched by this commit)
+    jf = (
+        adm_freq.join(index.freq, "shingle", "left")
+        .select(
+            "shingle",
+            "adf",
+            F.coalesce("df_", F.lit(0)).alias("sdf"),
+        )
+        .withColumn("tdf", F.col("adf") + F.col("sdf"))
+        .cache()  # feeds the merged freq, the new-doc cap and the flip set
+    )
+    freq_new = index.freq.join(adm_freq, "shingle", "left_anti").unionByName(
+        jf.select("shingle", F.col("tdf").alias("df_"))
+    )
+    ok_new = jf.filter(F.col("tdf") <= index.max_bucket).select("shingle")
+    adm_sizes = (
+        adm_sh.join(ok_new, "shingle")
+        .groupBy("sid")
+        .agg(F.count("*").alias("rsz"))
+    )
+    flipped = jf.filter(
+        (F.col("sdf") <= index.max_bucket) & (F.col("tdf") > index.max_bucket)
+    ).select("shingle")
+    flip_counts = (
+        index.shingles.join(flipped, "shingle")
+        .groupBy("sid")
+        .agg(F.count("*").alias("nflip"))
+    )
+    old_sizes = (
+        index.sizes.join(flip_counts, "sid", "left")
+        .select(
+            "sid",
+            (F.col("rsz") - F.coalesce("nflip", F.lit(0))).alias("rsz"),
+        )
+        .filter(F.col("rsz") > 0)
+    )
+    return IngestIndex(
+        index.hashes.unionByName(
+            admitted.select(F.md5(F.col(text_col)).alias("text_hash"))
+        ),
+        index.shingles.unionByName(adm_sh.select("sid", "shingle")),
+        freq_new,
+        old_sizes.unionByName(adm_sizes),
+        index.n,
+        index.max_bucket,
+    )
+
+
+def save_ingest_index(index: IngestIndex, path: str) -> None:
+    """Persist the index tables as parquet under ``path`` (the sandbox
+    stand-in for bucketed Iceberg tables; one commit per ingest)."""
+    index.hashes.write.mode("overwrite").parquet(f"{path}/hashes")
+    index.shingles.write.mode("overwrite").parquet(f"{path}/shingles")
+    index.freq.write.mode("overwrite").parquet(f"{path}/freq")
+    index.sizes.write.mode("overwrite").parquet(f"{path}/sizes")
+    meta = index.hashes.sparkSession.createDataFrame(
+        [(index.n, index.max_bucket)], "n int, max_bucket int"
+    )
+    meta.write.mode("overwrite").parquet(f"{path}/meta")
+
+
+def load_ingest_index(spark, path: str) -> IngestIndex:
+    meta = spark.read.parquet(f"{path}/meta").collect()[0]
+    return IngestIndex(
+        spark.read.parquet(f"{path}/hashes"),
+        spark.read.parquet(f"{path}/shingles"),
+        spark.read.parquet(f"{path}/freq"),
+        spark.read.parquet(f"{path}/sizes"),
+        int(meta["n"]),
+        int(meta["max_bucket"]),
+    )
+
+
 def dedup_incremental(
     batch: DataFrame,
-    seen: DataFrame,
+    seen: DataFrame | None = None,
     text_col: str = "text",
     id_col: str = "doc_id",
     near_dup: bool = True,
     n: int = 3,
     threshold: float = 0.8,
     max_bucket: int = 1000,
+    seen_index: IngestIndex | None = None,
 ) -> DataFrame:
     """Incremental ingest dedup: admit only the rows of ``batch`` that
     are new relative to a committed corpus snapshot ``seen`` — the step
@@ -103,11 +246,23 @@ def dedup_incremental(
        no tie-break needed, so the result is deterministic at any
        parallelism.
 
-    At real snapshot scale the seen-side shingle rows and document
-    frequencies are themselves maintained incrementally as committed
-    index tables (this operator's aggregates ARE the update recipe);
-    recomputing them here from ``seen`` keeps the sandbox self-contained
-    with identical join shapes.
+    Pass ``seen_index`` (an :class:`IngestIndex`, built once with
+    :func:`build_ingest_index` and maintained per-commit with
+    :func:`updated_ingest_index`) to run all three stages against the
+    COMMITTED tables instead — the production path at snapshot scale,
+    where re-scanning the corpus per ingest is the exact anti-pattern
+    this operator exists to avoid. The index-fed stage 3 aggregates only
+    batch-scale relations: combined document frequencies probe the
+    committed ``freq`` on the batch's shingles alone, candidate pairs
+    probe the committed inverted ``shingles`` index, and seen-side
+    informative sizes come from the committed ``sizes`` minus a
+    flip-adjustment join (a snapshot shingle can only leave the
+    informative set when THIS batch pushes it over the stop cap, so the
+    adjustment set is bounded by the batch vocabulary). Admission is
+    bit-identical to the recompute path (pytest-pinned). With an index,
+    ``seen`` may be omitted entirely. The recompute fallback (pass
+    ``seen`` with text) keeps the sandbox self-contained with identical
+    join shapes.
 
     Preconditions: ``id_col`` unique within ``batch``, and ``batch``
     must not carry a column named ``_fp`` (reserved; a ValueError is
@@ -123,6 +278,17 @@ def dedup_incremental(
             "batch must not carry the reserved temp column '_fp' "
             "(rename it before calling dedup_incremental)"
         )
+    if seen is None and seen_index is None:
+        raise ValueError("pass a snapshot (seen) or a committed seen_index")
+    if seen_index is not None and (
+        seen_index.n != n or seen_index.max_bucket != max_bucket
+    ):
+        raise ValueError(
+            f"seen_index was committed under (n={seen_index.n}, "
+            f"max_bucket={seen_index.max_bucket}); probing it with "
+            f"(n={n}, max_bucket={max_bucket}) would silently mix "
+            "stop-cap semantics"
+        )
     fp = F.md5(F.col(text_col))
     b = batch.withColumn("_fp", fp)
 
@@ -131,13 +297,79 @@ def dedup_incremental(
     b = b.join(winners, ["_fp", id_col], "left_semi")
 
     # stage 2: exact vs snapshot (slim hash column, anti-join)
-    if "text_hash" in seen.columns and text_col not in seen.columns:
+    if seen_index is not None:
+        seen_fp = seen_index.hashes.select(F.col("text_hash").alias("_fp"))
+    elif "text_hash" in seen.columns and text_col not in seen.columns:
         seen_fp = seen.select(F.col("text_hash").alias("_fp"))
     else:
         seen_fp = seen.select(fp.alias("_fp"))
     b = b.join(seen_fp, "_fp", "left_anti")
 
-    if near_dup:
+    if near_dup and seen_index is not None:
+        # stage 3, index-fed: nothing snapshot-sized aggregates.
+        b = b.persist()
+        bs = shingle_df(b, text_col, id_col, n).cache()
+        batch_freq = bs.groupBy("shingle").agg(F.count("*").alias("bdf"))
+        # combined document frequency for the batch's shingles only —
+        # a shingle absent from the batch can neither form a candidate
+        # pair nor flip over the cap, so the corpus-sized freq table is
+        # probed (join), never re-aggregated
+        jf = (
+            batch_freq.join(seen_index.freq, "shingle", "left")
+            .select(
+                "shingle", "bdf", F.coalesce("df_", F.lit(0)).alias("sdf")
+            )
+            .withColumn("tdf", F.col("bdf") + F.col("sdf"))
+            .cache()  # feeds the batch stop set AND the flip set
+        )
+        ok_b = jf.filter(F.col("tdf") <= max_bucket).select("shingle")
+        rare_b, bsz = informative_shingles(bs, ok_b)
+        # candidate pairs: probe the committed inverted index. No seen-
+        # side stop filter is needed — the join key is already confined
+        # to rare_b's combined-ok shingles.
+        pairs = (
+            rare_b.select(F.col("sid").alias("_bid"), "shingle")
+            .join(
+                seen_index.shingles.select(
+                    F.col("sid").alias("_sid"), "shingle"
+                ),
+                "shingle",
+            )
+            .groupBy("_bid", "_sid")
+            .agg(F.count("*").alias("nc"))
+        )
+        # seen-side informative sizes under the COMBINED cap: committed
+        # size minus the shingles THIS batch flipped over the cap (only
+        # batch shingles can flip — sdf <= cap < sdf + bdf needs bdf > 0)
+        flipped = jf.filter(
+            (F.col("sdf") <= max_bucket) & (F.col("tdf") > max_bucket)
+        ).select("shingle")
+        flip_counts = (
+            seen_index.shingles.join(flipped, "shingle")
+            .groupBy("sid")
+            .agg(F.count("*").alias("nflip"))
+        )
+        ssz_df = seen_index.sizes.join(flip_counts, "sid", "left").select(
+            "sid",
+            (F.col("rsz") - F.coalesce("nflip", F.lit(0))).alias("rsz"),
+        )
+        flagged = (
+            pairs.join(
+                bsz.select(F.col("sid").alias("_bid"), F.col("rsz").alias("bsz")),
+                "_bid",
+            )
+            .join(
+                ssz_df.select(F.col("sid").alias("_sid"), F.col("rsz").alias("ssz")),
+                "_sid",
+            )
+            .filter(
+                F.col("nc") / (F.col("bsz") + F.col("ssz") - F.col("nc"))
+                >= threshold
+            )
+            .select(F.col("_bid").alias(id_col))
+        )
+        b = b.join(flagged, id_col, "left_anti")
+    elif near_dup:
         # b feeds TWO consumers (shingle build + final anti-join probe):
         # persist, or the upstream lineage runs once per consumer
         b = b.persist()

@@ -712,6 +712,142 @@ def ivf_topk(
     return _rescore_pairs(corpus, cand, k, id_col, vec_col)
 
 
+# centroid-coordinate quantization grid for the EXACT IVF assignment
+# path: floor(x * 2^20 + 0.5) per component — a float32 value times a
+# power-of-two scale is exact, so the snapped integer is bit-identical
+# in any engine, and the BIGINT dot products that decide cell membership
+# carry no float-summation-order ambiguity (same reasoning as _LSH_QUANT)
+IVF_GRID = 1 << 20
+
+
+def ivf_train_rows(
+    corpus: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    max_train: int = 65536,
+) -> list:
+    """The deterministic bounded k-means training sample, as rows:
+    hash-ordered take of ``max_train`` (id, vector) pairs — TakeOrdered,
+    never a full sort or a full collect. Shared with the SQL oracle,
+    which replays the identical ``ORDER BY md5(id::VARCHAR), id LIMIT n``
+    over the same parquet (md5-hex ordering is engine-portable)."""
+    return (
+        corpus.select(id_col, vec_col)
+        .orderBy(F.md5(F.col(id_col).cast("string")), F.col(id_col))
+        .limit(max_train)
+        .collect()
+    )
+
+
+def ivf_centroid_ints(
+    rows: list,
+    n_cells: int,
+    seed: int = 17,
+    iters: int = 10,
+    grid: int = IVF_GRID,
+) -> list[list[int]]:
+    """Train spherical k-means on (id, vector) ``rows`` (already in the
+    deterministic hash order) and snap each centroid coordinate onto the
+    integer grid. Same rows + seed ⇒ bit-identical ints on any host, so
+    a SQL oracle can replay cell assignment from the emitted literal."""
+    mat = np.stack([np.asarray(r[1], dtype=np.float64) for r in rows])
+    mat = mat / np.linalg.norm(mat, axis=1, keepdims=True)
+    cent = _kmeans(mat, n_cells, iters=iters, seed=seed)
+    return [[int(np.floor(c * grid + 0.5)) for c in row] for row in cent]
+
+
+def ivf_topk_exact(
+    corpus: DataFrame,
+    dim: int,
+    k: int = 5,
+    n_cells: int = 16,
+    nprobe: int = 4,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    seed: int = 17,
+    max_train: int = 65536,
+    centroid_ints: list[list[int]] | None = None,
+) -> DataFrame:
+    """IVF approximate top-k with EXACT integer cell assignment — the
+    oracle-able twin of :func:`ivf_topk`.
+
+    Training is unchanged (bounded hash-ordered sample → seeded float64
+    spherical k-means, :func:`ivf_centroid_ints`), but assignment and
+    probing run on the integer grid: each embedding quantizes to BIGINTs
+    via one codegen ``transform`` (``floor(x·2^20 + 0.5)``, exact), and
+    all ``n_cells`` centroid dots are computed in ONE zero-shuffle JVM
+    projection against literal integer arrays — no Python, no join, and
+    no float-summation-order ambiguity, so any SQL engine reproduces the
+    identical cells/probes bit-for-bit. The per-row L2 norm divides all
+    cells equally, so the integer-dot argmax equals cosine assignment
+    against the (quantized) unit-norm centroids; ties break to the lower
+    cell id.
+
+    Scale shape: the candidate equi-join and the exact rescore are the
+    same distributed pieces as :func:`ivf_topk` (AQE splits hot cells,
+    :func:`_rescore_pairs` never collects the corpus). The literal
+    centroid projection is sized for moderate ``n_cells`` (≤ a few
+    hundred — codegen cost grows linearly with cells × dim); for a
+    web-scale nlist (√N cells) keep the Arrow-batched assignment of
+    :func:`ivf_topk`, which this function intentionally does not replace.
+    """
+    if centroid_ints is None:
+        rows = ivf_train_rows(corpus, id_col, vec_col, max_train)
+        centroid_ints = ivf_centroid_ints(rows, n_cells, seed=seed)
+    n_cells = len(centroid_ints)
+    nprobe = min(nprobe, n_cells)
+
+    quant = F.transform(
+        F.col(vec_col),
+        lambda x: F.floor(
+            x.cast("double") * F.lit(float(IVF_GRID)) + F.lit(0.5)
+        ).cast("long"),
+    )
+    base = corpus.select(F.col(id_col).alias("_vid"), quant.alias("_qe"))
+
+    def cell_dot(cvec: list[int]) -> F.Column:
+        lit = F.array(*[F.lit(v).cast("long") for v in cvec])
+        return F.aggregate(
+            F.zip_with(F.col("_qe"), lit, lambda x, y: x * y),
+            F.lit(0).cast("long"),
+            lambda acc, v: acc + v,
+        )
+
+    # one row-local projection: (−dot, cell) structs, lexicographically
+    # sorted so [0] is the assignment and the first nprobe are the probes
+    ranked = F.array_sort(
+        F.array(
+            *[
+                F.struct(
+                    (-cell_dot(c)).alias("ns"),
+                    F.lit(j).cast("int").alias("cell"),
+                )
+                for j, c in enumerate(centroid_ints)
+            ]
+        )
+    )
+    cells = base.select("_vid", ranked.alias("_cells"))
+
+    inv = cells.select(
+        F.col("_vid").alias("sid"), F.col("_cells")[0]["cell"].alias("cell")
+    )
+    probes = cells.select(
+        F.col("_vid").alias("qid"),
+        F.explode(
+            F.transform(F.slice("_cells", 1, nprobe), lambda s: s["cell"])
+        ).alias("cell"),
+    )
+    cand = (
+        probes.join(inv, on="cell")
+        .filter(F.col("qid") != F.col("sid"))
+        .select(
+            F.col("qid").alias("query_id"), F.col("sid").alias("neighbor_id")
+        )
+        .dropDuplicates()
+    )
+    return _rescore_pairs(corpus, cand, k, id_col, vec_col)
+
+
 def cosine_near_dup_pairs(
     corpus: DataFrame,
     dim: int,

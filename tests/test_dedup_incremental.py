@@ -1,11 +1,18 @@
 """Incremental snapshot dedup: within-batch exact, exact-vs-snapshot,
-cross-corpus near-dup, hash-only snapshot path, determinism."""
+cross-corpus near-dup, hash-only snapshot path, committed-index path,
+determinism."""
 
 import pytest
 
 from pyspark.sql import functions as F
 
-from docling_translate_spark.operators.dedup import dedup_incremental
+from docling_translate_spark.operators.dedup import (
+    build_ingest_index,
+    dedup_incremental,
+    load_ingest_index,
+    save_ingest_index,
+    updated_ingest_index,
+)
 
 SEEN_TXT = "alpha beta gamma delta epsilon zeta eta theta"
 NEAR_TXT = SEEN_TXT + " iota"  # shares 6 of 7 shingles -> j = 6/7
@@ -94,6 +101,104 @@ def test_plan_no_python_no_window(spark, corpora):
     plan = buf.getvalue()
     assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
     assert "Window" not in plan
+
+
+def _gate_shaped(spark):
+    """The gate query's four-branch construction over real sf0.001 docs:
+    word-salad corpus, 4-gram shingles, stop cap 20 — hot shingles exist,
+    so the cap (and its batch-induced flips) is actually exercised."""
+    d = (
+        spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+        .select("doc_id", "text")
+    )
+    seen = d.filter(F.col("doc_id") % 3 == 0)
+    fresh = d.filter(F.col("doc_id") % 3 != 0)
+    batch = (
+        fresh.unionAll(
+            seen.filter(F.col("doc_id") % 2 == 0).select(
+                (F.col("doc_id") + 10_000_000).alias("doc_id"), "text"
+            )
+        ).unionAll(
+            seen.filter(F.col("doc_id") % 7 == 0).select(
+                (F.col("doc_id") + 30_000_000).alias("doc_id"),
+                F.concat(
+                    F.col("text"), F.lit(" xq"), F.col("doc_id").cast("string")
+                ).alias("text"),
+            )
+        )
+    )
+    return batch, seen
+
+
+def test_index_fed_equals_recompute(spark, corpora):
+    """The committed-index path must admit EXACTLY the rows the
+    recompute path admits — on the small fixture and on gate-shaped
+    real docs with a live stop cap (batch-induced cap flips included)."""
+    batch, seen = corpora
+    idx = build_ingest_index(seen)
+    a = sorted(r["doc_id"] for r in dedup_incremental(batch, seen).collect())
+    b = sorted(
+        r["doc_id"]
+        for r in dedup_incremental(batch, seen_index=idx).collect()
+    )
+    assert a == b == [10, 14]
+
+    gb, gs = _gate_shaped(spark)
+    gidx = build_ingest_index(gs, n=4, max_bucket=20)
+    ra = sorted(
+        r["doc_id"]
+        for r in dedup_incremental(
+            gb, gs, n=4, threshold=0.3, max_bucket=20
+        ).collect()
+    )
+    rb = sorted(
+        r["doc_id"]
+        for r in dedup_incremental(
+            gb, seen_index=gidx, n=4, threshold=0.3, max_bucket=20
+        ).collect()
+    )
+    assert ra == rb and len(ra) > 0
+
+
+def test_updated_index_equals_rebuild(spark):
+    """updated_ingest_index(idx, admitted) ≡ build_ingest_index(seen ∪
+    admitted) on every table — the per-commit maintenance recipe is
+    exact, including sizes adjustments from commit-induced cap flips."""
+    gb, gs = _gate_shaped(spark)
+    idx = build_ingest_index(gs, n=4, max_bucket=20)
+    admitted = dedup_incremental(
+        gb, seen_index=idx, n=4, threshold=0.3, max_bucket=20
+    )
+    upd = updated_ingest_index(idx, admitted)
+    rebuilt = build_ingest_index(
+        gs.unionByName(admitted.select("doc_id", "text")),
+        n=4,
+        max_bucket=20,
+    )
+
+    def rows(df):
+        return sorted(map(tuple, df.collect()))
+
+    assert rows(upd.hashes) == rows(rebuilt.hashes)
+    assert rows(upd.shingles) == rows(rebuilt.shingles)
+    assert rows(upd.freq) == rows(rebuilt.freq)
+    assert rows(upd.sizes) == rows(rebuilt.sizes)
+
+
+def test_index_roundtrip_and_param_guard(spark, corpora, tmp_path):
+    batch, seen = corpora
+    idx = build_ingest_index(seen, n=3, max_bucket=1000)
+    save_ingest_index(idx, str(tmp_path / "idx"))
+    loaded = load_ingest_index(spark, str(tmp_path / "idx"))
+    got = {
+        r["doc_id"]
+        for r in dedup_incremental(batch, seen_index=loaded).collect()
+    }
+    assert got == {10, 14}
+    with pytest.raises(ValueError, match="committed under"):
+        dedup_incremental(batch, seen_index=loaded, n=4)
+    with pytest.raises(ValueError, match="snapshot"):
+        dedup_incremental(batch)
 
 
 def test_columns_pass_through_and_deterministic(spark, corpora):

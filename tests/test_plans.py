@@ -156,10 +156,10 @@ def test_similarity_no_unbounded_driver_collect():
     for chunk in src.split("def ")[1:]:
         name = chunk.split("(")[0]
         if ".collect()" in chunk:
-            assert name in ("brute_force_topk_blas", "ivf_topk"), (
-                f"unexpected driver collect in {name}"
-            )
-            if name == "ivf_topk":
+            assert name in (
+                "brute_force_topk_blas", "ivf_topk", "ivf_train_rows"
+            ), f"unexpected driver collect in {name}"
+            if name in ("ivf_topk", "ivf_train_rows"):
                 assert ".limit(max_train)" in chunk.split(".collect()")[0]
 
 

@@ -153,6 +153,53 @@ def test_ivf_corpus_smaller_than_n_cells(spark):
     assert all(r["query_id"] != r["neighbor_id"] for r in out)
 
 
+def test_ivf_centroid_replay_parity(spark, emb):
+    """The oracle's DuckDB replay of the training sample (same
+    `ORDER BY md5(id::VARCHAR), id LIMIT n` + same seeded k-means +
+    grid snap) must produce bit-identical centroid ints to the Spark
+    training path — this equality is what lets the ann_ivf gate oracle
+    emit the centroid literal from the raw parquet."""
+    import duckdb
+
+    from docling_translate_spark.operators.similarity import (
+        ivf_centroid_ints,
+        ivf_train_rows,
+    )
+
+    spark_rows = ivf_train_rows(emb, max_train=65536)
+    duck_rows = duckdb.connect().execute(
+        f"SELECT vec_id, embedding FROM '{SF_DIR}/embeddings.parquet' "
+        "ORDER BY md5(CAST(vec_id AS VARCHAR)), vec_id LIMIT 65536"
+    ).fetchall()
+    assert [r[0] for r in spark_rows] == [r[0] for r in duck_rows]
+    assert ivf_centroid_ints(spark_rows, 16) == ivf_centroid_ints(duck_rows, 16)
+
+
+def test_ivf_exact_recall_and_no_python(spark, emb):
+    """The exact-assignment IVF variant keeps the float path's recall
+    and runs entirely JVM-side (quantize/assign/probe/rescore are all
+    codegen — no Arrow batches, no Python workers in the plan)."""
+    import contextlib
+    import io
+
+    from docling_translate_spark.operators.similarity import ivf_topk_exact
+
+    exact = {
+        r["query_id"]: r["neighbor_id"]
+        for r in brute_force_topk(emb, emb, k=1).collect()
+    }
+    out = ivf_topk_exact(emb, dim=DIM, k=1, n_cells=16, nprobe=6)
+    buf = io.StringIO()
+    with contextlib.redirect_stdout(buf):
+        out.explain("formatted")
+    plan = buf.getvalue()
+    assert "Python" not in plan and "InPandas" not in plan
+    ivf = {r["query_id"]: r["neighbor_id"] for r in out.collect()}
+    hits = sum(1 for q, n in exact.items() if ivf.get(q) == n)
+    recall = hits / len(exact)
+    assert recall > 0.7, f"exact-IVF top-1 recall too low: {recall}"
+
+
 def test_cosine_near_dup_consistency(spark, emb):
     """Every pair LSH emits must truly clear the threshold (no false
     positives by construction — rescoring is exact)."""

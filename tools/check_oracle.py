@@ -99,6 +99,10 @@ def main():
         )
 
     qs = entrymod.queries()
+    # data-dependent oracle literals (ann_ivf centroids) replay their
+    # recipe over the gate's parquet — point them at THIS run's sf_dir
+    # (the driver gates at sf0.01, the env default)
+    os.environ["SPARK_GRAFT_ORACLE_SF"] = SF_DIR
     oracles = entrymod.oracle_sql()
     failures = []
     for name, fn in qs.items():
