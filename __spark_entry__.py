@@ -1510,9 +1510,12 @@ def q_conv_shape(spark: SparkSession, sf_dir: str) -> DataFrame:
     deterministically from ``documents`` — md5-picked roles (so
     adjacent repeats occur naturally), every 23rd turn an off-axis
     'observer' role, every 29th a NULL role (→ folds to '' = other),
-    every 3rd a tool call, every 31st a NULL timestamp — so every
-    branch of the operator (axis counts, other-bucket, NULL folding,
-    repeat counter, tool ratio, duration with NULL exclusion) is
+    every 3rd a tool call, every 31st a NULL timestamp, every 41st a
+    NULL turn_idx (→ row excluded up front: an unordered turn has no
+    position in the alternation/first/last semantics, and NULL ordering
+    diverges cross-engine) — so every branch of the operator (axis
+    counts, other-bucket, NULL folding, repeat counter, tool ratio,
+    duration with NULL exclusion, NULL-turn_idx exclusion) is
     value-checked. Output is all BIGINT/STRING (the w_window_agg
     convention: no TIMESTAMP/DECIMAL reaches the gate hash)."""
     from docling_translate_spark.operators.metrics import conversation_shape
@@ -1527,7 +1530,9 @@ def q_conv_shape(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     t = _docs(spark, sf_dir).select(
         F.col("source").alias("conv_id"),
-        i.cast("int").alias("turn_idx"),
+        F.when(i % 41 == 0, F.lit(None).cast("int"))
+        .otherwise(i.cast("int"))
+        .alias("turn_idx"),
         F.when(i % 29 == 0, F.lit(None).cast("string"))
         .when(i % 23 == 0, F.lit("observer"))
         .otherwise(F.element_at(roles4, (pick + 1).cast("int")))
@@ -1627,14 +1632,26 @@ def q_profile_battery(spark: SparkSession, sf_dir: str) -> DataFrame:
     return dp.unionByName(cp)
 
 
+# source_overlap gate parameters — interpolated into BOTH the query
+# call and the oracle SQL so they cannot drift (the TFIDF_K/VDIV_K
+# hoisting discipline). SOVERLAP_N stays 3 by contract: the oracle
+# writes the 3-gram construction out by hand (t[i+1]||' '||t[i+2]||' '
+# ||t[i+3]).
+SOVERLAP_N = 3
+SOVERLAP_MAX_SOURCES = 10
+SOVERLAP_UBIQ_MOD = 5   # every 5th doc: ubiquitous phrase (cap path)
+SOVERLAP_LEAK_MOD = 37  # every 37th doc: rare leak phrase (overlap path)
+
+
 def q_source_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Cross-source shingle-overlap matrix (engine addition,
-    operators/text_analysis.py::source_overlap): every 5th doc carries
-    a ubiquitous phrase (present in ~all sources → its shingles are
-    dropped by the max_sources=10 stop cap, value-checking the cap
-    path) and every 37th a rare leak phrase (survives and creates the
-    overlap pairs the operator exists to find). Exact integer Jaccard
-    in micro-units — no FP anywhere."""
+    operators/text_analysis.py::source_overlap): every
+    SOVERLAP_UBIQ_MOD-th doc carries a ubiquitous phrase (present in
+    ~all sources → its shingles are dropped by the
+    max_sources=SOVERLAP_MAX_SOURCES stop cap, value-checking the cap
+    path) and every SOVERLAP_LEAK_MOD-th a rare leak phrase (survives
+    and creates the overlap pairs the operator exists to find). Exact
+    integer Jaccard in micro-units — no FP anywhere."""
     from docling_translate_spark.operators.text_analysis import (
         source_overlap,
     )
@@ -1645,14 +1662,16 @@ def q_source_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.concat(
             F.col("text"),
             F.when(
-                i % 5 == 0, F.lit(" ubiquitous shared phrase everywhere")
+                i % SOVERLAP_UBIQ_MOD == 0,
+                F.lit(" ubiquitous shared phrase everywhere"),
             ).otherwise(F.lit("")),
             F.when(
-                i % 37 == 0, F.lit(" rare leak signature phrase")
+                i % SOVERLAP_LEAK_MOD == 0,
+                F.lit(" rare leak signature phrase"),
             ).otherwise(F.lit("")),
         ).alias("text"),
     )
-    return source_overlap(d, n=3, max_sources=10)
+    return source_overlap(d, n=SOVERLAP_N, max_sources=SOVERLAP_MAX_SOURCES)
 
 
 def q_audit_battery(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -2021,21 +2040,19 @@ def q_t8_sentences(spark: SparkSession, sf_dir: str) -> DataFrame:
 def q_s1_format_detect(spark: SparkSession, sf_dir: str) -> DataFrame:
     """S1 payload-family routing over derived transcripts — full DuckDB
     oracle (decoration + detect_format reproduced as SQL CASE/regex;
-    dispatch table also pinned by pytest, ref text_parser.py:60-111)."""
-    from pyspark.sql.types import StringType
-
-    from docling_translate_spark.segmenters import detect_format
+    dispatch table also pinned by pytest, ref text_parser.py:60-111).
+    Since r5 the query runs the JVM column dispatch (detect_format_col
+    — the same F.when chain the production rollups use; its equality
+    with the Python kernel is pinned by tests/test_segmenters.py), so
+    no per-row Python remains in any driver query."""
+    from docling_translate_spark.segmenters import detect_format_col
     from docling_translate_spark.sources.tables import transcripts_from_documents
-
-    @F.pandas_udf(StringType())
-    def fam(texts: pd.Series, tools: pd.Series) -> pd.Series:
-        return pd.Series(
-            [detect_format(t or "", tl or None) for t, tl in zip(texts, tools)]
-        )
 
     t = transcripts_from_documents(spark, sf_dir)
     return (
-        t.withColumn("family", fam("text", "tool"))
+        t.withColumn(
+            "family", detect_format_col(F.col("text"), F.col("tool"))
+        )
         .groupBy("family")
         .agg(F.count("*").alias("n_turns"))
     )
@@ -4530,6 +4547,8 @@ w AS MATERIALIZED (
         "conv_shape": """
             WITH t AS (
               SELECT source AS conv_id,
+                     -- NULL-turn_idx rows (every 41st) are excluded by
+                     -- the operator up front; mirror the decoration
                      CAST(doc_id AS INTEGER) AS turn_idx,
                      CASE WHEN doc_id % 29 = 0 THEN ''
                           WHEN doc_id % 23 = 0 THEN 'observer'
@@ -4542,6 +4561,7 @@ w AS MATERIALIZED (
                      CASE WHEN doc_id % 31 = 0 THEN NULL
                           ELSE 1700000000 + doc_id * 37 END AS sec
               FROM documents
+              WHERE doc_id % 41 <> 0
             ), m AS (
               SELECT *, lag(role) OVER (PARTITION BY conv_id
                                         ORDER BY turn_idx) AS prev
@@ -6226,14 +6246,14 @@ w AS MATERIALIZED (
     # shingles (short docs contribute their whole token string), the
     # max_sources stop cap, the a<b pair join, and the exact-integer
     # micro Jaccard replayed relationally
-    sql["source_overlap"] = r"""
+    sql["source_overlap"] = rf"""
         WITH d AS (
           SELECT source,
                  text
-                 || CASE WHEN doc_id % 5 = 0
+                 || CASE WHEN doc_id % {SOVERLAP_UBIQ_MOD} = 0
                          THEN ' ubiquitous shared phrase everywhere'
                          ELSE '' END
-                 || CASE WHEN doc_id % 37 = 0
+                 || CASE WHEN doc_id % {SOVERLAP_LEAK_MOD} = 0
                          THEN ' rare leak signature phrase'
                          ELSE '' END AS text
           FROM documents
@@ -6255,7 +6275,8 @@ w AS MATERIALIZED (
         ), cnt AS (
           SELECT s, count(*)::BIGINT AS k FROM sh GROUP BY s
         ), kept AS (
-          SELECT sh.g, sh.s FROM sh JOIN cnt USING (s) WHERE cnt.k <= 10
+          SELECT sh.g, sh.s FROM sh JOIN cnt USING (s)
+          WHERE cnt.k <= {SOVERLAP_MAX_SOURCES}
         ), per AS (
           -- POST-cap totals: consistent numerator/denominator filtering
           SELECT g, count(*)::BIGINT AS n FROM kept GROUP BY g

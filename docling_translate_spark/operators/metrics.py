@@ -203,7 +203,15 @@ def conversation_shape(df: DataFrame, roles=ROLE_AXIS) -> DataFrame:
     All outputs are BIGINT/STRING — hash-exact across engines.
     """
     role = F.coalesce(F.col("role"), F.lit(""))
-    slim = df.select(
+    slim = df.filter(
+        # NULL turn_idx rows are excluded up front: Spark's lag window
+        # orders NULLs first while DuckDB's defaults NULLs last, and
+        # min(struct) sorts NULL fields first while arg_min skips NULL
+        # keys — the exact cross-engine divergence template_families
+        # already guards against (commit 7f929ea); an unordered turn has
+        # no position in the alternation/first/last semantics anyway
+        F.col("turn_idx").isNotNull()
+    ).select(
         "conv_id",
         "turn_idx",
         role.alias("_role"),

@@ -62,13 +62,27 @@ FEATURE_SCHEMA = StructType(
 
 
 def decode_image(payload: bytes, fake: bool = False) -> np.ndarray:
-    """Decode an image payload to an array. STUB: real decoding needs
-    Pillow/libjpeg which this container lacks."""
+    """Decode an image payload to a 2-D uint8 grayscale array.
+
+    Real path: Pillow, behind an optional import — production-real
+    wherever the dependency exists (the reference's image handling is
+    PNG bytes via PIL, ``src/utils.py:25-77``). Where Pillow is absent
+    (this container), the real path raises and ``fake=True`` selects
+    the deterministic crc-seeded test decoder, which keeps the Spark
+    plumbing (schema, batch shape, pooling math) fully exercised."""
     if not fake:
-        raise NotImplementedError(
-            "image decoding requires Pillow/libjpeg (not in this container); "
-            "use fake=True for the deterministic test decoder"
-        )
+        try:
+            from PIL import Image  # optional dependency
+        except ImportError as e:
+            raise NotImplementedError(
+                "image decoding requires Pillow/libjpeg (not in this "
+                "container); use fake=True for the deterministic test "
+                "decoder"
+            ) from e
+        import io
+
+        with Image.open(io.BytesIO(payload)) as im:
+            return np.asarray(im.convert("L"), dtype=np.uint8)
     # deterministic fake: bytes → 8x8 "pixels" via crc32 seeding
     seed = zlib.crc32(payload or b"")
     rng = np.random.RandomState(seed % (2**31))

@@ -316,3 +316,52 @@ def segment_text(text: str, tool: str | None = None, fmt: str | None = None) -> 
     """Segment one turn payload; ``fmt`` overrides auto-detection."""
     family = fmt or detect_format(text, tool)
     return SEGMENTERS.get(family, segment_plaintext)(text or "")
+
+
+def detect_format_col(text, tool):
+    """:func:`detect_format` as one JVM-side column expression — the
+    zero-Python twin for plans that only need the family label (routing
+    stats, per-family rollups) without the segmentation kernel.
+
+    Same decision ladder, same regexes (the Python path's substring
+    prechecks are exact necessary conditions of the hint regexes, so
+    dropping them changes nothing semantically — they exist CPython-side
+    only because `in` beats `re.search` on the no-match majority; the
+    JVM regex engine runs either way here). Equality with the Python
+    kernel is pinned by tests/test_segmenters.py across the fixture
+    battery. Python's ``str.rstrip()`` tail check becomes an anchored
+    ``[}\\]]\\s*$`` extract — Java ``\\s`` covers the same ASCII set
+    Python strips on these payloads."""
+    from pyspark.sql import functions as F
+
+    t = F.coalesce(text, F.lit(""))
+    tool_norm = F.lower(F.trim(F.coalesce(tool, F.lit(""))))
+    tool_fam = F.element_at(
+        F.create_map(
+            *[
+                F.lit(x)
+                for kv in _TOOL_FAMILY.items()
+                for x in kv
+            ]
+        ),
+        tool_norm,
+    )
+    return F.coalesce(
+        tool_fam,
+        F.when(t == "", F.lit("plaintext"))
+        .when(t.rlike(r"^#!"), F.lit("shell"))
+        .when(
+            t.contains("```") | t.contains("~~~"), F.lit("markdown")
+        )
+        .when(
+            t.rlike(r'(?m)^\s*(def |class |import |from \S+ import |""")'),
+            F.lit("python"),
+        )
+        .when(t.rlike(r"(^|\n)\s*(//|/\*)"), F.lit("c_style"))
+        .when(
+            t.rlike(r"^\s*[\[{]")
+            & (F.regexp_extract(t, r"([}\]])\s*$", 1) != ""),
+            F.lit("config"),
+        )
+        .otherwise(F.lit("plaintext")),
+    )

@@ -17,9 +17,28 @@ def media(spark):
     return synth_media_df(spark, n=30).cache()
 
 
-def test_decode_stub_raises():
-    with pytest.raises(NotImplementedError):
-        decode_image(b"\x89PNG...")
+def test_decode_real_path_or_stub():
+    """With Pillow installed the real path decodes an actual PNG to its
+    grayscale pixels; without it (this container) the real path raises
+    the documented NotImplementedError."""
+    try:
+        from PIL import Image
+    except ImportError:
+        with pytest.raises(NotImplementedError):
+            decode_image(b"\x89PNG...")
+        return
+    import io
+
+    import numpy as np
+
+    im = Image.fromarray(
+        np.arange(64, dtype=np.uint8).reshape(8, 8), mode="L"
+    )
+    buf = io.BytesIO()
+    im.save(buf, format="PNG")
+    out = decode_image(buf.getvalue())
+    assert out.shape == (8, 8)
+    assert (out == np.arange(64, dtype=np.uint8).reshape(8, 8)).all()
 
 
 def test_decode_fake_deterministic():

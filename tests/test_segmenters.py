@@ -7,6 +7,8 @@ paragraph-offset arithmetic (pos advances by len(para)+2 regardless of the
 real separator width, text_parser.py:231-234).
 """
 
+from pyspark.sql import functions as F
+
 from docling_translate_spark.segmenters import (
     detect_format,
     segment_c_style,
@@ -120,6 +122,52 @@ def test_detect_format():
     assert detect_format("// comment\nint x;") == "c_style"
     assert detect_format('{"k": 1}') == "config"
     assert detect_format("plain words") == "plaintext"
+
+
+def test_detect_format_col_matches_python(spark):
+    """The JVM column dispatch must agree with the Python kernel on
+    every decision branch, priority interaction, and edge: tool hints
+    (case/space variants, unknown tools), shebangs, fences, python/c
+    hints needing multiline anchors, JSON-ish open without close,
+    trailing whitespace before the closer, empty/None text."""
+    from docling_translate_spark.segmenters import detect_format_col
+
+    cases = [
+        ("#!/bin/sh\necho", None),
+        ("text\n#!/bin/sh", None),  # shebang NOT at start -> not shell
+        ("Has a ```fence```", None),
+        ("~~~\nblock\n~~~", None),
+        ("def f():\n    pass", None),
+        ("  class A:\n  pass", None),
+        ('"""doc"""\nx = 1', None),
+        ("from a.b import c", None),
+        ("prose mentioning def inition only", None),
+        ("// comment\nint x;", None),
+        ("  /* block */ int y;", None),
+        ("ratio 3/4 not a comment", None),
+        ('{"k": 1}', None),
+        ('  [1, 2, 3]  \n', None),
+        ('{"unclosed": 1', None),  # no closing brace -> plaintext
+        ("plain words", None),
+        ("", None),
+        (None, None),
+        ("anything", "PYTHON"),      # tool hint wins, case-folded
+        ("anything", "  cpp  "),     # tool hint wins, trimmed
+        ("anything", "unknown-tool"),  # unknown tool falls through
+        ("", "json"),                # tool hint beats the empty check
+        ("def f(): pass", "bash"),   # hint beats content heuristics
+    ]
+    from docling_translate_spark.segmenters import detect_format as df_py
+
+    expected = [df_py(t or "", tl or None) for t, tl in cases]
+    sdf = spark.createDataFrame(cases, "text string, tool string")
+    got = [
+        r["fam"]
+        for r in sdf.select(
+            detect_format_col(F.col("text"), F.col("tool")).alias("fam")
+        ).collect()
+    ]
+    assert got == expected
     assert detect_format("anything", tool="python") == "python"
     assert detect_format("anything", tool="BASH") == "shell"
 

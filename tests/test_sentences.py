@@ -101,3 +101,39 @@ def test_punkt_gap_fixtures():
     diverging = [(t, split_sentences(t), want)
                  for t, want in cases if split_sentences(t) != want]
     assert not diverging, diverging
+
+
+def test_punkt_gap_fixtures_r5():
+    """Round-5 gap closure: geo/title/route/citation/state abbreviations
+    a trained Punkt model learns, previously split wrongly by the rule
+    set. Word-colliding candidates ('wash', 'ore', 'art') are
+    deliberately NOT suppressed — the last two cases pin that real
+    boundaries after those words still split."""
+    from docling_translate_spark.sentences import split_sentences
+
+    cases = [
+        ("We climbed Mt. Everest today. It was cold.",
+         ["We climbed Mt. Everest today.", "It was cold."]),
+        ("Ft. Worth grew fast. So did Dallas.",
+         ["Ft. Worth grew fast.", "So did Dallas."]),
+        ("Adm. Nelson sailed. Cmdr. Riker followed.",
+         ["Adm. Nelson sailed.", "Cmdr. Riker followed."]),
+        ("Maj. Tom called. Pvt. Ryan answered.",
+         ["Maj. Tom called.", "Pvt. Ryan answered."]),
+        ("Take Hwy. 101 north. Exit at Rte. 9.",
+         ["Take Hwy. 101 north.", "Exit at Rte. 9."]),
+        ("Built ca. 1900. Restored later.",
+         ["Built ca. 1900.", "Restored later."]),
+        ("See ch. 4, pt. 2. Also ibid. 12.",
+         ["See ch. 4, pt. 2.", "Also ibid. 12."]),
+        ("She moved to Calif. Before that, Fla. Weather decided it.",
+         ["She moved to Calif. Before that, Fla. Weather decided it."]),
+        # word-colliding tokens still end sentences
+        ("Do the wash. Then dry everything.",
+         ["Do the wash.", "Then dry everything."]),
+        ("They mined ore. Smelting came next.",
+         ["They mined ore.", "Smelting came next."]),
+    ]
+    diverging = [(t, split_sentences(t), want)
+                 for t, want in cases if split_sentences(t) != want]
+    assert not diverging, diverging

@@ -79,6 +79,72 @@ def test_timeout_emits_and_clears():
     assert st.removed
 
 
+def test_batch_twin_equality(spark):
+    """Twin discipline (same as stream_ingest_dedup): the stateful
+    operator's CLOSED sessions must equal the batch session_window
+    aggregation over the replayed fixture. Every conversation's turns
+    sit well inside the 30-minute event gap, so the batch operator
+    yields one session per conv; the stream then idles past the
+    processing-time gap, the trigger's no-data batches evaluate the
+    state timeouts, and the streaming side closes the same sessions.
+    (No processAllAvailable: with processing-time timeouts the trigger
+    keeps scheduling batches, so that call never returns — poll the
+    sink with a deadline instead.)"""
+    import time
+
+    from pyspark.sql import functions as F
+
+    rows = gen_rows(6, 4)
+    tmp = tempfile.mkdtemp(prefix="dts-sess-twin-")
+    df = spark.createDataFrame(rows, TRANSCRIPT_SCHEMA)
+    df.coalesce(2).write.mode("overwrite").parquet(tmp + "/in")
+
+    stream = (
+        spark.readStream.schema(TRANSCRIPT_SCHEMA)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(tmp + "/in")
+    )
+    q = (
+        sessionize(stream, gap_seconds=2)
+        .writeStream.format("memory")
+        .queryName("sessions_twin")
+        .outputMode("update")
+        .trigger(processingTime="500 milliseconds")
+        .start()
+    )
+    try:
+        deadline = time.time() + 120
+        closed = []
+        while time.time() < deadline:
+            closed = spark.sql("select * from sessions_twin").collect()
+            if len(closed) >= 6:
+                break
+            time.sleep(1)
+    finally:
+        q.stop()
+
+    batch = (
+        df.groupBy(
+            "conv_id", F.session_window("ts", "30 minutes").alias("sw")
+        )
+        .agg(
+            F.count("*").alias("n_turns"),
+            F.sum(F.length(F.coalesce("text", F.lit(""))))
+            .cast("long")
+            .alias("n_chars"),
+            F.min("ts").alias("first_ts"),
+            F.max("ts").alias("last_ts"),
+        )
+        .select("conv_id", "n_turns", "n_chars", "first_ts", "last_ts")
+        .collect()
+    )
+    key = lambda r: (
+        r["conv_id"], r["n_turns"], r["n_chars"], r["first_ts"], r["last_ts"]
+    )
+    assert sorted(map(key, closed)) == sorted(map(key, batch))
+    assert len(batch) == 6  # one session per conversation by construction
+
+
 def test_streaming_smoke(spark):
     """The stateful query must start and process a batch end-to-end."""
     tmp = tempfile.mkdtemp(prefix="dts-sess-")
