@@ -540,26 +540,40 @@ def decontaminate(
     (the GPT-3/PaLM-style n-gram overlap recipe; 13-grams is the classic
     setting, lower n is stricter).
 
-    Scale shape: an inverted-index equi-join on the shingle string —
-    identical to :func:`ngram_jaccard_pairs`'s index, but one side is
-    the (small) eval set, so the join's build side is eval shingles and
-    AQE broadcasts it when it fits. No all-pairs work, no collect; the
+    Scale shape: an inverted-index equi-join — identical to
+    :func:`ngram_jaccard_pairs`'s index, but one side is the (small)
+    eval set, so the join's build side is eval shingles and AQE
+    broadcasts it when it fits. No all-pairs work, no collect; the
     training side stays a narrow shingle pass + one aggregation.
+
+    The join/count key is a SLIM 128-bit shingle fingerprint (two
+    independent ``xxhash64`` values, 16 bytes) instead of the n-gram
+    string itself: an 8-word shingle averages ~50 bytes, so the exchange
+    moves ~3× less data for identical results. 128 bits keeps the
+    collision budget honest at the design point (~10^12 distinct
+    shingles ⇒ ~n²/2^129 ≈ 10^-15 expected colliding pairs; a single
+    64-bit hash would already collide at ~2^32). The fingerprint never
+    reaches the output, so it needs no cross-engine portability — the
+    SQL oracle joins the raw strings and must agree on every value.
 
     Returns one row per CONTAMINATED training doc: (id, n_hits =
     distinct shared n-grams, n_eval_docs = eval docs it overlaps).
     """
+    fp = [
+        F.xxhash64(F.col("shingle")).alias("_h1"),
+        F.xxhash64(F.lit(7), F.col("shingle")).alias("_h2"),
+    ]
     train = shingle_df(df, text_col, id_col, n).select(
-        F.col("sid").alias("train_id"), "shingle"
+        F.col("sid").alias("train_id"), *fp
     )
     ev = shingle_df(eval_df, eval_text_col, eval_id_col, n).select(
-        F.col("sid").alias("eval_id"), "shingle"
+        F.col("sid").alias("eval_id"), *fp
     )
     return (
-        train.join(ev, "shingle")
+        train.join(ev, ["_h1", "_h2"])
         .groupBy("train_id")
         .agg(
-            F.countDistinct("shingle").alias("n_hits"),
+            F.countDistinct("_h1", "_h2").alias("n_hits"),
             F.countDistinct("eval_id").alias("n_eval_docs"),
         )
         .filter(F.col("n_hits") >= min_hits)
@@ -987,9 +1001,22 @@ def connected_components(
             .select(
                 "id", "comp", (F.col("comp") < F.col("_old")).alias("_chg")
             )
-            .localCheckpoint()
+            # NON-eager checkpoint: eager=True would spend one job
+            # materializing the round and a second on the convergence
+            # count. Marking the RDD lazily lets the count below BE the
+            # materializing action — its full scan computes and persists
+            # every partition, and Spark's local-checkpoint bookkeeping
+            # truncates the lineage when that same job completes (any
+            # partition the action somehow skipped is filled in by the
+            # checkpoint machinery before truncation, so correctness
+            # never depends on the action's coverage). One job per
+            # round instead of two — at small scale each round IS
+            # mostly fixed job overhead, so this halves the loop's cost.
+            .localCheckpoint(eager=False)
         )
-        changed = new_labels.filter(F.col("_chg")).limit(1).count()
+        # full count, not filter().limit(1): the action must scan every
+        # partition to double as the checkpoint materializer
+        changed = new_labels.filter(F.col("_chg")).count()
         labels = new_labels.drop("_chg")
         if changed == 0:
             break
