@@ -333,12 +333,26 @@ the composed flow runs ~7 stages (extraction, blocklist flag+anti-join,
 redaction, gates, arg-min exact dedup, MinHash-LSH + iterative
 connected components, decontamination) each launching jobs, so its wall
 time is nearly identical at sf0.01 and sf0.1 (job-scheduling overhead,
-not data). The round-4 increase over round 3 is added WORKLOAD (the
-value-checked blocklist branch, the dropDuplicates key-contract guard,
-full-width md5 component keys per the collision advice) — per-stage
-data handling is agg-shaped/broadcast everywhere, so the fixed overhead
-amortizes away at real corpus scale where stages run minutes, not
-hundreds of milliseconds.
+not data). MEASURED (round 5, same-session, bench session config, 3
+runs per level, min): **19.1 s at sf0.01 vs 23.8 s at sf0.1** — a 10×
+data scale-up moves the wall < 25%, confirming per-job overhead, not
+data handling, dominates; at real corpus scale where stages run
+minutes the fixed cost amortizes away. The round-4 increase over
+round 3 was added WORKLOAD (the value-checked blocklist branch, the
+dropDuplicates key-contract guard, full-width md5 component keys per
+the collision advice); round 5 clawed ~30% back (33.8 → 23.8 s at
+sf0.1) by folding the connected-components convergence count into the
+checkpoint-materializing job (one job per CC round instead of two).
+
+`decontaminate` note: the round-4 bench row (3.86 s vs round-3's
+1.49 s) was attributed to full-width md5 keys, but the operator, its
+query, `shingle_df`, and `hash_sample` are byte-identical between the
+two rounds (git-verified) — the delta was co-tenant host load on the
+round-4 campaign. Round 5 still moved the join/count key to a slim
+128-bit xxhash64 fingerprint (~3× less exchange data at scale); at
+sf0.1 old and new keys measure the same wall within noise (3.80 vs
+3.95 s, min of 3), because at this scale the wall is the two
+shingle-explode passes + fixed overhead, not shuffle bytes.
 
 Host-variance campaign note: this sandbox is a shared host — identical
 runs vary up to 2x with co-tenant load (a Spark-free multiprocessing
