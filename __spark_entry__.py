@@ -2492,6 +2492,58 @@ def q_scalar_battery(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_statfmt_battery(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A4 StatRecord-style run rollup + P5 formula formatting in ONE
+    gate slot (tagged union, scan_battery precedent) — the last two
+    SURVEY §2 rows that had driver coverage only through pytest.
+
+    Branch 'stat' runs :func:`metrics.stat_records` over the FUSED
+    extraction of sanitized single-paragraph turns (byte-identity
+    there, the extract_turns discipline) — one row per run metric
+    (turns / spans / chars), the reference's benchmark-stats rollup
+    (ref app.py run stats). Branch 'p5' pushes every document's text —
+    deterministically decorated so all four ``format_formula`` branches
+    fire (already-$-delimited, \\[-delimited, \\(-delimited, aligned-&,
+    bare) — through the JVM column twin of the reference's MathJax
+    wrapper (ref html_generator.py:48-64). Both branches value-check
+    against one merged DuckDB oracle; ``n`` is NULL on the p5 branch
+    (the formatted string itself is hashed, so a separate length would
+    only re-test engine length semantics)."""
+    from docling_translate_spark.functions.render import format_formula_col
+    from docling_translate_spark.operators.extract import (
+        ExtractConfig,
+        extract_turns_fused,
+    )
+    from docling_translate_spark.operators.metrics import stat_records
+
+    ext = extract_turns_fused(
+        _sanitized_turns(spark, sf_dir), ExtractConfig(ordered=True)
+    )
+    stats = stat_records(ext).select(
+        F.lit("stat").alias("branch"),
+        F.col("metric").alias("key"),
+        F.col("count").cast("long").alias("n"),
+        F.col("unit").alias("s"),
+    )
+    d = _docs(spark, sf_dir)
+    m = F.col("doc_id") % 7
+    deco = (
+        F.when(m == 0, F.concat(F.lit("$"), F.col("text")))
+        .when(m == 1, F.concat(F.lit("\\["), F.col("text")))
+        .when(m == 2, F.concat(F.lit("\\("), F.col("text")))
+        .when(m == 3, F.concat(F.lit("a & b "), F.col("text")))
+        .when(m == 4, F.concat(F.lit("  $pad "), F.col("text")))
+        .otherwise(F.col("text"))
+    )
+    p5 = d.select(
+        F.lit("p5").alias("branch"),
+        F.col("doc_id").cast("string").alias("key"),
+        F.lit(None).cast("long").alias("n"),
+        format_formula_col(deco).alias("s"),
+    )
+    return stats.unionByName(p5)
+
+
 def q_rownum_battery(spark: SparkSession, sf_dir: str) -> DataFrame:
     """W1 stable ordering + A7 per-kind numbering in ONE gate slot
     (recorded-cap discipline, wscan/probe_battery precedent): both
@@ -2616,7 +2668,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "hll_distinct": q_hll_distinct,
         "cms_hitters": q_cms_hitters,
         "dsir_select": q_dsir_select,
-        "norm_dedup": q_norm_dedup,
+        # new this round (round 5): A4+P5, the last two SURVEY rows
+        # with pytest-only driver coverage — new queries sit inside
+        # the cap; norm_dedup (r4-green) rides at the tail for it
+        "statfmt_battery": q_statfmt_battery,
         "pfilter_battery": q_pfilter_battery,
         "dup_spans": q_dup_spans,
         "template_families": q_template_families,
@@ -2645,6 +2700,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "tfidf_keywords": q_tfidf_keywords,
         "bm25_topk": q_bm25_topk,
         # ---- tail: below the 50-slot recorded cap ----
+        "norm_dedup": q_norm_dedup,
         "count_battery": q_count_battery,
         "rownum_battery": q_rownum_battery,
         "wscan_battery": q_wscan_battery,
@@ -3945,6 +4001,50 @@ w AS MATERIALIZED (
                    1 AS n_spans,
                    CAST(0.0 AS DOUBLE) AS boilerplate_ratio
             FROM documents
+        """,
+        "statfmt_battery": rf"""
+            WITH ex AS (
+              SELECT {_san_sql} AS extracted_text, 1 AS n_spans
+              FROM documents
+            ),
+            stats AS (
+              SELECT 'stat' AS branch, 'turns_processed' AS key,
+                     CAST(count(*) AS BIGINT) AS n, 'turns' AS s
+              FROM ex
+              UNION ALL
+              SELECT 'stat', 'spans_emitted',
+                     CAST(sum(n_spans) AS BIGINT), 'spans'
+              FROM ex
+              UNION ALL
+              SELECT 'stat', 'chars_extracted',
+                     CAST(sum(length(extracted_text)) AS BIGINT), 'chars'
+              FROM ex
+            ),
+            deco AS (
+              SELECT doc_id,
+                     trim(CASE doc_id % 7
+                       WHEN 0 THEN '$' || text
+                       WHEN 1 THEN '\[' || text
+                       WHEN 2 THEN '\(' || text
+                       WHEN 3 THEN 'a & b ' || text
+                       WHEN 4 THEN '  $pad ' || text
+                       ELSE text END) AS tt
+              FROM documents
+            )
+            SELECT branch, key, n, s FROM stats
+            UNION ALL
+            SELECT 'p5' AS branch,
+                   CAST(doc_id AS VARCHAR) AS key,
+                   CAST(NULL AS BIGINT) AS n,
+                   CASE
+                     WHEN starts_with(tt, '$') OR starts_with(tt, '\[')
+                          OR starts_with(tt, '\(') THEN tt
+                     WHEN contains(tt, '&')
+                       THEN '\[\begin{{aligned}}' || tt
+                            || '\end{{aligned}}\]'
+                     ELSE '\[' || tt || '\]'
+                   END AS s
+            FROM deco
         """,
         "a6_extraction_rollup": """
             WITH ext AS (
