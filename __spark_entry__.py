@@ -2544,6 +2544,55 @@ def q_statfmt_battery(spark: SparkSession, sf_dir: str) -> DataFrame:
     return stats.unionByName(p5)
 
 
+def q_toggles_battery(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """S6 enrichment-toggle matrix as ONE gate slot — four full
+    extraction runs over sanitized single-paragraph turns (byte-identity
+    there, the extract_turns discipline), each under a different
+    ``ExtractConfig``, unioned with a branch tag so every toggle's
+    OUTPUT is value-checked, not just exercised (the reference's
+    enrichment checkboxes, ref app.py sidebar → core.py toggles):
+
+    - ``marker``: the observable map engine (``s → <<s>>``) under the
+      default in-batch dedup scope — join-back multiplicity and text
+      threading are hash-checked per turn;
+    - ``trunc``: the 512-char tokenizer-truncation analog (ref
+      engines/nllb.py:139) — fires on the long-document tail
+      (30-39 docs at these SFs), SQL twin is ``substring``;
+    - ``sent``: ``sentence_split=True`` on single-sentence bodies —
+      the sentence pipeline (tokenize → per-sentence map → ' ' rejoin)
+      must reproduce the input byte-for-byte, value-checking that the
+      split/rejoin path corrupts nothing;
+    - ``gmark``: the marker engine under ``dedup_scope='global'`` —
+      the distinct + broadcast join-back variant must emit exactly the
+      same rows as the in-batch variant (dedup scope is an optimization
+      choice, never a semantics choice)."""
+    from docling_translate_spark.operators.extract import (
+        ExtractConfig,
+        extract_turns_fused,
+    )
+
+    turns = _sanitized_turns(spark, sf_dir)
+    branches = {
+        "marker": ExtractConfig(engine="marker"),
+        "trunc": ExtractConfig(engine="truncate512"),
+        "sent": ExtractConfig(sentence_split=True),
+        "gmark": ExtractConfig(engine="marker", dedup_scope="global"),
+    }
+    outs = [
+        extract_turns_fused(turns, cfg).select(
+            F.lit(name).alias("branch"),
+            "conv_id",
+            "turn_idx",
+            F.col("extracted_text").alias("out"),
+        )
+        for name, cfg in branches.items()
+    ]
+    res = outs[0]
+    for o in outs[1:]:
+        res = res.unionByName(o)
+    return res
+
+
 def q_rownum_battery(spark: SparkSession, sf_dir: str) -> DataFrame:
     """W1 stable ordering + A7 per-kind numbering in ONE gate slot
     (recorded-cap discipline, wscan/probe_battery precedent): both
@@ -2672,7 +2721,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # with pytest-only driver coverage — new queries sit inside
         # the cap; norm_dedup (r4-green) rides at the tail for it
         "statfmt_battery": q_statfmt_battery,
-        "pfilter_battery": q_pfilter_battery,
+        "toggles_battery": q_toggles_battery,
         "dup_spans": q_dup_spans,
         "template_families": q_template_families,
         "url_frontier": q_url_frontier,
@@ -2701,6 +2750,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "bm25_topk": q_bm25_topk,
         # ---- tail: below the 50-slot recorded cap ----
         "norm_dedup": q_norm_dedup,
+        "pfilter_battery": q_pfilter_battery,
         "count_battery": q_count_battery,
         "rownum_battery": q_rownum_battery,
         "wscan_battery": q_wscan_battery,
@@ -4001,6 +4051,24 @@ w AS MATERIALIZED (
                    1 AS n_spans,
                    CAST(0.0 AS DOUBLE) AS boilerplate_ratio
             FROM documents
+        """,
+        "toggles_battery": f"""
+            WITH ex AS (
+              SELECT source AS conv_id,
+                     CAST(doc_id AS INTEGER) AS turn_idx,
+                     {_san_sql} AS san
+              FROM documents
+            )
+            SELECT 'marker' AS branch, conv_id, turn_idx,
+                   '<<' || san || '>>' AS out FROM ex
+            UNION ALL
+            SELECT 'trunc', conv_id, turn_idx, substring(san, 1, 512)
+            FROM ex
+            UNION ALL
+            SELECT 'sent', conv_id, turn_idx, san FROM ex
+            UNION ALL
+            SELECT 'gmark', conv_id, turn_idx, '<<' || san || '>>'
+            FROM ex
         """,
         "statfmt_battery": rf"""
             WITH ex AS (
