@@ -2562,30 +2562,37 @@ def q_toggles_battery(spark: SparkSession, sf_dir: str) -> DataFrame:
       the sentence pipeline (tokenize → per-sentence map → ' ' rejoin)
       must reproduce the input byte-for-byte, value-checking that the
       split/rejoin path corrupts nothing;
-    - ``gmark``: the marker engine under ``dedup_scope='global'`` —
-      the distinct + broadcast join-back variant must emit exactly the
-      same rows as the in-batch variant (dedup scope is an optimization
-      choice, never a semantics choice)."""
+    - ``gmark``: the marker engine under ``dedup_scope='global'``,
+      driven through the RELATIONAL ``extract_turns`` variant (the
+      fused kernel is batch-scope by design, so only the relational
+      plan carries the corpus-wide distinct + sha2-keyed broadcast
+      join-back) — it must emit exactly the same rows as the in-batch
+      variant (dedup scope is an optimization choice, never a
+      semantics choice)."""
     from docling_translate_spark.operators.extract import (
         ExtractConfig,
+        extract_turns,
         extract_turns_fused,
     )
 
     turns = _sanitized_turns(spark, sf_dir)
     branches = {
-        "marker": ExtractConfig(engine="marker"),
-        "trunc": ExtractConfig(engine="truncate512"),
-        "sent": ExtractConfig(sentence_split=True),
-        "gmark": ExtractConfig(engine="marker", dedup_scope="global"),
+        "marker": (extract_turns_fused, ExtractConfig(engine="marker")),
+        "trunc": (extract_turns_fused, ExtractConfig(engine="truncate512")),
+        "sent": (extract_turns_fused, ExtractConfig(sentence_split=True)),
+        "gmark": (
+            extract_turns,
+            ExtractConfig(engine="marker", dedup_scope="global"),
+        ),
     }
     outs = [
-        extract_turns_fused(turns, cfg).select(
+        fn(turns, cfg).select(
             F.lit(name).alias("branch"),
             "conv_id",
             "turn_idx",
             F.col("extracted_text").alias("out"),
         )
-        for name, cfg in branches.items()
+        for name, (fn, cfg) in branches.items()
     ]
     res = outs[0]
     for o in outs[1:]:
