@@ -966,6 +966,9 @@ IVF_N_CELLS = 16
 IVF_NPROBE = 6
 IVF_K = 5
 IVF_MAX_TRAIN = 65536
+# memoizes the DuckDB-replayed centroid literal per sf path — see
+# _ivf_centroid_values in oracle_sql()
+_IVF_CENTROID_CACHE: dict[str, str] = {}
 
 
 def q_ann_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -980,7 +983,7 @@ def q_ann_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     return ivf_topk_exact(
         _emb(spark, sf_dir),
-        dim=64, k=IVF_K, n_cells=IVF_N_CELLS, nprobe=IVF_NPROBE,
+        k=IVF_K, n_cells=IVF_N_CELLS, nprobe=IVF_NPROBE,
         max_train=IVF_MAX_TRAIN,
     ).select("query_id", "neighbor_id", F.col("rank").cast("long").alias("rank"))
 
@@ -3970,7 +3973,12 @@ w AS MATERIALIZED (
         bit-identical BIGINTs. The driver gates at sf0.01; local checks
         at another sf set SPARK_GRAFT_ORACLE_SF (tools/check_oracle.py
         does). Parity of the two sample paths is pytest-pinned
-        (tests/test_similarity.py::test_ivf_centroid_replay_parity)."""
+        (tests/test_similarity.py::test_ivf_centroid_replay_parity).
+
+        Memoized per sf path: oracle_sql() builds the whole dict on
+        every call, and without the cache each call would re-read the
+        embeddings parquet and re-run the 65536-row k-means even when
+        the caller only wants an unrelated query's SQL."""
         import duckdb as _duck
 
         from docling_translate_spark.operators.similarity import (
@@ -3978,16 +3986,19 @@ w AS MATERIALIZED (
         )
 
         sf = os.environ.get("SPARK_GRAFT_ORACLE_SF", "/root/testdata/sf0.01")
+        if sf in _IVF_CENTROID_CACHE:
+            return _IVF_CENTROID_CACHE[sf]
         rows = _duck.connect().execute(
             f"SELECT vec_id, embedding FROM '{sf}/embeddings.parquet' "
             f"ORDER BY md5(CAST(vec_id AS VARCHAR)), vec_id "
             f"LIMIT {IVF_MAX_TRAIN}"
         ).fetchall()
         cents = ivf_centroid_ints(rows, n_cells=IVF_N_CELLS)
-        return ", ".join(
+        _IVF_CENTROID_CACHE[sf] = ", ".join(
             f"({j}, [{','.join(str(v) for v in c)}]::BIGINT[])"
             for j, c in enumerate(cents)
         )
+        return _IVF_CENTROID_CACHE[sf]
 
     # full value oracle for banded MinHash LSH (64 hashes, 16 bands x 4
     # rows, est >= 0.5): signatures, band keys, candidate join and the

@@ -179,26 +179,60 @@ def updated_ingest_index(
     )
 
 
+def _ingest_index_version(spark, path: str) -> int | None:
+    """Current committed version under ``path``, or None if nothing (or
+    only a legacy flat layout) is committed there."""
+    try:
+        return int(spark.read.parquet(f"{path}/latest").collect()[0]["v"])
+    except Exception:
+        return None
+
+
 def save_ingest_index(index: IngestIndex, path: str) -> None:
-    """Persist the index tables as parquet under ``path`` (the sandbox
-    stand-in for bucketed Iceberg tables; one commit per ingest)."""
-    index.hashes.write.mode("overwrite").parquet(f"{path}/hashes")
-    index.shingles.write.mode("overwrite").parquet(f"{path}/shingles")
-    index.freq.write.mode("overwrite").parquet(f"{path}/freq")
-    index.sizes.write.mode("overwrite").parquet(f"{path}/sizes")
-    meta = index.hashes.sparkSession.createDataFrame(
+    """Commit the index tables as parquet under ``path`` (the sandbox
+    stand-in for bucketed Iceberg tables; one commit per ingest).
+
+    Commits are VERSIONED: each save writes a fresh ``{path}/v{K}``
+    snapshot directory and only then repoints the ``{path}/latest``
+    marker. This is not bookkeeping garnish — the steady-state flow is
+    ``load → updated_ingest_index → save`` against the SAME path, and
+    the updated tables' lineage lazily reads the loaded snapshot, so an
+    in-place ``overwrite`` of ``{path}/hashes`` would be Spark's
+    cannot-overwrite-a-path-being-read-from error (or, worse, a lost
+    table). Writing the new snapshot beside the old one keeps the read
+    lineage valid while it executes, and the marker flip after all four
+    table writes gives crash consistency: a failure mid-commit leaves
+    ``latest`` pointing at the previous complete snapshot. Single
+    committer per index path, like any snapshot table."""
+    spark = index.hashes.sparkSession
+    cur = _ingest_index_version(spark, path)
+    nxt = 0 if cur is None else cur + 1
+    vdir = f"{path}/v{nxt}"
+    index.hashes.write.mode("overwrite").parquet(f"{vdir}/hashes")
+    index.shingles.write.mode("overwrite").parquet(f"{vdir}/shingles")
+    index.freq.write.mode("overwrite").parquet(f"{vdir}/freq")
+    index.sizes.write.mode("overwrite").parquet(f"{vdir}/sizes")
+    meta = spark.createDataFrame(
         [(index.n, index.max_bucket)], "n int, max_bucket int"
     )
-    meta.write.mode("overwrite").parquet(f"{path}/meta")
+    meta.write.mode("overwrite").parquet(f"{vdir}/meta")
+    spark.createDataFrame([(nxt,)], "v int").write.mode("overwrite").parquet(
+        f"{path}/latest"
+    )
 
 
 def load_ingest_index(spark, path: str) -> IngestIndex:
-    meta = spark.read.parquet(f"{path}/meta").collect()[0]
+    v = _ingest_index_version(spark, path)
+    # legacy flat layout (pre-versioning saves): tables directly under
+    # ``path`` — readable, but a re-save to the same path always writes
+    # a versioned snapshot, never overwrites these in place
+    root = path if v is None else f"{path}/v{v}"
+    meta = spark.read.parquet(f"{root}/meta").collect()[0]
     return IngestIndex(
-        spark.read.parquet(f"{path}/hashes"),
-        spark.read.parquet(f"{path}/shingles"),
-        spark.read.parquet(f"{path}/freq"),
-        spark.read.parquet(f"{path}/sizes"),
+        spark.read.parquet(f"{root}/hashes"),
+        spark.read.parquet(f"{root}/shingles"),
+        spark.read.parquet(f"{root}/freq"),
+        spark.read.parquet(f"{root}/sizes"),
         int(meta["n"]),
         int(meta["max_bucket"]),
     )

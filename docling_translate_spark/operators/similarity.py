@@ -758,7 +758,6 @@ def ivf_centroid_ints(
 
 def ivf_topk_exact(
     corpus: DataFrame,
-    dim: int,
     k: int = 5,
     n_cells: int = 16,
     nprobe: int = 4,
@@ -767,6 +766,7 @@ def ivf_topk_exact(
     seed: int = 17,
     max_train: int = 65536,
     centroid_ints: list[list[int]] | None = None,
+    grid: int = IVF_GRID,
 ) -> DataFrame:
     """IVF approximate top-k with EXACT integer cell assignment — the
     oracle-able twin of :func:`ivf_topk`.
@@ -791,16 +791,22 @@ def ivf_topk_exact(
     web-scale nlist (√N cells) keep the Arrow-batched assignment of
     :func:`ivf_topk`, which this function intentionally does not replace.
     """
+    # ``grid`` must be the grid the centroid ints were snapped with —
+    # when we train here the default threads straight through; a caller
+    # passing pre-built ``centroid_ints`` from :func:`ivf_centroid_ints`
+    # with a custom grid passes the same value, otherwise embeddings
+    # quantized on one grid would be dotted against centroids on
+    # another (silently skewed cells, no error to catch it)
     if centroid_ints is None:
         rows = ivf_train_rows(corpus, id_col, vec_col, max_train)
-        centroid_ints = ivf_centroid_ints(rows, n_cells, seed=seed)
+        centroid_ints = ivf_centroid_ints(rows, n_cells, seed=seed, grid=grid)
     n_cells = len(centroid_ints)
     nprobe = min(nprobe, n_cells)
 
     quant = F.transform(
         F.col(vec_col),
         lambda x: F.floor(
-            x.cast("double") * F.lit(float(IVF_GRID)) + F.lit(0.5)
+            x.cast("double") * F.lit(float(grid)) + F.lit(0.5)
         ).cast("long"),
     )
     base = corpus.select(F.col(id_col).alias("_vid"), quant.alias("_qe"))

@@ -329,11 +329,23 @@ def detect_format_col(text, tool):
     only because `in` beats `re.search` on the no-match majority; the
     JVM regex engine runs either way here). Equality with the Python
     kernel is pinned by tests/test_segmenters.py across the fixture
-    battery. Python's ``str.rstrip()`` tail check becomes an anchored
-    ``[}\\]]\\s*$`` extract — Java ``\\s`` covers the same ASCII set
-    Python strips on these payloads."""
+    battery, including non-ASCII whitespace.
+
+    Java and Python regex dialects default to DIFFERENT whitespace and
+    line semantics, so the JVM patterns carry explicit alignment:
+    ``(?U)`` makes Java ``\\s``/``\\S`` Unicode (Python's default —
+    without it an NBSP-indented JSON turn routes 'config' in Python and
+    'plaintext' on the JVM), the class is widened to ``[\\s\\x1c-\\x1f]``
+    because Python additionally treats the FS/GS/RS/US separators as
+    whitespace while Unicode White_Space excludes them, and ``(?d)``
+    (UNIX_LINES) pins multiline ``^`` to after-\\n only, where Java
+    alone would also fire after \\r/\\u2028/\\u2029/\\x85. Python's
+    ``str.rstrip()`` tail check becomes the anchored
+    ``[}\\]][\\s\\x1c-\\x1f]*$`` extract under the same flags."""
     from pyspark.sql import functions as F
 
+    ps = r"[\s\x1c-\x1f]"     # Python-\s-exact whitespace class
+    nps = r"[^\s\x1c-\x1f]"   # Python-\S-exact complement
     t = F.coalesce(text, F.lit(""))
     tool_norm = F.lower(F.trim(F.coalesce(tool, F.lit(""))))
     tool_fam = F.element_at(
@@ -354,13 +366,15 @@ def detect_format_col(text, tool):
             t.contains("```") | t.contains("~~~"), F.lit("markdown")
         )
         .when(
-            t.rlike(r'(?m)^\s*(def |class |import |from \S+ import |""")'),
+            t.rlike(
+                rf'(?dmU)^{ps}*(def |class |import |from {nps}+ import |""")'
+            ),
             F.lit("python"),
         )
-        .when(t.rlike(r"(^|\n)\s*(//|/\*)"), F.lit("c_style"))
+        .when(t.rlike(rf"(?U)(^|\n){ps}*(//|/\*)"), F.lit("c_style"))
         .when(
-            t.rlike(r"^\s*[\[{]")
-            & (F.regexp_extract(t, r"([}\]])\s*$", 1) != ""),
+            t.rlike(rf"(?U)^{ps}*[\[{{]")
+            & (F.regexp_extract(t, rf"(?U)([}}\]]){ps}*$", 1) != ""),
             F.lit("config"),
         )
         .otherwise(F.lit("plaintext")),

@@ -201,6 +201,40 @@ def test_index_roundtrip_and_param_guard(spark, corpora, tmp_path):
         dedup_incremental(batch)
 
 
+def test_steady_state_commit_to_same_path(spark, corpora, tmp_path):
+    """The production flow the docstrings advertise: load the committed
+    index, admit a batch against it, fold the admitted rows in with
+    updated_ingest_index, and SAVE BACK TO THE SAME PATH — the save
+    must not trip over its own read lineage (versioned snapshot commit,
+    not in-place overwrite), and the reloaded index must equal a from-
+    scratch rebuild over snapshot ∪ admitted."""
+    batch, seen = corpora
+    p = str(tmp_path / "idx")
+    save_ingest_index(build_ingest_index(seen, n=3, max_bucket=1000), p)
+
+    loaded = load_ingest_index(spark, p)
+    admitted = dedup_incremental(batch, seen_index=loaded)
+    save_ingest_index(updated_ingest_index(loaded, admitted), p)
+
+    reloaded = load_ingest_index(spark, p)
+    rebuilt = build_ingest_index(
+        seen.unionByName(admitted.select("doc_id", "text")),
+        n=3,
+        max_bucket=1000,
+    )
+
+    def rows(df):
+        return sorted(map(tuple, df.collect()))
+
+    assert rows(reloaded.hashes) == rows(rebuilt.hashes)
+    assert rows(reloaded.shingles) == rows(rebuilt.shingles)
+    assert rows(reloaded.freq) == rows(rebuilt.freq)
+    assert rows(reloaded.sizes) == rows(rebuilt.sizes)
+    # a second commit keeps advancing (crash-consistent marker flip)
+    save_ingest_index(reloaded, p)
+    assert load_ingest_index(spark, p).n == 3
+
+
 def test_columns_pass_through_and_deterministic(spark, corpora):
     batch, seen = corpora
     wide = batch.withColumn("extra", F.col("doc_id") * 2)

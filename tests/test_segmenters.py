@@ -156,6 +156,18 @@ def test_detect_format_col_matches_python(spark):
         ("anything", "unknown-tool"),  # unknown tool falls through
         ("", "json"),                # tool hint beats the empty check
         ("def f(): pass", "bash"),   # hint beats content heuristics
+        # non-ASCII whitespace: Python \s is Unicode-wide (and also
+        # covers \x1c-\x1f); the JVM patterns carry (?U) + the widened
+        # class so these route identically on both kernels
+        (" {\"k\": 1}", None),          # NBSP-indented JSON
+        ("{\"k\": 1} ", None),          # NBSP tail before rstrip
+        ("{\"k\": 1} ", None),          # LS tail
+        (" def f():\n    pass", None),  # LS-led python hint
+        ("x def f(): pass", None),      # LS is NOT a ^ line break
+        ("x // c", None),               # (^|\n) unaffected by LS
+        ("\x1c[1, 2]\x1d", None),            # FS/GS separators as ws
+        ("　import os", None),           # ideographic space indent
+        ("x\r\ndef f():\n    pass", None),   # ^ after \r\n on both
     ]
     from docling_translate_spark.segmenters import detect_format as df_py
 

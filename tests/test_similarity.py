@@ -188,7 +188,7 @@ def test_ivf_exact_recall_and_no_python(spark, emb):
         r["query_id"]: r["neighbor_id"]
         for r in brute_force_topk(emb, emb, k=1).collect()
     }
-    out = ivf_topk_exact(emb, dim=DIM, k=1, n_cells=16, nprobe=6)
+    out = ivf_topk_exact(emb, k=1, n_cells=16, nprobe=6)
     buf = io.StringIO()
     with contextlib.redirect_stdout(buf):
         out.explain("formatted")
