@@ -988,6 +988,50 @@ def q_ann_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).select("query_id", "neighbor_id", F.col("rank").cast("long").alias("rank"))
 
 
+# SemDeDup gate parameters — the cosine threshold in thousandths,
+# shared by q_semdedup and its oracle; clustering reuses the IVF
+# constants above so the centroid literal is shared (and memoized) too
+SEMDEDUP_THR_MILLI = 400
+
+
+def q_semdedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SemDeDup semantic dedup (operators/semdedup.py::semdedup_exact,
+    Abbas et al. 2023): k-means cells from the same deterministic IVF
+    recipe as ann_ivf (shared constants, shared centroid literal),
+    argmax integer centroid dot assignment, and the within-cell prune —
+    drop a member iff a (cdot ASC, id ASC)-preceding cell-mate is
+    cosine-≥-τ similar, tested exactly in integers (10^6·dot² vs
+    τ_milli²·|a|²·|b|², DECIMAL/HUGEINT). One row per vector with the
+    cell, exact centroid dot, squared quantized norm and verdict."""
+    from docling_translate_spark.operators.semdedup import semdedup_exact
+
+    return semdedup_exact(
+        _emb(spark, sf_dir),
+        thr_milli=SEMDEDUP_THR_MILLI,
+        n_cells=IVF_N_CELLS,
+        max_train=IVF_MAX_TRAIN,
+    )
+
+
+# BPE gate parameter — candidate-merge list size, shared with the oracle
+BPE_TOP_K = 50
+
+
+def q_bpe_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus-scale BPE merge statistics (operators/bpe.py::
+    bpe_pair_stats, Sennrich et al. 2016): one corpus-sized word-count
+    agg, then the adjacent-symbol-pair explosion runs on the DISTINCT
+    word histogram (vocabulary-sized, the fastBPE/HF trainer shape),
+    exact BIGINT pair counts, top-k under (count DESC, left, right)
+    as a bounded sort-limit. The iterative merge loop itself is
+    driver-side over the bounded histogram and pytest-pinned
+    (tests/test_bpe.py) — round 1's winner equals this query's rank-1
+    row by construction."""
+    from docling_translate_spark.operators.bpe import bpe_pair_stats
+
+    return bpe_pair_stats(_docs(spark, sf_dir), top_k=BPE_TOP_K)
+
+
 def q_quantized_ann(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Int8-quantized maximum-inner-product top-5 (engine addition,
     operators/similarity.py): symmetric per-vector quantization (no
@@ -2732,6 +2776,12 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # the cap; norm_dedup (r4-green) rides at the tail for it
         "statfmt_battery": q_statfmt_battery,
         "toggles_battery": q_toggles_battery,
+        # new in the round-5 final session: SemDeDup semantic dedup
+        # (§2.45) and BPE merge statistics (§2.46) — inside the cap
+        # per the gate policy; tfidf_keywords and bm25_topk (both
+        # r4-recorded green, unchanged since) move to the tail head
+        "semdedup": q_semdedup,
+        "bpe_pairs": q_bpe_pairs,
         "dup_spans": q_dup_spans,
         "template_families": q_template_families,
         "url_frontier": q_url_frontier,
@@ -2756,9 +2806,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "centroid_dots": q_centroid_dots,
         "weighted_sample": q_weighted_sample,
         "bigram_lm": q_bigram_lm,
+        # ---- tail: below the 50-slot recorded cap ----
         "tfidf_keywords": q_tfidf_keywords,
         "bm25_topk": q_bm25_topk,
-        # ---- tail: below the 50-slot recorded cap ----
         "norm_dedup": q_norm_dedup,
         "pfilter_battery": q_pfilter_battery,
         "count_battery": q_count_battery,
@@ -6017,6 +6067,98 @@ w AS MATERIALIZED (
               JOIN embeddings eb ON eb.vec_id = neighbor_id
             )
             WHERE rank <= {IVF_K}
+        """,
+        # semdedup: same deterministic centroid literal as ann_ivf
+        # (shared constants + memoized helper); the SQL replays grid
+        # quantization, BIGINT argmax cell assignment, the (cdot ASC,
+        # id ASC) prune order, and the no-float cosine threshold test
+        # in HUGEINT (10^6·dot² vs τ²·|a|²·|b|²) — bit-identical to
+        # the engine's DECIMAL(38,0) arithmetic
+        "semdedup": f"""
+            WITH cent(cell, qc) AS (VALUES {_ivf_centroid_values()}),
+            q AS (
+              SELECT vec_id,
+                     list_transform(embedding,
+                         x -> CAST(floor(x * 1048576.0 + 0.5) AS BIGINT)
+                     ) AS qe
+              FROM embeddings
+            ), scored AS (
+              SELECT q.vec_id, c.cell,
+                     list_sum(list_transform(range(1, 65),
+                         i -> qe[i] * qc[i])) AS s
+              FROM q, cent c
+            ), asg AS (
+              SELECT vec_id, CAST(cell AS BIGINT) AS cell,
+                     CAST(s AS BIGINT) AS cdot
+              FROM (
+                SELECT vec_id, cell, s,
+                       row_number() OVER (PARTITION BY vec_id
+                           ORDER BY s DESC, cell) AS rn
+                FROM scored
+              ) WHERE rn = 1
+            ), nn AS (
+              SELECT vec_id,
+                     CAST(list_sum(list_transform(qe, x -> x * x))
+                          AS BIGINT) AS nsq
+              FROM q
+            ), pr AS (
+              SELECT b.vec_id AS bid,
+                     CAST(list_sum(list_transform(range(1, 65),
+                          i -> qa.qe[i] * qb.qe[i])) AS BIGINT) AS d,
+                     na.nsq AS ansq, nb.nsq AS bnsq
+              FROM asg a
+              JOIN asg b ON a.cell = b.cell
+               AND (a.cdot < b.cdot
+                    OR (a.cdot = b.cdot AND a.vec_id < b.vec_id))
+              JOIN q qa ON qa.vec_id = a.vec_id
+              JOIN q qb ON qb.vec_id = b.vec_id
+              JOIN nn na ON na.vec_id = a.vec_id
+              JOIN nn nb ON nb.vec_id = b.vec_id
+            ), drp AS (
+              SELECT DISTINCT bid AS vec_id FROM pr
+              WHERE d > 0
+                AND 1000000::HUGEINT
+                    * (CAST(d AS HUGEINT) * CAST(d AS HUGEINT))
+                    >= {SEMDEDUP_THR_MILLI * SEMDEDUP_THR_MILLI}::HUGEINT
+                       * (CAST(ansq AS HUGEINT) * CAST(bnsq AS HUGEINT))
+            )
+            SELECT asg.vec_id, asg.cell, asg.cdot, nn.nsq,
+                   (drp.vec_id IS NULL) AS kept
+            FROM asg
+            JOIN nn USING (vec_id)
+            LEFT JOIN drp USING (vec_id)
+        """,
+        # bpe_pairs: word histogram → pair explosion over DISTINCT
+        # words weighted by corpus frequency → exact BIGINT counts →
+        # bounded top-k; "left"/"right" quoted (reserved words)
+        "bpe_pairs": f"""
+            WITH words AS (
+              SELECT unnest(regexp_extract_all(lower(coalesce(text, '')),
+                            '[a-z]+')) AS word
+              FROM documents
+            ), hist AS (
+              SELECT word, count(*)::BIGINT AS wc FROM words GROUP BY word
+            ), syms AS (
+              SELECT wc, len(word) AS n,
+                     list_append(list_transform(range(1, len(word) + 1),
+                         i -> substr(word, CAST(i AS INT), 1)), '</w>') AS s
+              FROM hist
+            ), pairs AS (
+              SELECT wc, unnest(list_transform(range(1, n + 1),
+                     i -> struct_pack(l := s[i], r := s[i + 1]))) AS p
+              FROM syms
+            ), counts AS (
+              SELECT (p).l AS "left", (p).r AS "right",
+                     CAST(sum(wc) AS BIGINT) AS pair_count
+              FROM pairs GROUP BY 1, 2
+            )
+            SELECT "left", "right", pair_count,
+                   CAST(row_number() OVER (
+                        ORDER BY pair_count DESC, "left", "right")
+                        AS BIGINT) AS rank
+            FROM counts
+            ORDER BY pair_count DESC, "left", "right"
+            LIMIT {BPE_TOP_K}
         """,
     }
     # dsir_select = top-50 of dsir_weights under the total order

@@ -377,3 +377,41 @@ def test_dsir_ratio_broadcasts_and_stays_jvm(spark):
             assert "_b" not in block, block
     assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
     assert "Window" not in plan
+
+
+def test_semdedup_stays_jvm_and_equi_joined(spark):
+    """SemDeDup with a pinned codebook is pure column expressions: the
+    assignment projection, the cell equi-join, the DECIMAL threshold
+    test and the anti-shaped verdict join — no Python anywhere, and
+    the within-cell pairing must plan as an equi-join on cell, never a
+    cartesian (the Σ|cell|² cost model depends on it)."""
+    from docling_translate_spark.operators.semdedup import semdedup_exact
+    from docling_translate_spark.operators.similarity import IVF_GRID
+
+    emb = spark.createDataFrame(
+        [(i, [1.0 - 0.001 * i, 0.001 * i, 0.0, 0.0]) for i in range(12)],
+        "vec_id long, embedding array<double>",
+    )
+    cents = [[IVF_GRID, 0, 0, 0], [0, IVF_GRID, 0, 0]]
+    plan = _plan(semdedup_exact(emb, thr_milli=950, centroid_ints=cents))
+    assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
+    assert "MapInPandas" not in plan
+    assert "CartesianProduct" not in plan, plan
+    assert "BroadcastNestedLoopJoin" not in plan, plan
+
+
+def test_bpe_pair_stats_plan_shape(spark):
+    """BPE stats: the corpus-sized word count must partial-aggregate
+    (map-side combine), the top-k cut must be a bounded
+    TakeOrderedAndProject (never a global sort), and nothing runs in
+    Python."""
+    from docling_translate_spark.operators.bpe import bpe_pair_stats
+
+    df = spark.createDataFrame(
+        [(f"alpha beta gamma {'delta ' * (i % 3)}",) for i in range(30)],
+        "text string",
+    )
+    plan = _plan(bpe_pair_stats(df, top_k=5))
+    assert "partial_count" in plan or "partial_sum" in plan, plan
+    assert "TakeOrderedAndProject" in plan, plan
+    assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan

@@ -229,6 +229,22 @@ def main() -> None:
         )
     )
 
+    from docling_translate_spark.operators.bpe import bpe_pair_stats
+    from docling_translate_spark.operators.semdedup import semdedup_exact
+    from docling_translate_spark.operators.similarity import IVF_GRID
+
+    sdd = plan(
+        semdedup_exact(
+            emb,
+            thr_milli=400,
+            centroid_ints=[
+                [IVF_GRID if d == j * 8 else 0 for d in range(64)]
+                for j in range(4)
+            ],
+        )
+    )
+    bpe = plan(bpe_pair_stats(docs, top_k=50))
+
     md = f"""# PLANS — physical plans of the extraction + headline scale operators
 
 Captured with `.explain("formatted")` over a parquet transcript table
@@ -670,6 +686,30 @@ plan as broadcasts.
 
 ```
 {cdots}
+```
+
+## SemDeDup (`semdedup_exact`, pinned codebook)
+
+Assignment + centroid dot + norm in ONE codegen projection (no Python,
+no shuffle); the within-cell pairing is an equi-join on `cell` (never a
+cartesian — the Σ|cell|² cost contract), the threshold test is a
+DECIMAL(38,0) column expression, and the verdict attaches via one
+distinct + left join pair.
+
+```
+{sdd}
+```
+
+## BPE merge statistics (`bpe_pair_stats`)
+
+Corpus-sized stage is one partial-aggregated word count; the pair
+explosion Generate runs over the distinct-word histogram
+(vocabulary-sized), the second agg partial-aggregates too, and the
+top-k cut plans as `TakeOrderedAndProject` (bounded, never a global
+sort) with the rank window above the already-cut 50 rows.
+
+```
+{bpe}
 ```
 
 Notes:
