@@ -6130,11 +6130,16 @@ w AS MATERIALIZED (
         """,
         # bpe_pairs: word histogram → pair explosion over DISTINCT
         # words weighted by corpus frequency → exact BIGINT counts →
-        # bounded top-k; "left"/"right" quoted (reserved words)
+        # bounded top-k; "left"/"right" quoted (reserved words).
+        # [A-Za-z]+ extracted from RAW text, lowercased AFTER: ASCII
+        # words lowercase identically in every engine, while
+        # lower-then-extract would route full-Unicode case mapping
+        # through each engine's own tables (Java 'İ'→'i̇' vs DuckDB
+        # 'İ'→'i' — the detect_format_col divergence class)
         "bpe_pairs": f"""
             WITH words AS (
-              SELECT unnest(regexp_extract_all(lower(coalesce(text, '')),
-                            '[a-z]+')) AS word
+              SELECT lower(unnest(regexp_extract_all(coalesce(text, ''),
+                            '[A-Za-z]+'))) AS word
               FROM documents
             ), hist AS (
               SELECT word, count(*)::BIGINT AS wc FROM words GROUP BY word

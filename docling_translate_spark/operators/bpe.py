@@ -14,12 +14,18 @@ trainers actually run it at scale:
    (count DESC, left ASC, right ASC) — a bounded sort-limit
    (TakeOrdered), never a global sort.
 
-Alphabet note: words are lowercased ``[a-z]+`` runs (the classic
-Sennrich setup trains on a whitespace/alpha pre-tokenized corpus).
-This is also what keeps the operator engine-exact: both Spark and
-DuckDB index ASCII strings identically, so the pair explosion is
-bit-reproducible cross-engine — no grapheme/codepoint ambiguity can
-enter the hashed result.
+Alphabet note: words are ``[A-Za-z]+`` runs extracted FIRST and
+lowercased AFTER (the classic Sennrich setup trains on a
+whitespace/alpha pre-tokenized corpus). The order matters for engine
+exactness: lowercasing the raw text first would route full-Unicode
+case mapping through each engine's own tables (Java's ``lower('İ')``
+is the two-codepoint ``i̇`` while DuckDB's is ``i`` — the same
+divergence class the ``detect_format_col`` Unicode fix closed), and
+the diverging expansions can leak ASCII letters into ``[a-z]+`` runs.
+Extracting the ASCII runs from the RAW text first means ``lower()``
+only ever sees pure-ASCII words, where every engine's mapping is
+identical — so the pair explosion is bit-reproducible cross-engine
+with no grapheme/codepoint ambiguity anywhere in the hashed result.
 
 Scale shape at 100 TB: the corpus-sized stage is a single
 partial-aggregated groupBy (the same shape as any word count); the
@@ -52,25 +58,27 @@ from pyspark.sql import functions as F
 __all__ = ["bpe_word_histogram", "bpe_pair_stats", "bpe_merges"]
 
 EOW = "</w>"
-_WORD_RE = "[a-z]+"
+_WORD_RE = "[A-Za-z]+"
 
 
 def bpe_word_histogram(
     df: DataFrame, text_col: str = "text", max_vocab: int | None = None
 ) -> DataFrame:
-    """Distinct-word frequency histogram: lowercased ``[a-z]+`` runs →
-    (word, wc BIGINT). The one corpus-sized aggregation; ``max_vocab``
-    keeps the top words under (wc DESC, word ASC) — the trainer's
-    vocabulary cutoff, a bounded sort-limit."""
+    """Distinct-word frequency histogram: ``[A-Za-z]+`` runs extracted
+    from the raw text, lowercased after (ASCII-only — see the module
+    alphabet note) → (word, wc BIGINT). The one corpus-sized
+    aggregation; ``max_vocab`` keeps the top words under (wc DESC,
+    word ASC) — the trainer's vocabulary cutoff, a bounded
+    sort-limit."""
     words = df.select(
         F.explode(
             F.regexp_extract_all(
-                F.lower(F.coalesce(F.col(text_col), F.lit(""))),
+                F.coalesce(F.col(text_col), F.lit("")),
                 F.lit(_WORD_RE),
                 F.lit(0),
             )
-        ).alias("word")
-    )
+        ).alias("_raw")
+    ).select(F.lower(F.col("_raw")).alias("word"))
     hist = words.groupBy("word").agg(F.count("*").cast("long").alias("wc"))
     if max_vocab is not None:
         hist = hist.orderBy(F.col("wc").desc(), F.col("word")).limit(max_vocab)

@@ -69,7 +69,12 @@ from __future__ import annotations
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
-from .similarity import IVF_GRID, ivf_centroid_ints, ivf_train_rows
+from .similarity import (
+    IVF_GRID,
+    ivf_centroid_ints,
+    ivf_ranked_cells,
+    ivf_train_rows,
+)
 
 __all__ = ["semdedup_exact"]
 
@@ -107,42 +112,15 @@ def semdedup_exact(
         rows = ivf_train_rows(corpus, id_col, vec_col, max_train)
         centroid_ints = ivf_centroid_ints(rows, n_cells, seed=seed, grid=grid)
 
-    quant = F.transform(
-        F.col(vec_col),
-        lambda x: F.floor(
-            x.cast("double") * F.lit(float(grid)) + F.lit(0.5)
-        ).cast("long"),
-    )
-    base = corpus.select(F.col(id_col).alias("vec_id"), quant.alias("_qe"))
-
-    def cell_dot(cvec: list[int]) -> F.Column:
-        lit = F.array(*[F.lit(v).cast("long") for v in cvec])
-        return F.aggregate(
-            F.zip_with(F.col("_qe"), lit, lambda x, y: x * y),
-            F.lit(0).cast("long"),
-            lambda acc, v: acc + v,
-        )
-
-    # argmax integer centroid dot in one row-local projection: (−dot,
-    # cell) structs sort lexicographically, [0] is the assignment —
-    # identical to ivf_topk_exact so the shared centroid literal
-    # replays it
-    ranked = F.array_sort(
-        F.array(
-            *[
-                F.struct(
-                    (-cell_dot(c)).alias("ns"),
-                    F.lit(j).cast("int").alias("cell"),
-                )
-                for j, c in enumerate(centroid_ints)
-            ]
-        )
-    )
-    asg = base.select(
-        "vec_id",
+    # the assignment is ivf_topk_exact's, by construction: one shared
+    # projection (ivf_ranked_cells) feeds both operators, so the shared
+    # centroid literal replays both and an assignment fix lands once
+    cells = ivf_ranked_cells(corpus, centroid_ints, grid, id_col, vec_col)
+    asg = cells.select(
+        F.col("_vid").alias("vec_id"),
         "_qe",
-        ranked[0]["cell"].cast("long").alias("cell"),
-        (-ranked[0]["ns"]).alias("cdot"),
+        F.col("_cells")[0]["cell"].cast("long").alias("cell"),
+        (-F.col("_cells")[0]["ns"]).alias("cdot"),
         F.aggregate(
             "_qe", F.lit(0).cast("long"), lambda acc, x: acc + x * x
         ).alias("nsq"),

@@ -756,6 +756,57 @@ def ivf_centroid_ints(
     return [[int(np.floor(c * grid + 0.5)) for c in row] for row in cent]
 
 
+def ivf_ranked_cells(
+    corpus: DataFrame,
+    centroid_ints: list[list[int]],
+    grid: int = IVF_GRID,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """The shared exact integer cell-assignment projection: one
+    zero-shuffle codegen select producing ``_vid`` (the id), ``_qe``
+    (the grid-quantized BIGINT vector) and ``_cells`` — the (−dot,
+    cell) structs for every centroid, lexicographically sorted so
+    ``_cells[0]`` is the argmax-dot assignment (ties to the lower cell
+    id) and the first nprobe entries are the probe order.
+
+    This is THE one implementation of the SQL-replayable assignment
+    recipe — :func:`ivf_topk_exact` and
+    :mod:`~docling_translate_spark.operators.semdedup` both build on
+    it, so a fix here (e.g. the a3c1923 grid-mismatch fix) reaches
+    every consumer and the shared centroid literal keeps replaying all
+    of them. ``grid`` must be the grid ``centroid_ints`` were snapped
+    with (see the caller notes in :func:`ivf_topk_exact`)."""
+    quant = F.transform(
+        F.col(vec_col),
+        lambda x: F.floor(
+            x.cast("double") * F.lit(float(grid)) + F.lit(0.5)
+        ).cast("long"),
+    )
+    base = corpus.select(F.col(id_col).alias("_vid"), quant.alias("_qe"))
+
+    def cell_dot(cvec: list[int]) -> F.Column:
+        lit = F.array(*[F.lit(v).cast("long") for v in cvec])
+        return F.aggregate(
+            F.zip_with(F.col("_qe"), lit, lambda x, y: x * y),
+            F.lit(0).cast("long"),
+            lambda acc, v: acc + v,
+        )
+
+    ranked = F.array_sort(
+        F.array(
+            *[
+                F.struct(
+                    (-cell_dot(c)).alias("ns"),
+                    F.lit(j).cast("int").alias("cell"),
+                )
+                for j, c in enumerate(centroid_ints)
+            ]
+        )
+    )
+    return base.select("_vid", "_qe", ranked.alias("_cells"))
+
+
 def ivf_topk_exact(
     corpus: DataFrame,
     k: int = 5,
@@ -803,36 +854,7 @@ def ivf_topk_exact(
     n_cells = len(centroid_ints)
     nprobe = min(nprobe, n_cells)
 
-    quant = F.transform(
-        F.col(vec_col),
-        lambda x: F.floor(
-            x.cast("double") * F.lit(float(grid)) + F.lit(0.5)
-        ).cast("long"),
-    )
-    base = corpus.select(F.col(id_col).alias("_vid"), quant.alias("_qe"))
-
-    def cell_dot(cvec: list[int]) -> F.Column:
-        lit = F.array(*[F.lit(v).cast("long") for v in cvec])
-        return F.aggregate(
-            F.zip_with(F.col("_qe"), lit, lambda x, y: x * y),
-            F.lit(0).cast("long"),
-            lambda acc, v: acc + v,
-        )
-
-    # one row-local projection: (−dot, cell) structs, lexicographically
-    # sorted so [0] is the assignment and the first nprobe are the probes
-    ranked = F.array_sort(
-        F.array(
-            *[
-                F.struct(
-                    (-cell_dot(c)).alias("ns"),
-                    F.lit(j).cast("int").alias("cell"),
-                )
-                for j, c in enumerate(centroid_ints)
-            ]
-        )
-    )
-    cells = base.select("_vid", ranked.alias("_cells"))
+    cells = ivf_ranked_cells(corpus, centroid_ints, grid, id_col, vec_col)
 
     inv = cells.select(
         F.col("_vid").alias("sid"), F.col("_cells")[0]["cell"].alias("cell")

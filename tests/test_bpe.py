@@ -77,7 +77,9 @@ def _python_twin(texts, top_k):
 
     wc: Counter = Counter()
     for t in texts:
-        wc.update(re.findall("[a-z]+", (t or "").lower()))
+        # extract-then-lower, matching the operator (ASCII-only words
+        # lowercase identically everywhere; see the module alphabet note)
+        wc.update(w.lower() for w in re.findall("[A-Za-z]+", t or ""))
     pc: Counter = Counter()
     for w, c in wc.items():
         syms = list(w) + [EOW]
@@ -98,3 +100,16 @@ def test_python_twin_on_sf0001(spark):
         r["text"] for r in docs.select("text").collect()
     ]
     assert got == _python_twin(texts, 50)
+
+
+def test_unicode_case_never_reaches_words(spark):
+    """Extract-then-lower: 'İ' (U+0130) between ASCII letters must not
+    merge or split words differently per engine. Java's lower('AİB')
+    is 'ai̇b' (the combining-dot expansion leaks an ASCII 'i' into a
+    [a-z]+ run); extracting [A-Za-z]+ from the raw text first yields
+    A, B in every engine, then ASCII lower() agrees everywhere."""
+    df = spark.createDataFrame([("AİB xy",)], "text string")
+    from docling_translate_spark.operators.bpe import bpe_word_histogram
+
+    words = {r["word"] for r in bpe_word_histogram(df).collect()}
+    assert words == {"a", "b", "xy"}
