@@ -966,6 +966,10 @@ IVF_N_CELLS = 16
 IVF_NPROBE = 6
 IVF_K = 5
 IVF_MAX_TRAIN = 65536
+# embeddings table vector width (TESTDATA.md) — interpolated into the
+# centroid-replaying oracles' range() bounds so the SQL cannot drift
+# from the table it replays
+EMB_DIM = 64
 # memoizes the DuckDB-replayed centroid literal per sf path — see
 # _ivf_centroid_values in oracle_sql()
 _IVF_CENTROID_CACHE: dict[str, str] = {}
@@ -3964,6 +3968,9 @@ def oracle_sql() -> dict[str, str]:
     # MinHash universal-hash params, inlined as SQL literals so DuckDB
     # reproduces the signatures bit-for-bit (same seed as the query)
     from docling_translate_spark.operators.dedup import _hash_params
+    from docling_translate_spark.operators.similarity import (
+        IVF_GRID as _IVF_GRID,
+    )
     from docling_translate_spark.sentences import ABBREVIATIONS
 
     _A, _B = _hash_params(64, 7)
@@ -6032,12 +6039,12 @@ w AS MATERIALIZED (
             q AS (
               SELECT vec_id,
                      list_transform(embedding,
-                         x -> CAST(floor(x * 1048576.0 + 0.5) AS BIGINT)
+                         x -> CAST(floor(x * {float(_IVF_GRID)} + 0.5) AS BIGINT)
                      ) AS qe
               FROM embeddings
             ), scored AS (
               SELECT q.vec_id, c.cell,
-                     list_sum(list_transform(range(1, 65),
+                     list_sum(list_transform(range(1, {EMB_DIM + 1}),
                          i -> qe[i] * qc[i])) AS s
               FROM q, cent c
             ), ranked AS (
@@ -6079,12 +6086,12 @@ w AS MATERIALIZED (
             q AS (
               SELECT vec_id,
                      list_transform(embedding,
-                         x -> CAST(floor(x * 1048576.0 + 0.5) AS BIGINT)
+                         x -> CAST(floor(x * {float(_IVF_GRID)} + 0.5) AS BIGINT)
                      ) AS qe
               FROM embeddings
             ), scored AS (
               SELECT q.vec_id, c.cell,
-                     list_sum(list_transform(range(1, 65),
+                     list_sum(list_transform(range(1, {EMB_DIM + 1}),
                          i -> qe[i] * qc[i])) AS s
               FROM q, cent c
             ), asg AS (
@@ -6103,7 +6110,7 @@ w AS MATERIALIZED (
               FROM q
             ), pr AS (
               SELECT b.vec_id AS bid,
-                     CAST(list_sum(list_transform(range(1, 65),
+                     CAST(list_sum(list_transform(range(1, {EMB_DIM + 1}),
                           i -> qa.qe[i] * qb.qe[i])) AS BIGINT) AS d,
                      na.nsq AS ansq, nb.nsq AS bnsq
               FROM asg a

@@ -188,6 +188,24 @@ def _ingest_index_version(spark, path: str) -> int | None:
         return None
 
 
+def _existing_snapshot_versions(spark, path: str) -> list[int]:
+    """Every ``v{K}`` snapshot directory present under ``path`` —
+    committed or not. Listed through the Hadoop FileSystem API so the
+    scan works against whatever store the path lives on, same as the
+    table reads."""
+    jvm = spark._jvm
+    hpath = jvm.org.apache.hadoop.fs.Path(path)
+    fs = hpath.getFileSystem(spark._jsc.hadoopConfiguration())
+    if not fs.exists(hpath):
+        return []
+    out = []
+    for st in fs.listStatus(hpath):
+        name = st.getPath().getName()
+        if name.startswith("v") and name[1:].isdigit():
+            out.append(int(name[1:]))
+    return out
+
+
 def save_ingest_index(index: IngestIndex, path: str) -> None:
     """Commit the index tables as parquet under ``path`` (the sandbox
     stand-in for bucketed Iceberg tables; one commit per ingest).
@@ -203,10 +221,19 @@ def save_ingest_index(index: IngestIndex, path: str) -> None:
     lineage valid while it executes, and the marker flip after all four
     table writes gives crash consistency: a failure mid-commit leaves
     ``latest`` pointing at the previous complete snapshot. Single
-    committer per index path, like any snapshot table."""
+    committer per index path, like any snapshot table.
+
+    The next version comes from max(marker, existing v* dirs) + 1, not
+    the marker alone: if the marker is missing or unreadable (a crash
+    during its own non-atomic overwrite, a transient read error) while
+    snapshots exist, trusting the marker would restart at v0 and
+    OVERWRITE the oldest snapshot — the directory scan makes a fresh
+    version regardless, and a possibly-partial crashed snapshot dir is
+    skipped rather than reused."""
     spark = index.hashes.sparkSession
     cur = _ingest_index_version(spark, path)
-    nxt = 0 if cur is None else cur + 1
+    existing = _existing_snapshot_versions(spark, path)
+    nxt = max([cur if cur is not None else -1, *existing]) + 1
     vdir = f"{path}/v{nxt}"
     index.hashes.write.mode("overwrite").parquet(f"{vdir}/hashes")
     index.shingles.write.mode("overwrite").parquet(f"{vdir}/shingles")
@@ -223,6 +250,17 @@ def save_ingest_index(index: IngestIndex, path: str) -> None:
 
 def load_ingest_index(spark, path: str) -> IngestIndex:
     v = _ingest_index_version(spark, path)
+    if v is None and _existing_snapshot_versions(spark, path):
+        # versioned snapshots exist but the marker is unreadable — a
+        # transient store error or a crash during the marker's own
+        # overwrite. Falling through to the legacy flat layout would
+        # fail confusingly (no {path}/meta) or, worse, read stale flat
+        # tables beside the real snapshots; fail loudly instead.
+        raise RuntimeError(
+            f"ingest index at {path} has v* snapshots but no readable "
+            f"latest marker — repair {path}/latest (a 1-row parquet "
+            "with column v) to the newest COMPLETE snapshot"
+        )
     # legacy flat layout (pre-versioning saves): tables directly under
     # ``path`` — readable, but a re-save to the same path always writes
     # a versioned snapshot, never overwrites these in place

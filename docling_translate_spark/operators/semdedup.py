@@ -124,7 +124,9 @@ def semdedup_exact(
         F.aggregate(
             "_qe", F.lit(0).cast("long"), lambda acc, x: acc + x * x
         ).alias("nsq"),
-    )
+    ).cache()  # feeds the pair join twice (a/b sides) + the verdict join
+    # — without it the cells×dim centroid-dot projection (the costly
+    # codegen piece) and the corpus scan re-run three times per action
 
     a = asg.select(
         F.col("cell").alias("a_cell"),

@@ -347,7 +347,18 @@ def detect_format_col(text, tool):
     ps = r"[\s\x1c-\x1f]"     # Python-\s-exact whitespace class
     nps = r"[^\s\x1c-\x1f]"   # Python-\S-exact complement
     t = F.coalesce(text, F.lit(""))
-    tool_norm = F.lower(F.trim(F.coalesce(tool, F.lit(""))))
+    # Python str.strip() removes str.isspace() characters — the same
+    # set as the Python-\s-exact class above (CPython's re uses the
+    # isspace predicate for \s). F.trim would strip ASCII spaces ONLY,
+    # so a tab/newline-padded tool hint ('python\t') would route to the
+    # text ladder here while the kernel honors the hint.
+    tool_norm = F.lower(
+        F.regexp_replace(
+            F.coalesce(tool, F.lit("")),
+            rf"(?U)^{ps}+|{ps}+$",
+            "",
+        )
+    )
     tool_fam = F.element_at(
         F.create_map(
             *[

@@ -235,6 +235,34 @@ def test_steady_state_commit_to_same_path(spark, corpora, tmp_path):
     assert load_ingest_index(spark, p).n == 3
 
 
+def test_lost_marker_never_clobbers_snapshots(spark, corpora, tmp_path):
+    """A missing/corrupt latest marker while v* snapshots exist (crash
+    during the marker's own non-atomic overwrite, transient store
+    error) must NOT make the next save restart at v0 and overwrite the
+    oldest snapshot — the version comes from the directory scan. Load
+    refuses the legacy-flat fallback loudly in that state instead of
+    failing confusingly on a missing meta table."""
+    import shutil
+
+    import pytest
+
+    _, seen = corpora
+    p = str(tmp_path / "idx")
+    save_ingest_index(build_ingest_index(seen, n=3, max_bucket=1000), p)
+    save_ingest_index(load_ingest_index(spark, p), p)  # v0 and v1
+
+    shutil.rmtree(tmp_path / "idx" / "latest")
+    with pytest.raises(RuntimeError, match="no readable latest marker"):
+        load_ingest_index(spark, p)
+
+    # rebuild an index from scratch and save to the damaged path: must
+    # create v2, leaving v0/v1 untouched
+    save_ingest_index(build_ingest_index(seen, n=3, max_bucket=1000), p)
+    assert (tmp_path / "idx" / "v2" / "meta").exists()
+    assert (tmp_path / "idx" / "v0" / "meta").exists()
+    assert load_ingest_index(spark, p).n == 3
+
+
 def test_columns_pass_through_and_deterministic(spark, corpora):
     batch, seen = corpora
     wide = batch.withColumn("extra", F.col("doc_id") * 2)

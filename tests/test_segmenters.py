@@ -153,6 +153,13 @@ def test_detect_format_col_matches_python(spark):
         (None, None),
         ("anything", "PYTHON"),      # tool hint wins, case-folded
         ("anything", "  cpp  "),     # tool hint wins, trimmed
+        # Python str.strip() removes ALL isspace() chars, not just
+        # ASCII spaces — the JVM normalizer must match (F.trim would
+        # route these to the text ladder)
+        ("anything", "python\t"),    # tab-padded hint
+        ("anything", "python\n"),    # newline-padded hint
+        ("anything", " json "),  # NBSP-padded hint
+        ("anything", "bash\x1c"),    # FS separator (isspace in Python)
         ("anything", "unknown-tool"),  # unknown tool falls through
         ("", "json"),                # tool hint beats the empty check
         ("def f(): pass", "bash"),   # hint beats content heuristics
