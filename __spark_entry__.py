@@ -1017,6 +1017,44 @@ def q_semdedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# semantic-decontamination gate parameters — threshold in thousandths
+# and the eval-side probe width, shared with the oracle; codebook =
+# the shared IVF constants (same memoized centroid literal)
+SEMDECON_THR_MILLI = 400
+SEMDECON_NPROBE = 4
+
+
+def q_semantic_decontam(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Embedding-space benchmark decontamination (operators/semdedup.py
+    ::semantic_decontaminate) — the semantic twin of the n-gram
+    `decontaminate`: corpus = the md5-chosen 80% of embeddings, eval =
+    the other 20% (the bigram_lm split discipline, so real hits exist),
+    codebook trained on the FULL table by the exact _ivf_centroid_values
+    recipe (shared memoized literal). Corpus vectors flag when any eval
+    vector in their cell (eval side multiprobes its top-4 cells)
+    reaches cosine ≥ 0.4 under the no-float integer test."""
+    from docling_translate_spark.functions.hashing import md5_prefix60
+    from docling_translate_spark.operators.semdedup import (
+        semantic_decontaminate,
+    )
+    from docling_translate_spark.operators.similarity import (
+        ivf_centroid_ints,
+        ivf_train_rows,
+    )
+
+    emb = _emb(spark, sf_dir)
+    rows = ivf_train_rows(emb, max_train=IVF_MAX_TRAIN)
+    cents = ivf_centroid_ints(rows, IVF_N_CELLS)
+    split = md5_prefix60(F.col("vec_id").cast("string")) % 5
+    return semantic_decontaminate(
+        emb.filter(split < 4),
+        emb.filter(split >= 4),
+        thr_milli=SEMDECON_THR_MILLI,
+        nprobe=SEMDECON_NPROBE,
+        centroid_ints=cents,
+    )
+
+
 # BPE gate parameter — candidate-merge list size, shared with the oracle
 BPE_TOP_K = 50
 
@@ -2785,6 +2823,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # per the gate policy; tfidf_keywords and bm25_topk (both
         # r4-recorded green, unchanged since) move to the tail head
         "semdedup": q_semdedup,
+        "semantic_decontam": q_semantic_decontam,
         "bpe_pairs": q_bpe_pairs,
         "dup_spans": q_dup_spans,
         "template_families": q_template_families,
@@ -2809,8 +2848,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "w_window_agg": q_w_window_agg,
         "centroid_dots": q_centroid_dots,
         "weighted_sample": q_weighted_sample,
-        "bigram_lm": q_bigram_lm,
         # ---- tail: below the 50-slot recorded cap ----
+        "bigram_lm": q_bigram_lm,
         "tfidf_keywords": q_tfidf_keywords,
         "bm25_topk": q_bm25_topk,
         "norm_dedup": q_norm_dedup,
@@ -6134,6 +6173,67 @@ w AS MATERIALIZED (
             FROM asg
             JOIN nn USING (vec_id)
             LEFT JOIN drp USING (vec_id)
+        """,
+        # semantic_decontam: same shared centroid literal; the SQL
+        # replays the md5 80/20 split (the bigram_lm idiom), corpus
+        # argmax cells, eval top-nprobe probe cells, and the HUGEINT
+        # threshold test, then counts hits per corpus vector
+        "semantic_decontam": f"""
+            WITH cent(cell, qc) AS (VALUES {_ivf_centroid_values()}),
+            q AS (
+              SELECT vec_id,
+                     ('0x' || substr(md5(CAST(vec_id AS VARCHAR)), 1, 15))
+                         ::BIGINT % 5 AS sp,
+                     list_transform(embedding,
+                         x -> CAST(floor(x * {float(_IVF_GRID)} + 0.5)
+                                   AS BIGINT)) AS qe
+              FROM embeddings
+            ), scored AS (
+              SELECT q.vec_id, q.sp, c.cell,
+                     list_sum(list_transform(range(1, {EMB_DIM + 1}),
+                         i -> qe[i] * qc[i])) AS s
+              FROM q, cent c
+            ), ranked AS (
+              SELECT vec_id, sp, cell,
+                     row_number() OVER (PARTITION BY vec_id
+                         ORDER BY s DESC, cell) AS rn
+              FROM scored
+            ), nn AS (
+              SELECT vec_id,
+                     CAST(list_sum(list_transform(qe, x -> x * x))
+                          AS BIGINT) AS nsq
+              FROM q
+            ), corp AS (
+              SELECT vec_id, CAST(cell AS BIGINT) AS cell
+              FROM ranked WHERE sp < 4 AND rn = 1
+            ), ev AS (
+              SELECT vec_id, CAST(cell AS BIGINT) AS cell
+              FROM ranked WHERE sp >= 4 AND rn <= {SEMDECON_NPROBE}
+            ), pr AS (
+              SELECT corp.vec_id AS cid,
+                     CAST(list_sum(list_transform(range(1, {EMB_DIM + 1}),
+                          i -> qa.qe[i] * qb.qe[i])) AS BIGINT) AS d,
+                     nc.nsq AS cnsq, ne.nsq AS ensq
+              FROM corp
+              JOIN ev USING (cell)
+              JOIN q qa ON qa.vec_id = corp.vec_id
+              JOIN q qb ON qb.vec_id = ev.vec_id
+              JOIN nn nc ON nc.vec_id = corp.vec_id
+              JOIN nn ne ON ne.vec_id = ev.vec_id
+            ), hit AS (
+              SELECT cid AS vec_id, count(*)::BIGINT AS n_hits
+              FROM pr
+              WHERE d > 0
+                AND 1000000::HUGEINT
+                    * (CAST(d AS HUGEINT) * CAST(d AS HUGEINT))
+                    >= {SEMDECON_THR_MILLI * SEMDECON_THR_MILLI}::HUGEINT
+                       * (CAST(cnsq AS HUGEINT) * CAST(ensq AS HUGEINT))
+              GROUP BY cid
+            )
+            SELECT corp.vec_id, corp.cell,
+                   CAST(coalesce(hit.n_hits, 0) AS BIGINT) AS n_hits,
+                   (hit.n_hits IS NULL) AS kept
+            FROM corp LEFT JOIN hit USING (vec_id)
         """,
         # bpe_pairs: word histogram → pair explosion over DISTINCT
         # words weighted by corpus frequency → exact BIGINT counts →

@@ -76,7 +76,7 @@ from .similarity import (
     ivf_train_rows,
 )
 
-__all__ = ["semdedup_exact"]
+__all__ = ["semdedup_exact", "semantic_decontaminate"]
 
 _DEC = "decimal(38,0)"
 
@@ -178,4 +178,108 @@ def semdedup_exact(
             "nsq",
             F.col("_d").isNull().alias("kept"),
         )
+    )
+
+
+def semantic_decontaminate(
+    corpus: DataFrame,
+    evalset: DataFrame,
+    thr_milli: int = 400,
+    n_cells: int = 16,
+    nprobe: int = 4,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    eval_id_col: str = "vec_id",
+    eval_vec_col: str = "embedding",
+    seed: int = 17,
+    max_train: int = 65536,
+    centroid_ints: list[list[int]] | None = None,
+    grid: int = IVF_GRID,
+) -> DataFrame:
+    """Embedding-space benchmark decontamination — the semantic twin of
+    the n-gram ``decontaminate`` (dedup.py): flag corpus vectors whose
+    cosine to ANY eval-set vector reaches the threshold. Paraphrased or
+    reformatted eval leakage shares no 13-gram, but its embedding still
+    sits next to the eval point — this pass catches what the lexical
+    recipe structurally cannot.
+
+    Same cluster-scoped machinery as :func:`semdedup_exact` (shared
+    codebook, shared oracle literal): both sides assign on the integer
+    grid via :func:`ivf_ranked_cells`; the CORPUS side takes its argmax
+    cell only, the (small) EVAL side fans out to its top-``nprobe``
+    cells — multiprobe on the cheap side buys back the cell-boundary
+    recall the scoped join gives up, at eval-sized cost. Candidates
+    form by one equi-join on cell; each (corpus, eval) pair appears at
+    most once (the corpus vector owns one cell; the eval probe list is
+    distinct cells), so the hit count needs no dedup. The cosine
+    threshold test is the same no-float ``10^6·dot² ≥
+    τ_milli²·|a|²·|b|²`` in DECIMAL(38,0); zero vectors never match.
+
+    Output: one row per CORPUS vector — ``vec_id``, ``cell`` (BIGINT),
+    ``n_hits`` (BIGINT, eval vectors at or over threshold), ``kept``
+    (BOOLEAN, true iff no hit — the n-gram operator's flag polarity).
+
+    Scale shape: corpus-side work is the one assignment projection plus
+    an equi-join whose build side is eval-sized×nprobe (AQE broadcasts
+    it when it fits — the same shape that makes the n-gram recipe
+    scale); nothing collects, nothing is all-pairs. Train the codebook
+    on whichever side pins your cells (pass ``centroid_ints``); by
+    default it trains on the corpus sample like :func:`semdedup_exact`.
+    """
+    if not 0 < thr_milli <= 1000:
+        raise ValueError(f"thr_milli must be in (0, 1000], got {thr_milli}")
+    if centroid_ints is None:
+        rows = ivf_train_rows(corpus, id_col, vec_col, max_train)
+        centroid_ints = ivf_centroid_ints(rows, n_cells, seed=seed, grid=grid)
+    nprobe = min(nprobe, len(centroid_ints))
+
+    c_cells = ivf_ranked_cells(corpus, centroid_ints, grid, id_col, vec_col)
+    asg = c_cells.select(
+        F.col("_vid").alias("vec_id"),
+        F.col("_qe").alias("c_qe"),
+        F.col("_cells")[0]["cell"].cast("long").alias("cell"),
+        F.aggregate(
+            "_qe", F.lit(0).cast("long"), lambda acc, x: acc + x * x
+        ).alias("c_nsq"),
+    ).cache()  # feeds the candidate join and the final verdict join
+
+    e_cells = ivf_ranked_cells(
+        evalset, centroid_ints, grid, eval_id_col, eval_vec_col
+    )
+    probes = e_cells.select(
+        F.col("_qe").alias("e_qe"),
+        F.aggregate(
+            "_qe", F.lit(0).cast("long"), lambda acc, x: acc + x * x
+        ).alias("e_nsq"),
+        F.explode(
+            F.transform(
+                F.slice("_cells", 1, nprobe),
+                lambda s: s["cell"].cast("long"),
+            )
+        ).alias("cell"),
+    )
+
+    dot = F.aggregate(
+        F.zip_with(F.col("c_qe"), F.col("e_qe"), lambda x, y: x * y),
+        F.lit(0).cast("long"),
+        lambda acc, v: acc + v,
+    )
+    d = dot.cast(_DEC)
+    over = (dot > 0) & (
+        F.lit(1_000_000).cast(_DEC) * (d * d)
+        >= F.lit(thr_milli * thr_milli).cast(_DEC)
+        * (F.col("c_nsq").cast(_DEC) * F.col("e_nsq").cast(_DEC))
+    )
+    hits = (
+        asg.join(probes, on="cell")
+        .filter(over)
+        .groupBy("vec_id")
+        .agg(F.count("*").cast("long").alias("n_hits"))
+    )
+
+    return asg.join(hits, on="vec_id", how="left").select(
+        "vec_id",
+        "cell",
+        F.coalesce(F.col("n_hits"), F.lit(0).cast("long")).alias("n_hits"),
+        F.col("n_hits").isNull().alias("kept"),
     )

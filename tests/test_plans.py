@@ -415,3 +415,26 @@ def test_bpe_pair_stats_plan_shape(spark):
     assert "partial_count" in plan or "partial_sum" in plan, plan
     assert "TakeOrderedAndProject" in plan, plan
     assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
+
+
+def test_semantic_decontam_stays_jvm_and_equi_joined(spark):
+    """Same contract as semdedup: no Python, and the corpus×eval
+    candidate stage must be an equi-join on cell, never a cartesian —
+    the eval-side multiprobe explode must not degrade the join."""
+    from docling_translate_spark.operators.semdedup import (
+        semantic_decontaminate,
+    )
+    from docling_translate_spark.operators.similarity import IVF_GRID
+
+    emb = spark.createDataFrame(
+        [(i, [1.0 - 0.001 * i, 0.001 * i, 0.0, 0.0]) for i in range(12)],
+        "vec_id long, embedding array<double>",
+    )
+    cents = [[IVF_GRID, 0, 0, 0], [0, IVF_GRID, 0, 0]]
+    plan = _plan(
+        semantic_decontaminate(emb, emb, thr_milli=950, centroid_ints=cents)
+    )
+    assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
+    assert "MapInPandas" not in plan
+    assert "CartesianProduct" not in plan, plan
+    assert "BroadcastNestedLoopJoin" not in plan, plan

@@ -133,3 +133,144 @@ def test_numpy_twin_on_sf0001(spark):
         idx = np.where(cell == ci)[0]
         first = idx[np.lexsort((ids[idx], cdot[idx]))][0]
         assert kept[first]
+
+
+# ---------------------------------------------------------------------------
+# semantic_decontaminate
+# ---------------------------------------------------------------------------
+
+
+def test_decontam_micro_pinned(spark):
+    """Corpus +x pair vs eval containing a +x twin and an unrelated +y:
+    only the +x-aligned corpus vectors are flagged, each with one hit."""
+    from docling_translate_spark.operators.semdedup import (
+        semantic_decontaminate,
+    )
+
+    corpus = spark.createDataFrame(
+        [
+            (0, [1.0, 0.0, 0.0, 0.0]),
+            (1, [0.999, 0.01, 0.0, 0.0]),
+            (2, [0.0, 0.0, 1.0, 0.0]),  # +z: own cell, no eval there
+        ],
+        "vec_id long, embedding array<double>",
+    )
+    evalset = spark.createDataFrame(
+        [(100, [1.0, 0.001, 0.0, 0.0]), (101, [0.0, 1.0, 0.0, 0.0])],
+        "vec_id long, embedding array<double>",
+    )
+    cents = [
+        [IVF_GRID, 0, 0, 0],
+        [0, IVF_GRID, 0, 0],
+        [0, 0, IVF_GRID, 0],
+    ]
+    out = {
+        r["vec_id"]: r.asDict()
+        for r in semantic_decontaminate(
+            corpus, evalset, thr_milli=950, centroid_ints=cents
+        ).collect()
+    }
+    assert set(out) == {0, 1, 2}
+    assert out[0]["n_hits"] == 1 and not out[0]["kept"]
+    assert out[1]["n_hits"] == 1 and not out[1]["kept"]
+    assert out[2]["n_hits"] == 0 and out[2]["kept"]
+
+
+def test_decontam_multiprobe_recall(spark):
+    """An eval vector between two cells still catches a corpus twin in
+    its SECOND-closest cell when nprobe >= 2 and misses it at nprobe=1
+    — pinning that multiprobe is what buys the boundary recall."""
+    from docling_translate_spark.operators.semdedup import (
+        semantic_decontaminate,
+    )
+
+    # corpus vector sits squarely in cell 1 (+y); the eval vector leans
+    # +x but is close enough in angle to the corpus one to clear τ=0.7
+    corpus = spark.createDataFrame(
+        [(0, [0.6, 0.8, 0.0, 0.0])],
+        "vec_id long, embedding array<double>",
+    )
+    evalset = spark.createDataFrame(
+        [(100, [0.8, 0.6, 0.0, 0.0])],  # argmax cell 0, second cell 1
+        "vec_id long, embedding array<double>",
+    )
+    cents = [[IVF_GRID, 0, 0, 0], [0, IVF_GRID, 0, 0]]
+    kw = dict(thr_milli=700, centroid_ints=cents)
+    hit2 = semantic_decontaminate(corpus, evalset, nprobe=2, **kw).collect()
+    hit1 = semantic_decontaminate(corpus, evalset, nprobe=1, **kw).collect()
+    assert hit2[0]["n_hits"] == 1 and not hit2[0]["kept"]
+    assert hit1[0]["n_hits"] == 0 and hit1[0]["kept"]
+
+
+def test_decontam_numpy_twin_on_sf0001(spark):
+    """Exact numpy recompute of the whole pass (corpus = md5 80% split,
+    eval = the other 20%, codebook trained on the full table) over the
+    real sf0.001 embeddings."""
+    from docling_translate_spark.functions.hashing import md5_prefix60
+    from docling_translate_spark.operators.semdedup import (
+        semantic_decontaminate,
+    )
+    from pyspark.sql import functions as F
+
+    emb = spark.read.parquet(f"{SF_DIR}/embeddings.parquet")
+    rows = ivf_train_rows(emb, max_train=65536)
+    cents = ivf_centroid_ints(rows, 16)
+    split = md5_prefix60(F.col("vec_id").cast("string")) % 5
+    corpus, evalset = emb.filter(split < 4), emb.filter(split >= 4)
+    out = {
+        r["vec_id"]: r
+        for r in semantic_decontaminate(
+            corpus, evalset, thr_milli=400, nprobe=4, centroid_ints=cents
+        ).collect()
+    }
+
+    def mats(df):
+        pdf = df.select("vec_id", "embedding").toPandas()
+        ids = pdf["vec_id"].to_numpy()
+        vecs = np.stack(pdf["embedding"].to_numpy()).astype(np.float64)
+        return ids, np.floor(vecs * IVF_GRID + 0.5).astype(np.int64)
+
+    cids, cq = mats(corpus)
+    eids, eq = mats(evalset)
+    cmat = np.asarray(cents, dtype=np.int64)
+    cdots = cq @ cmat.T
+    ccell = np.argmax(cdots, axis=1)
+    cnsq = (cq * cq).sum(axis=1)
+    edots = eq @ cmat.T
+    ensq = (eq * eq).sum(axis=1)
+    # eval top-4 probe cells under (-dot, cell) lexicographic order
+    eprobes = [
+        [c for _, c in sorted(zip(-edots[i], range(len(cents))))[:4]]
+        for i in range(len(eids))
+    ]
+    n_hits = {int(v): 0 for v in cids}
+    for i, cid in enumerate(cids):
+        for j in range(len(eids)):
+            if int(ccell[i]) not in eprobes[j]:
+                continue
+            d = int(cq[i] @ eq[j])
+            if d > 0 and 1_000_000 * d * d >= 400 * 400 * int(
+                cnsq[i]
+            ) * int(ensq[j]):
+                n_hits[int(cid)] += 1
+
+    assert len(out) == len(cids)
+    flagged = 0
+    for i, cid in enumerate(cids):
+        r = out[int(cid)]
+        assert r["cell"] == int(ccell[i]), cid
+        assert r["n_hits"] == n_hits[int(cid)], cid
+        assert r["kept"] == (n_hits[int(cid)] == 0), cid
+        flagged += int(n_hits[int(cid)] > 0)
+    assert flagged > 0  # τ=0.4 actually fires on this data
+    assert flagged < len(cids)
+
+
+def test_decontam_thr_validation(spark):
+    from docling_translate_spark.operators.semdedup import (
+        semantic_decontaminate,
+    )
+
+    df = _micro_df(spark)
+    with pytest.raises(ValueError):
+        semantic_decontaminate(df, df, thr_milli=0, centroid_ints=MICRO_CENTS)
