@@ -7,10 +7,23 @@ Render parity is presentation-only (not extraction-correctness), so the
 strategy is: use the real ``markdown`` package when the environment has
 it (exact reference behavior); otherwise fall back to a deterministic
 built-in SUBSET renderer covering the three reference extensions —
-fenced code blocks, pipe tables, nl2br — plus ATX headers, inline
-code/bold/italic, and escaped paragraphs. The subset is pinned by
-fixtures in ``tests/test_render_markdown.py``; swapping in the real
-package changes which branch runs, not the API.
+fenced code blocks, pipe tables, nl2br — plus ATX headers, single-level
+tight bullet/ordered lists, ``***``/``___`` horizontal rules, inline
+code/links/bold/italic (code spans stashed first so their contents are
+inert to the later inline passes, the package's placeholder
+discipline), and escaped paragraphs. The subset is pinned by fixtures
+in ``tests/test_render_markdown.py``; swapping in the real package
+changes which branch runs, not the API.
+
+Documented residual envelope of the subset (exotic-markdown cases that
+need the real package): nested and loose (blank-line-separated) lists,
+list-item continuation lines, ``---``/``- - -`` rules (excluded on
+purpose — a hyphen rule after a text line is a setext-H2 underline in
+the package, and mimicking half of that rule would diverge worse than
+omitting it), setext headers, blockquotes, reference-style links,
+images, raw inline HTML passthrough, and ordered-list ``start``
+numbering (the package ignores literal numbers too, but emits
+``start`` in some versions).
 
 Spark-side the renderer is an Arrow-batched pandas UDF (string → string
 presentation kernels have no JVM equivalent; this is the sanctioned
@@ -36,15 +49,40 @@ except ImportError:  # this container: deterministic subset below
 _FENCE_RE = re.compile(r"^(```|~~~)[ \t]*([\w+-]*)[ \t]*$")
 _HEADER_RE = re.compile(r"^(#{1,6})\s+(.*?)\s*#*\s*$")
 _TABLE_SEP_RE = re.compile(r"^\s*\|?\s*:?-{3,}:?\s*(\|\s*:?-{3,}:?\s*)*\|?\s*$")
+_LIST_ITEM_RE = re.compile(r"^[ ]{0,3}([-*+]|\d+\.)[ ]+(.*)$")
+# *** / ___ (optionally spaced) only — hyphen rules are deliberately
+# out of envelope (setext-underline ambiguity; module docstring)
+_HR_RE = re.compile(r"^[ ]{0,3}((\*[ ]*){3,}|(_[ ]*){3,})$")
 
 
 def _inline(text: str) -> str:
-    """Escape, then inline code / bold / italic (subset of the package's
-    inline rules, applied in the package's precedence order)."""
+    """Escape, then inline code / links / bold / italic, in the
+    package's precedence order: code spans are stashed as placeholders
+    FIRST so their contents are inert to the later passes (`` `*x*` ``
+    must render the literal stars), and link tags are stashed so a URL
+    can't be chewed by emphasis — while the link TEXT stays live for
+    emphasis, as the package processes children."""
     out = html.escape(text, quote=False)
-    out = re.sub(r"`([^`]+)`", r"<code>\1</code>", out)
+    stash: list[str] = []
+
+    def _keep(frag: str) -> str:
+        stash.append(frag)
+        return f"\x02{len(stash) - 1}\x03"
+
+    out = re.sub(
+        r"`([^`]+)`", lambda m: _keep(f"<code>{m.group(1)}</code>"), out
+    )
+    out = re.sub(
+        r"\[([^\]]+)\]\(([^)\s]+)\)",
+        lambda m: _keep(f'<a href="{m.group(2)}">')
+        + m.group(1)
+        + _keep("</a>"),
+        out,
+    )
     out = re.sub(r"\*\*([^*]+)\*\*", r"<strong>\1</strong>", out)
     out = re.sub(r"\*([^*]+)\*", r"<em>\1</em>", out)
+    for idx, frag in enumerate(stash):
+        out = out.replace(f"\x02{idx}\x03", frag)
     return out
 
 
@@ -115,6 +153,29 @@ def _render_subset(text: str) -> str:
                 tbl.append(lines[i])
                 i += 1
             out.append(_render_table(tbl))
+            continue
+        # block starts below need a closed paragraph first: the package
+        # does NOT recognize a list/rule on the line directly after
+        # paragraph text (no blank line) — such a line stays paragraph
+        # content, which the fall-through already does
+        if not para and _HR_RE.match(line):
+            out.append("<hr />")
+            i += 1
+            continue
+        lm = _LIST_ITEM_RE.match(line)
+        if lm and not para:
+            ordered = lm.group(1)[0].isdigit()
+            items = [lm.group(2)]
+            i += 1
+            while i < len(lines):
+                nm = _LIST_ITEM_RE.match(lines[i])
+                if not nm or nm.group(1)[0].isdigit() != ordered:
+                    break
+                items.append(nm.group(2))
+                i += 1
+            tag = "ol" if ordered else "ul"
+            body = "\n".join(f"<li>{_inline(it)}</li>" for it in items)
+            out.append(f"<{tag}>\n{body}\n</{tag}>")
             continue
         if not line.strip():
             flush_para()

@@ -63,3 +63,48 @@ def test_column_matches_pure(spark):
     for i, t in enumerate(texts):
         expected = render_markdown(t) if t is not None else None
         assert rows[i] == expected, i
+
+
+def test_tight_bullet_list():
+    assert render_markdown("- a\n- b\n\nafter") == (
+        "<ul>\n<li>a</li>\n<li>b</li>\n</ul>\n<p>after</p>"
+    )
+
+
+def test_tight_ordered_list_and_marker_mix():
+    assert render_markdown("1. a\n2. b") == "<ol>\n<li>a</li>\n<li>b</li>\n</ol>"
+    # marker-type change starts a new list block
+    assert render_markdown("- a\n1. b") == (
+        "<ul>\n<li>a</li>\n</ul>\n<ol>\n<li>b</li>\n</ol>"
+    )
+
+
+def test_list_needs_blank_after_paragraph():
+    # the package does not recognize a list on the line directly after
+    # paragraph text — it stays paragraph content (nl2br applies)
+    assert render_markdown("text\n- a") == "<p>text<br />\n- a</p>"
+
+
+def test_horizontal_rule_stars_only():
+    assert render_markdown("a\n\n***\n\nb") == "<p>a</p>\n<hr />\n<p>b</p>"
+    assert render_markdown("* * *") == "<hr />"
+    assert render_markdown("___") == "<hr />"
+    # hyphen rules are out of envelope (setext ambiguity): stays a paragraph
+    assert render_markdown("---") == "<p>---</p>"
+
+
+def test_inline_link_and_code_stash():
+    assert render_markdown("see [docs](http://x/y) now") == (
+        '<p>see <a href="http://x/y">docs</a> now</p>'
+    )
+    # emphasis applies inside link text but never inside code spans
+    assert render_markdown("[*em*](u)") == '<p><a href="u"><em>em</em></a></p>'
+    assert render_markdown("`*x*` and *y*") == (
+        "<p><code>*x*</code> and <em>y</em></p>"
+    )
+
+
+def test_list_items_get_inline_marks():
+    assert render_markdown("- **b** and `c`") == (
+        "<ul>\n<li><strong>b</strong> and <code>c</code></li>\n</ul>"
+    )
