@@ -2819,9 +2819,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "statfmt_battery": q_statfmt_battery,
         "toggles_battery": q_toggles_battery,
         # new in the round-5 final session: SemDeDup semantic dedup
-        # (§2.45) and BPE merge statistics (§2.46) — inside the cap
-        # per the gate policy; tfidf_keywords and bm25_topk (both
-        # r4-recorded green, unchanged since) move to the tail head
+        # (§2.45), semantic decontamination (§2.47) and BPE merge
+        # statistics (§2.46) — inside the cap per the gate policy;
+        # tfidf_keywords, bm25_topk and bigram_lm (all r4-recorded
+        # green, code-unchanged since — tail-eligible per the CLAUDE.md
+        # rule) move to the tail head
         "semdedup": q_semdedup,
         "semantic_decontam": q_semantic_decontam,
         "bpe_pairs": q_bpe_pairs,

@@ -50,9 +50,11 @@ _FENCE_RE = re.compile(r"^(```|~~~)[ \t]*([\w+-]*)[ \t]*$")
 _HEADER_RE = re.compile(r"^(#{1,6})\s+(.*?)\s*#*\s*$")
 _TABLE_SEP_RE = re.compile(r"^\s*\|?\s*:?-{3,}:?\s*(\|\s*:?-{3,}:?\s*)*\|?\s*$")
 _LIST_ITEM_RE = re.compile(r"^[ ]{0,3}([-*+]|\d+\.)[ ]+(.*)$")
-# *** / ___ (optionally spaced) only — hyphen rules are deliberately
-# out of envelope (setext-underline ambiguity; module docstring)
-_HR_RE = re.compile(r"^[ ]{0,3}((\*[ ]*){3,}|(_[ ]*){3,})$")
+# *** / ___ only — hyphen rules are deliberately out of envelope
+# (setext-underline ambiguity; module docstring). Spacing matches the
+# package's HR regex: runs of the char separated by AT MOST two spaces
+# ('*    *    *' is NOT a rule there either).
+_HR_RE = re.compile(r"^[ ]{0,3}((\*+[ ]{0,2}){3,}|(_+[ ]{0,2}){3,})[ ]*$")
 
 
 def _inline(text: str) -> str:
@@ -74,7 +76,10 @@ def _inline(text: str) -> str:
     )
     out = re.sub(
         r"\[([^\]]+)\]\(([^)\s]+)\)",
-        lambda m: _keep(f'<a href="{m.group(2)}">')
+        # the href sits in a double-quoted attribute: quotes in the URL
+        # must become &quot; (the package's serializer escapes them too
+        # — unescaped they'd break out of the attribute)
+        lambda m: _keep(f'<a href="{m.group(2).replace(chr(34), "&quot;")}">')
         + m.group(1)
         + _keep("</a>"),
         out,
@@ -105,8 +110,12 @@ def _render_table(lines: list[str]) -> str:
 
 def _render_subset(text: str) -> str:
     """Deterministic subset renderer (fenced_code + tables + nl2br +
-    headers + inline marks)."""
-    lines = (text or "").split("\n")
+    headers + lists + rules + inline marks)."""
+    # the package strips STX/ETX from the source before processing (its
+    # own placeholder chars); doing the same keeps _inline's stash
+    # tokens collision-free on binary-contaminated text
+    text = (text or "").replace("\x02", "").replace("\x03", "")
+    lines = text.split("\n")
     out: list[str] = []
     para: list[str] = []
     i = 0
@@ -154,26 +163,33 @@ def _render_subset(text: str) -> str:
                 i += 1
             out.append(_render_table(tbl))
             continue
-        # block starts below need a closed paragraph first: the package
-        # does NOT recognize a list/rule on the line directly after
-        # paragraph text (no blank line) — such a line stays paragraph
-        # content, which the fall-through already does
-        if not para and _HR_RE.match(line):
+        # a rule splits even MID-paragraph (the package's hr processor
+        # searches the whole block and splits it: 'a\n***\nb' becomes
+        # <p>a</p><hr /><p>b</p>), so this check runs before the
+        # paragraph fall-through with a flush
+        if _HR_RE.match(line):
+            flush_para()
             out.append("<hr />")
             i += 1
             continue
+        # lists DO need a closed paragraph: the package's list regex
+        # anchors at block start, so '- x' directly after paragraph
+        # text stays paragraph content (the fall-through)
         lm = _LIST_ITEM_RE.match(line)
         if lm and not para:
-            ordered = lm.group(1)[0].isdigit()
+            # list type comes from the FIRST item; continuation items
+            # of EITHER marker type stay in the same list (the
+            # package's child regex accepts both), but a rule line
+            # terminates it (hr outranks list there too)
+            tag = "ol" if lm.group(1)[0].isdigit() else "ul"
             items = [lm.group(2)]
             i += 1
-            while i < len(lines):
+            while i < len(lines) and not _HR_RE.match(lines[i]):
                 nm = _LIST_ITEM_RE.match(lines[i])
-                if not nm or nm.group(1)[0].isdigit() != ordered:
+                if not nm:
                     break
                 items.append(nm.group(2))
                 i += 1
-            tag = "ol" if ordered else "ul"
             body = "\n".join(f"<li>{_inline(it)}</li>" for it in items)
             out.append(f"<{tag}>\n{body}\n</{tag}>")
             continue

@@ -228,6 +228,11 @@ def semantic_decontaminate(
     """
     if not 0 < thr_milli <= 1000:
         raise ValueError(f"thr_milli must be in (0, 1000], got {thr_milli}")
+    if nprobe < 1:
+        # nprobe=0 would silently pass everything (empty probe explode
+        # ⇒ zero candidates ⇒ every corpus row kept) — fail loudly like
+        # the threshold guard instead
+        raise ValueError(f"nprobe must be >= 1, got {nprobe}")
     if centroid_ints is None:
         rows = ivf_train_rows(corpus, id_col, vec_col, max_train)
         centroid_ints = ivf_centroid_ints(rows, n_cells, seed=seed, grid=grid)

@@ -73,10 +73,10 @@ def test_tight_bullet_list():
 
 def test_tight_ordered_list_and_marker_mix():
     assert render_markdown("1. a\n2. b") == "<ol>\n<li>a</li>\n<li>b</li>\n</ol>"
-    # marker-type change starts a new list block
-    assert render_markdown("- a\n1. b") == (
-        "<ul>\n<li>a</li>\n</ul>\n<ol>\n<li>b</li>\n</ol>"
-    )
+    # the package continues ONE list across marker types — the list's
+    # tag comes from the first item
+    assert render_markdown("- a\n1. b") == "<ul>\n<li>a</li>\n<li>b</li>\n</ul>"
+    assert render_markdown("1. a\n- b") == "<ol>\n<li>a</li>\n<li>b</li>\n</ol>"
 
 
 def test_list_needs_blank_after_paragraph():
@@ -91,6 +91,25 @@ def test_horizontal_rule_stars_only():
     assert render_markdown("___") == "<hr />"
     # hyphen rules are out of envelope (setext ambiguity): stays a paragraph
     assert render_markdown("---") == "<p>---</p>"
+
+
+def test_horizontal_rule_splits_midblock():
+    # the package's hr processor splits a block even without blank
+    # lines around the rule
+    assert render_markdown("a\n***\nb") == "<p>a</p>\n<hr />\n<p>b</p>"
+    # a rule line also terminates a list (hr outranks list)
+    assert render_markdown("- a\n* * *\n- b") == (
+        "<ul>\n<li>a</li>\n</ul>\n<hr />\n<ul>\n<li>b</li>\n</ul>"
+    )
+    # >2 spaces between rule chars is NOT a rule in the package either
+    assert "<hr />" not in render_markdown("*    *    *")
+
+
+def test_href_quote_escaped_and_stash_collision_proof():
+    assert render_markdown('[x](u"v)') == '<p><a href="u&quot;v">x</a></p>'
+    # literal STX/ETX bytes are stripped like the package does, so the
+    # inline stash placeholders can't collide with input content
+    assert render_markdown("\x020\x03 `c`") == "<p>0 <code>c</code></p>"
 
 
 def test_inline_link_and_code_stash():

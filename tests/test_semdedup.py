@@ -274,3 +274,15 @@ def test_decontam_thr_validation(spark):
     df = _micro_df(spark)
     with pytest.raises(ValueError):
         semantic_decontaminate(df, df, thr_milli=0, centroid_ints=MICRO_CENTS)
+
+
+def test_decontam_nprobe_validation(spark):
+    from docling_translate_spark.operators.semdedup import (
+        semantic_decontaminate,
+    )
+
+    df = _micro_df(spark)
+    with pytest.raises(ValueError, match="nprobe"):
+        semantic_decontaminate(
+            df, df, nprobe=0, centroid_ints=MICRO_CENTS
+        )
