@@ -1017,6 +1017,37 @@ def q_semdedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# PQ gate parameters — subspace count / codes per subspace, shared by
+# q_ann_ivfpq and its oracle (coarse stage reuses the IVF constants +
+# the shared memoized centroid literal)
+PQ_M = 8
+PQ_KS = 16
+PQ_DSUB = EMB_DIM // PQ_M
+_PQ_CODEBOOK_CACHE: dict[str, str] = {}
+
+
+def q_ann_ivfpq(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """FAISS-style IVF-PQ top-5 (operators/similarity.py::ivfpq_topk,
+    Jégou et al. 2011): coarse cells from the shared ann_ivf codebook,
+    per-subspace L2 PQ codes (BIGINT argmin on the integer grid), and
+    asymmetric-distance scoring — each candidate costs one m-term LUT
+    sum instead of a vector dot. Everything downstream of the emitted
+    centroid/codebook literals is exact integers, so the oracle replays
+    encoding, the ADC sum and the (adc DESC, id) ranking bit-for-bit;
+    only the two k-means trainers stay pytest-pinned."""
+    from docling_translate_spark.operators.similarity import ivfpq_topk
+
+    return ivfpq_topk(
+        _emb(spark, sf_dir),
+        k=IVF_K,
+        n_cells=IVF_N_CELLS,
+        nprobe=IVF_NPROBE,
+        m=PQ_M,
+        ks=PQ_KS,
+        max_train=IVF_MAX_TRAIN,
+    )
+
+
 # semantic-decontamination gate parameters — threshold in thousandths
 # and the eval-side probe width, shared with the oracle; codebook =
 # the shared IVF constants (same memoized centroid literal)
@@ -2826,6 +2857,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # rule) move to the tail head
         "semdedup": q_semdedup,
         "semantic_decontam": q_semantic_decontam,
+        "ann_ivfpq": q_ann_ivfpq,
         "bpe_pairs": q_bpe_pairs,
         "dup_spans": q_dup_spans,
         "template_families": q_template_families,
@@ -2843,7 +2875,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "nb_quality": q_nb_quality,
         "docquality_battery": q_docquality_battery,
         "quantized_ann": q_quantized_ann,
-        "winnow_fingerprints": q_winnow_fingerprints,
         "sample_battery": q_sample_battery,
         "sentloc_battery": q_sentloc_battery,
         "eventmedia_battery": q_eventmedia_battery,
@@ -2851,6 +2882,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "centroid_dots": q_centroid_dots,
         "weighted_sample": q_weighted_sample,
         # ---- tail: below the 50-slot recorded cap ----
+        "winnow_fingerprints": q_winnow_fingerprints,
         "bigram_lm": q_bigram_lm,
         "tfidf_keywords": q_tfidf_keywords,
         "bm25_topk": q_bm25_topk,
@@ -4097,6 +4129,35 @@ w AS MATERIALIZED (
             for j, c in enumerate(cents)
         )
         return _IVF_CENTROID_CACHE[sf]
+
+    def _pq_codebook_values() -> str:
+        """The PQ sub-codebook literal — the _ivf_centroid_values
+        discipline applied to the per-subspace trainer: identical
+        hash-ordered sample replayed in DuckDB, identical seeded L2
+        k-means + grid snap (similarity.pq_codebook_ints), memoized per
+        sf path. Rows: (j, kk, cvec BIGINT[], cc = |cvec|² BIGINT)."""
+        import duckdb as _duck
+
+        from docling_translate_spark.operators.similarity import (
+            pq_codebook_ints,
+        )
+
+        sf = os.environ.get("SPARK_GRAFT_ORACLE_SF", "/root/testdata/sf0.01")
+        if sf in _PQ_CODEBOOK_CACHE:
+            return _PQ_CODEBOOK_CACHE[sf]
+        rows = _duck.connect().execute(
+            f"SELECT vec_id, embedding FROM '{sf}/embeddings.parquet' "
+            f"ORDER BY md5(CAST(vec_id AS VARCHAR)), vec_id "
+            f"LIMIT {IVF_MAX_TRAIN}"
+        ).fetchall()
+        cbs = pq_codebook_ints(rows, m=PQ_M, ks=PQ_KS)
+        _PQ_CODEBOOK_CACHE[sf] = ", ".join(
+            f"({j}, {kk}, [{','.join(str(v) for v in cvec)}]::BIGINT[], "
+            f"{sum(v * v for v in cvec)}::BIGINT)"
+            for j, cb in enumerate(cbs)
+            for kk, cvec in enumerate(cb)
+        )
+        return _PQ_CODEBOOK_CACHE[sf]
 
     # full value oracle for banded MinHash LSH (64 hashes, 16 bands x 4
     # rows, est >= 0.5): signatures, band keys, candidate join and the
@@ -6175,6 +6236,70 @@ w AS MATERIALIZED (
             FROM asg
             JOIN nn USING (vec_id)
             LEFT JOIN drp USING (vec_id)
+        """,
+        # ann_ivfpq: shared coarse centroid literal + the PQ codebook
+        # literal from the same deterministic recipe; the SQL replays
+        # coarse assignment/probing, per-subspace L2 code argmin
+        # (cc − 2·dot, ties to lower code), the m-term ADC sum, and
+        # the (adc DESC, id) top-k
+        "ann_ivfpq": f"""
+            WITH cent(cell, qc) AS (VALUES {_ivf_centroid_values()}),
+            cb(j, kk, cvec, cc) AS (VALUES {_pq_codebook_values()}),
+            q AS (
+              SELECT vec_id,
+                     list_transform(embedding,
+                         x -> CAST(floor(x * {float(_IVF_GRID)} + 0.5)
+                                   AS BIGINT)) AS qe
+              FROM embeddings
+            ), scored AS (
+              SELECT q.vec_id, c.cell,
+                     list_sum(list_transform(range(1, {EMB_DIM + 1}),
+                         i -> qe[i] * qc[i])) AS s
+              FROM q, cent c
+            ), ranked AS (
+              SELECT vec_id, cell,
+                     row_number() OVER (PARTITION BY vec_id
+                         ORDER BY s DESC, cell) AS rn
+              FROM scored
+            ), inv AS (
+              SELECT vec_id AS sid, cell FROM ranked WHERE rn = 1
+            ), probes AS (
+              SELECT vec_id AS qid, cell FROM ranked
+              WHERE rn <= {IVF_NPROBE}
+            ), cand AS (
+              SELECT DISTINCT p.qid, i.sid
+              FROM probes p JOIN inv i USING (cell)
+              WHERE p.qid <> i.sid
+            ), subdot AS (
+              SELECT q.vec_id, cb.j, cb.kk, cb.cc,
+                     CAST(list_sum(list_transform(range(1, {PQ_DSUB + 1}),
+                          i -> qe[cb.j * {PQ_DSUB} + i] * cvec[i]))
+                          AS BIGINT) AS d
+              FROM q, cb
+            ), codes AS (
+              SELECT vec_id, j, kk AS code FROM (
+                SELECT vec_id, j, kk,
+                       row_number() OVER (PARTITION BY vec_id, j
+                           ORDER BY cc - 2 * d, kk) AS rn
+                FROM subdot
+              ) WHERE rn = 1
+            ), adc AS (
+              SELECT cand.qid AS query_id, cand.sid AS neighbor_id,
+                     CAST(sum(sd.d) AS BIGINT) AS adc
+              FROM cand
+              JOIN codes sc ON sc.vec_id = cand.sid
+              JOIN subdot sd ON sd.vec_id = cand.qid
+                            AND sd.j = sc.j AND sd.kk = sc.code
+              GROUP BY 1, 2
+            )
+            SELECT query_id, neighbor_id, adc, CAST(rank AS BIGINT) AS rank
+            FROM (
+              SELECT query_id, neighbor_id, adc,
+                     row_number() OVER (PARTITION BY query_id
+                         ORDER BY adc DESC, neighbor_id) AS rank
+              FROM adc
+            )
+            WHERE rank <= {IVF_K}
         """,
         # semantic_decontam: same shared centroid literal; the SQL
         # replays the md5 80/20 split (the bigram_lm idiom), corpus

@@ -438,3 +438,29 @@ def test_semantic_decontam_stays_jvm_and_equi_joined(spark):
     assert "MapInPandas" not in plan
     assert "CartesianProduct" not in plan, plan
     assert "BroadcastNestedLoopJoin" not in plan, plan
+
+
+def test_ivfpq_stays_jvm_and_equi_joined(spark):
+    """IVF-PQ with pinned codebooks: encode/LUT projections and the ADC
+    sum are pure column expressions (no Python), candidates form by the
+    cell equi-join (never a cartesian), and no vector payloads are
+    broadcast as a hash-join build side is NOT required — codes and
+    LUTs are the only things the scoring join moves."""
+    from docling_translate_spark.operators.similarity import (
+        IVF_GRID,
+        ivfpq_topk,
+    )
+
+    emb = spark.createDataFrame(
+        [(i, [1.0 - 0.001 * i, 0.001 * i, 0.0, 0.0]) for i in range(12)],
+        "vec_id long, embedding array<double>",
+    )
+    cents = [[IVF_GRID, 0, 0, 0], [0, IVF_GRID, 0, 0]]
+    cbs = [[[IVF_GRID, 0], [0, IVF_GRID]], [[IVF_GRID, 0], [0, IVF_GRID]]]
+    plan = _plan(
+        ivfpq_topk(emb, k=3, nprobe=2, centroid_ints=cents, codebook_ints=cbs)
+    )
+    assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
+    assert "MapInPandas" not in plan
+    assert "CartesianProduct" not in plan, plan
+    assert "BroadcastNestedLoopJoin" not in plan, plan
