@@ -4093,6 +4093,25 @@ w AS MATERIALIZED (
   FROM dots GROUP BY vec_id, j // {n_planes}
 )"""
 
+    _train_rows_cache: dict[str, list] = {}
+
+    def _oracle_train_rows(sf: str) -> list:
+        """The ONE deterministic training-sample fetch both codebook
+        literals share — identical `ORDER BY md5(id::VARCHAR), id
+        LIMIT n` total order to ivf_train_rows, replayed in DuckDB over
+        the raw parquet. Single definition so the coarse and PQ
+        codebooks can never train on different samples, memoized so
+        the md5 full-table sort runs once per process per sf."""
+        import duckdb as _duck
+
+        if sf not in _train_rows_cache:
+            _train_rows_cache[sf] = _duck.connect().execute(
+                f"SELECT vec_id, embedding FROM '{sf}/embeddings.parquet' "
+                f"ORDER BY md5(CAST(vec_id AS VARCHAR)), vec_id "
+                f"LIMIT {IVF_MAX_TRAIN}"
+            ).fetchall()
+        return _train_rows_cache[sf]
+
     def _ivf_centroid_values() -> str:
         """The IVF centroid literal, emitted by the SAME recipe the gate
         query runs: the deterministic hash-ordered training sample is
@@ -4109,8 +4128,6 @@ w AS MATERIALIZED (
         every call, and without the cache each call would re-read the
         embeddings parquet and re-run the 65536-row k-means even when
         the caller only wants an unrelated query's SQL."""
-        import duckdb as _duck
-
         from docling_translate_spark.operators.similarity import (
             ivf_centroid_ints,
         )
@@ -4118,12 +4135,7 @@ w AS MATERIALIZED (
         sf = os.environ.get("SPARK_GRAFT_ORACLE_SF", "/root/testdata/sf0.01")
         if sf in _IVF_CENTROID_CACHE:
             return _IVF_CENTROID_CACHE[sf]
-        rows = _duck.connect().execute(
-            f"SELECT vec_id, embedding FROM '{sf}/embeddings.parquet' "
-            f"ORDER BY md5(CAST(vec_id AS VARCHAR)), vec_id "
-            f"LIMIT {IVF_MAX_TRAIN}"
-        ).fetchall()
-        cents = ivf_centroid_ints(rows, n_cells=IVF_N_CELLS)
+        cents = ivf_centroid_ints(_oracle_train_rows(sf), n_cells=IVF_N_CELLS)
         _IVF_CENTROID_CACHE[sf] = ", ".join(
             f"({j}, [{','.join(str(v) for v in c)}]::BIGINT[])"
             for j, c in enumerate(cents)
@@ -4133,11 +4145,11 @@ w AS MATERIALIZED (
     def _pq_codebook_values() -> str:
         """The PQ sub-codebook literal — the _ivf_centroid_values
         discipline applied to the per-subspace trainer: identical
-        hash-ordered sample replayed in DuckDB, identical seeded L2
-        k-means + grid snap (similarity.pq_codebook_ints), memoized per
-        sf path. Rows: (j, kk, cvec BIGINT[], cc = |cvec|² BIGINT)."""
-        import duckdb as _duck
-
+        hash-ordered sample replayed in DuckDB (shared with
+        _ivf_centroid_values via _oracle_train_rows — one definition,
+        one fetch), identical seeded L2 k-means + grid snap
+        (similarity.pq_codebook_ints), memoized per sf path. Rows:
+        (j, kk, cvec BIGINT[], cc = |cvec|² BIGINT)."""
         from docling_translate_spark.operators.similarity import (
             pq_codebook_ints,
         )
@@ -4145,12 +4157,7 @@ w AS MATERIALIZED (
         sf = os.environ.get("SPARK_GRAFT_ORACLE_SF", "/root/testdata/sf0.01")
         if sf in _PQ_CODEBOOK_CACHE:
             return _PQ_CODEBOOK_CACHE[sf]
-        rows = _duck.connect().execute(
-            f"SELECT vec_id, embedding FROM '{sf}/embeddings.parquet' "
-            f"ORDER BY md5(CAST(vec_id AS VARCHAR)), vec_id "
-            f"LIMIT {IVF_MAX_TRAIN}"
-        ).fetchall()
-        cbs = pq_codebook_ints(rows, m=PQ_M, ks=PQ_KS)
+        cbs = pq_codebook_ints(_oracle_train_rows(sf), m=PQ_M, ks=PQ_KS)
         _PQ_CODEBOOK_CACHE[sf] = ", ".join(
             f"({j}, {kk}, [{','.join(str(v) for v in cvec)}]::BIGINT[], "
             f"{sum(v * v for v in cvec)}::BIGINT)"

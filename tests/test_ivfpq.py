@@ -54,9 +54,14 @@ def test_micro_adc_pinned(spark):
     assert got[(1, 0)][0] == q1 * g  # dot((q1,0), (g,0)) — q side is RAW
     # vec0 coded [0,0]: dot(vec2_sub0=(0,g), (g,0)) = 0
     assert got[(2, 0)][0] == 0
-    # ranks are 1-based under (adc DESC, neighbor_id)
-    for (q, s), (adc, rank) in got.items():
-        assert rank >= 1
+    # full rank pin under (adc DESC, neighbor_id): per query, the
+    # positive-adc neighbor ranks 1; q=2's all-zero scores tie and
+    # break on neighbor id (0 before 1)
+    assert {p: r for p, (_, r) in got.items()} == {
+        (0, 1): 1, (0, 2): 2,
+        (1, 0): 1, (1, 2): 2,
+        (2, 0): 1, (2, 1): 2,
+    }
 
 
 def _twin(ids, vecs, cents, cbs, k, nprobe):
