@@ -245,6 +245,27 @@ def main() -> None:
     )
     bpe = plan(bpe_pair_stats(docs, top_k=50))
 
+    from docling_translate_spark.operators.similarity import ivfpq_topk
+
+    pq = plan(
+        ivfpq_topk(
+            emb,
+            k=3,
+            nprobe=2,
+            centroid_ints=[
+                [IVF_GRID if d == j * 8 else 0 for d in range(64)]
+                for j in range(4)
+            ],
+            codebook_ints=[
+                [
+                    [IVF_GRID if d == kk else 0 for d in range(8)]
+                    for kk in range(4)
+                ]
+                for _ in range(8)
+            ],
+        )
+    )
+
     md = f"""# PLANS — physical plans of the extraction + headline scale operators
 
 Captured with `.explain("formatted")` over a parquet transcript table
@@ -698,6 +719,19 @@ distinct + left join pair.
 
 ```
 {sdd}
+```
+
+## IVF-PQ / ADC (`ivfpq_topk`, pinned codebooks)
+
+Coarse assignment + the unified sub-dot projection (codes AND query
+LUTs from one cached select), codes packed per cell via one agg, the
+ADC scan as a row-local transform over the packed list on the (query,
+probe-cell) equi-join, local top-(k+1) slice, bounded merge window.
+No Python, no cartesian; the only corpus-sized shuffles are the
+pack agg and the probe join.
+
+```
+{pq}
 ```
 
 ## BPE merge statistics (`bpe_pair_stats`)
