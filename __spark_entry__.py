@@ -1086,6 +1086,40 @@ def q_semantic_decontam(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# bitext-mining gate parameters — background-kNN depth and probe width,
+# shared with the oracle; codebook = the shared IVF constants
+BITEXT_K = 4
+BITEXT_NPROBE = 4
+
+
+def q_bitext_margin(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Margin-based bitext mining (operators/bitext.py::bitext_mine,
+    Artetxe & Schwenk 2019 — the LASER/CCMatrix parallel-corpus miner,
+    the corpus-construction step upstream of the reference's translation
+    app): the embeddings table splits into two 'languages' by label
+    (<5 vs >=5), the codebook trains on the FULL table by the exact
+    shared recipe, and each source vector gets its best margin-scored
+    target plus the mutual-best flag. Every float derives from exact
+    BIGINT dots with matched fold order, so the oracle replays margins
+    bit-for-bit."""
+    from docling_translate_spark.operators.bitext import bitext_mine
+    from docling_translate_spark.operators.similarity import (
+        ivf_centroid_ints,
+        ivf_train_rows,
+    )
+
+    emb = _emb(spark, sf_dir)
+    rows = ivf_train_rows(emb, max_train=IVF_MAX_TRAIN)
+    cents = ivf_centroid_ints(rows, IVF_N_CELLS)
+    return bitext_mine(
+        emb.filter(F.col("label") < 5),
+        emb.filter(F.col("label") >= 5),
+        k=BITEXT_K,
+        nprobe=BITEXT_NPROBE,
+        centroid_ints=cents,
+    )
+
+
 # BPE gate parameter — candidate-merge list size, shared with the oracle
 BPE_TOP_K = 50
 
@@ -2858,6 +2892,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "semdedup": q_semdedup,
         "semantic_decontam": q_semantic_decontam,
         "ann_ivfpq": q_ann_ivfpq,
+        "bitext_margin": q_bitext_margin,
         "bpe_pairs": q_bpe_pairs,
         "dup_spans": q_dup_spans,
         "template_families": q_template_families,
@@ -2880,8 +2915,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "eventmedia_battery": q_eventmedia_battery,
         "w_window_agg": q_w_window_agg,
         "centroid_dots": q_centroid_dots,
-        "weighted_sample": q_weighted_sample,
         # ---- tail: below the 50-slot recorded cap ----
+        "weighted_sample": q_weighted_sample,
         "winnow_fingerprints": q_winnow_fingerprints,
         "bigram_lm": q_bigram_lm,
         "tfidf_keywords": q_tfidf_keywords,
@@ -6368,6 +6403,132 @@ w AS MATERIALIZED (
                    CAST(coalesce(hit.n_hits, 0) AS BIGINT) AS n_hits,
                    (hit.n_hits IS NULL) AS kept
             FROM corp LEFT JOIN hit USING (vec_id)
+        """,
+        # bitext_margin: shared centroid literal; the SQL replays both
+        # directed cell-scoped kNNs (cos = double(d)/sqrt(nx·ny) over
+        # BIGINTs — identical IEEE doubles), the rank-ordered
+        # list_reduce background folds (left fold ≡ Spark aggregate),
+        # the margin ratio, best-per-source and the mutual flag
+        "bitext_margin": f"""
+            WITH cent(cell, qc) AS (VALUES {_ivf_centroid_values()}),
+            q AS (
+              SELECT vec_id, label,
+                     list_transform(embedding,
+                         x -> CAST(floor(x * {float(_IVF_GRID)} + 0.5)
+                                   AS BIGINT)) AS qe
+              FROM embeddings
+            ), nn AS (
+              SELECT vec_id,
+                     CAST(list_sum(list_transform(qe, x -> x * x))
+                          AS BIGINT) AS nsq
+              FROM q
+            ), scored AS (
+              SELECT q.vec_id, q.label, c.cell,
+                     list_sum(list_transform(range(1, {EMB_DIM + 1}),
+                         i -> qe[i] * qc[i])) AS s
+              FROM q, cent c
+            ), ranked AS (
+              SELECT vec_id, label, cell,
+                     row_number() OVER (PARTITION BY vec_id
+                         ORDER BY s DESC, cell) AS rn
+              FROM scored
+            ), fpair AS (
+              SELECT p.vec_id AS qid, i.vec_id AS nid,
+                     CAST(list_sum(list_transform(range(1, {EMB_DIM + 1}),
+                          i2 -> qa.qe[i2] * qb.qe[i2])) AS BIGINT) AS d,
+                     na.nsq AS qn, nb.nsq AS nn_
+              FROM (SELECT vec_id, cell FROM ranked
+                    WHERE label < 5 AND rn <= {BITEXT_NPROBE}) p
+              JOIN (SELECT vec_id, cell FROM ranked
+                    WHERE label >= 5 AND rn = 1) i USING (cell)
+              JOIN q qa ON qa.vec_id = p.vec_id
+              JOIN q qb ON qb.vec_id = i.vec_id
+              JOIN nn na ON na.vec_id = p.vec_id
+              JOIN nn nb ON nb.vec_id = i.vec_id
+            ), bpair AS (
+              SELECT p.vec_id AS qid, i.vec_id AS nid,
+                     CAST(list_sum(list_transform(range(1, {EMB_DIM + 1}),
+                          i2 -> qa.qe[i2] * qb.qe[i2])) AS BIGINT) AS d,
+                     na.nsq AS qn, nb.nsq AS nn_
+              FROM (SELECT vec_id, cell FROM ranked
+                    WHERE label >= 5 AND rn <= {BITEXT_NPROBE}) p
+              JOIN (SELECT vec_id, cell FROM ranked
+                    WHERE label < 5 AND rn = 1) i USING (cell)
+              JOIN q qa ON qa.vec_id = p.vec_id
+              JOIN q qb ON qb.vec_id = i.vec_id
+              JOIN nn na ON na.vec_id = p.vec_id
+              JOIN nn nb ON nb.vec_id = i.vec_id
+            ), fknn AS (
+              SELECT qid, nid, cos, rank FROM (
+                SELECT qid, nid,
+                       CASE WHEN qn > 0 AND nn_ > 0
+                            THEN CAST(d AS DOUBLE)
+                                 / sqrt(CAST(qn AS DOUBLE)
+                                        * CAST(nn_ AS DOUBLE))
+                            ELSE CAST('-inf' AS DOUBLE) END AS cos,
+                       row_number() OVER (PARTITION BY qid
+                           ORDER BY CASE WHEN qn > 0 AND nn_ > 0
+                                THEN CAST(d AS DOUBLE)
+                                     / sqrt(CAST(qn AS DOUBLE)
+                                            * CAST(nn_ AS DOUBLE))
+                                ELSE CAST('-inf' AS DOUBLE) END DESC,
+                               nid) AS rank
+                FROM fpair
+              ) WHERE rank <= {BITEXT_K}
+            ), bknn AS (
+              SELECT qid, nid, cos, rank FROM (
+                SELECT qid, nid,
+                       CASE WHEN qn > 0 AND nn_ > 0
+                            THEN CAST(d AS DOUBLE)
+                                 / sqrt(CAST(qn AS DOUBLE)
+                                        * CAST(nn_ AS DOUBLE))
+                            ELSE CAST('-inf' AS DOUBLE) END AS cos,
+                       row_number() OVER (PARTITION BY qid
+                           ORDER BY CASE WHEN qn > 0 AND nn_ > 0
+                                THEN CAST(d AS DOUBLE)
+                                     / sqrt(CAST(qn AS DOUBLE)
+                                            * CAST(nn_ AS DOUBLE))
+                                ELSE CAST('-inf' AS DOUBLE) END DESC,
+                               nid) AS rank
+                FROM bpair
+              ) WHERE rank <= {BITEXT_K}
+            ), bx AS (
+              SELECT qid,
+                     list_reduce(list(cos ORDER BY rank), (a, b) -> a + b)
+                         / (2.0 * count(*)) AS bg
+              FROM fknn GROUP BY qid
+            ), by_ AS (
+              SELECT qid,
+                     list_reduce(list(cos ORDER BY rank), (a, b) -> a + b)
+                         / (2.0 * count(*)) AS bg
+              FROM bknn GROUP BY qid
+            ), fbest AS (
+              SELECT src_id, tgt_id, margin FROM (
+                SELECT f.qid AS src_id, f.nid AS tgt_id,
+                       f.cos / (bx.bg + by_.bg) AS margin,
+                       row_number() OVER (PARTITION BY f.qid
+                           ORDER BY f.cos / (bx.bg + by_.bg) DESC,
+                                    f.nid) AS rn
+                FROM fknn f
+                JOIN bx ON bx.qid = f.qid
+                JOIN by_ ON by_.qid = f.nid
+              ) WHERE rn = 1
+            ), bbest AS (
+              SELECT src_id, tgt_id FROM (
+                SELECT b.nid AS src_id, b.qid AS tgt_id,
+                       row_number() OVER (PARTITION BY b.qid
+                           ORDER BY b.cos / (by_.bg + bx.bg) DESC,
+                                    b.nid) AS rn
+                FROM bknn b
+                JOIN by_ ON by_.qid = b.qid
+                JOIN bx ON bx.qid = b.nid
+              ) WHERE rn = 1
+            )
+            SELECT f.src_id, f.tgt_id, round(f.margin, 6) AS margin6,
+                   (bb.src_id IS NOT NULL) AS mutual
+            FROM fbest f
+            LEFT JOIN bbest bb
+              ON bb.src_id = f.src_id AND bb.tgt_id = f.tgt_id
         """,
         # bpe_pairs: word histogram → pair explosion over DISTINCT
         # words weighted by corpus frequency → exact BIGINT counts →

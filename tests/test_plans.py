@@ -464,3 +464,26 @@ def test_ivfpq_stays_jvm_and_equi_joined(spark):
     assert "MapInPandas" not in plan
     assert "CartesianProduct" not in plan, plan
     assert "BroadcastNestedLoopJoin" not in plan, plan
+
+
+def test_bitext_stays_jvm_and_equi_joined(spark):
+    """Bitext mining: both directed kNNs are cell equi-joins (never a
+    cartesian — candidate work is probe-scoped like semantic_decontam),
+    backgrounds/margins are aggs + bounded windows, no Python."""
+    from docling_translate_spark.operators.bitext import bitext_mine
+    from docling_translate_spark.operators.similarity import IVF_GRID
+
+    a = spark.createDataFrame(
+        [(i, [1.0 - 0.001 * i, 0.001 * i, 0.0, 0.0]) for i in range(8)],
+        "vec_id long, embedding array<double>",
+    )
+    b = spark.createDataFrame(
+        [(100 + i, [0.001 * i, 1.0 - 0.001 * i, 0.0, 0.0]) for i in range(8)],
+        "vec_id long, embedding array<double>",
+    )
+    cents = [[IVF_GRID, 0, 0, 0], [0, IVF_GRID, 0, 0]]
+    plan = _plan(bitext_mine(a, b, k=2, nprobe=2, centroid_ints=cents))
+    assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
+    assert "MapInPandas" not in plan
+    assert "CartesianProduct" not in plan, plan
+    assert "BroadcastNestedLoopJoin" not in plan, plan
