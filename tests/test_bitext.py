@@ -127,8 +127,6 @@ def _twin(a_ids, a_vecs, b_ids, b_vecs, cents, k, nprobe):
 def test_python_twin_on_sf0001(spark):
     from pyspark.sql import functions as F
 
-    from docling_translate_spark.functions.hashing import md5_prefix60
-
     emb = spark.read.parquet(f"{SF_DIR}/embeddings.parquet")
     rows = ivf_train_rows(emb, max_train=65536)
     cents = ivf_centroid_ints(rows, 16)
@@ -151,6 +149,13 @@ def test_python_twin_on_sf0001(spark):
     a_ids, a_vecs = mats(src)
     b_ids, b_vecs = mats(tgt)
     expect = _twin(a_ids, a_vecs, b_ids, b_vecs, cents, k=4, nprobe=4)
-    assert out == expect
+    # ids/flags exact; margins via approx — Spark F.round (HALF_UP) and
+    # Python round (half-even) can differ on an exact 7th-decimal tie,
+    # the repo's established round-6 comparison discipline (bigram_lm)
+    assert set(out) == set(expect)
+    for sid, (tid, mgn, mut) in expect.items():
+        g_tid, g_mgn, g_mut = out[sid]
+        assert (g_tid, g_mut) == (tid, mut), sid
+        assert g_mgn == pytest.approx(mgn, abs=1e-6), sid
     assert len(out) > 0
     assert any(m for _, _, m in out.values())  # some mutual pairs exist
